@@ -1,0 +1,222 @@
+"""Task heads (reference: ultralytics/nn/modules/head.py).
+
+The Detect head produces raw per-level maps; decoding (DFL integral + box
+transform + sigmoid) is a separate pure function so the predictor can fuse
+decode+NMS into one compiled graph (and later one Pallas kernel), and the
+trainer can consume raw maps directly — mirroring the reference split between
+Detect.forward (training) and Detect._inference (head.py:64-131).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bsyolo_tpu.nn.modules import ConvBN, DWConvBN, dfl_decode
+from bsyolo_tpu.ops.anchors import dist2bbox, make_anchors
+
+Array = jax.Array
+
+
+def _bias_const(value: float):
+    return lambda key, shape, dtype=jnp.float32: jnp.full(shape, value, dtype)
+
+
+class Detect(nn.Module):
+    """Anchor-free decoupled detect head (reference head.py:21-150).
+
+    Returns the per-level raw maps (B, H, W, 4*reg_max + nc), box channels
+    first (side-major DFL layout), matching the reference channel order so
+    converted torch weights line up.
+    """
+
+    nc: int
+    ch: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    reg_max: int = 16
+    legacy: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array], train: bool = False) -> List[Array]:
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(feats):
+            stride = self.strides[i]
+            # box branch: Conv3x3 -> Conv3x3 -> 1x1 (bias=1.0, head.py:133-141)
+            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
+            b = nn.Conv(
+                4 * self.reg_max,
+                (1, 1),
+                use_bias=True,
+                bias_init=_bias_const(1.0),
+                dtype=self.dtype,
+                name=f"cv2_{i}_2",
+            )(b)
+            # cls branch (non-legacy): DW-separable stacks (head.py:46-57)
+            if self.legacy:
+                c = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+                c = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, train)
+            else:
+                c = DWConvBN(x.shape[-1], 3, dtype=self.dtype, name=f"cv3_{i}_0_0")(x, train)
+                c = ConvBN(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0_1")(c, train)
+                c = DWConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1_0")(c, train)
+                c = ConvBN(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1_1")(c, train)
+            cls_bias = math.log(5 / self.nc / (640 / stride) ** 2)
+            c = nn.Conv(
+                self.nc,
+                (1, 1),
+                use_bias=True,
+                bias_init=_bias_const(cls_bias),
+                dtype=self.dtype,
+                name=f"cv3_{i}_2",
+            )(c)
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return outs
+
+
+class Proto(nn.Module):
+    """Mask prototype head for segmentation (reference block.py Proto:80)."""
+
+    c_: int = 256
+    c2: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        from bsyolo_tpu.nn.modules import upsample2x_nearest
+
+        x = ConvBN(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+        # reference uses ConvTranspose2d(c_, c_, 2, 2, 0) with bias
+        x = nn.ConvTranspose(
+            self.c_, (2, 2), strides=(2, 2), use_bias=True, dtype=self.dtype, name="upsample"
+        )(x)
+        x = ConvBN(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+class Segment(nn.Module):
+    """Detect + mask-coefficient + proto head (reference head.py:175)."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    nm: int = 32
+    npr: int = 256
+    reg_max: int = 16
+    legacy: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array], train: bool = False):
+        proto = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(feats[0], train)
+        det = Detect(
+            self.nc, self.ch, self.strides, self.reg_max, self.legacy, dtype=self.dtype, name="detect"
+        )(feats, train)
+        c4 = max(self.ch[0] // 4, self.nm)
+        mcs = []
+        for i, x in enumerate(feats):
+            m = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            m = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
+            m = nn.Conv(self.nm, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(m)
+            mcs.append(m)
+        outs = [jnp.concatenate([d, m], axis=-1) for d, m in zip(det, mcs)]
+        return {"feats": outs, "proto": proto}
+
+
+class Pose(nn.Module):
+    """Detect + keypoint regression head (reference head.py:230)."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    kpt_shape: Tuple[int, int] = (17, 3)
+    reg_max: int = 16
+    legacy: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array], train: bool = False):
+        det = Detect(
+            self.nc, self.ch, self.strides, self.reg_max, self.legacy, dtype=self.dtype, name="detect"
+        )(feats, train)
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        outs = []
+        for i, x in enumerate(feats):
+            k = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            k = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(k, train)
+            k = nn.Conv(nk, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(k)
+            outs.append(jnp.concatenate([det[i], k], axis=-1))
+        return outs
+
+
+class OBB(nn.Module):
+    """Detect + rotation-angle head (reference head.py:200)."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    ne: int = 1
+    reg_max: int = 16
+    legacy: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array], train: bool = False):
+        det = Detect(
+            self.nc, self.ch, self.strides, self.reg_max, self.legacy, dtype=self.dtype, name="detect"
+        )(feats, train)
+        c4 = max(self.ch[0] // 4, self.ne)
+        outs = []
+        for i, x in enumerate(feats):
+            a = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            a = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(a, train)
+            a = nn.Conv(self.ne, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(a)
+            outs.append(jnp.concatenate([det[i], a], axis=-1))
+        return outs
+
+
+class Classify(nn.Module):
+    """Classification head: conv -> GAP -> linear (reference head.py:282)."""
+
+    nc: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_ = 1280
+        x = ConvBN(c_, 1, 1, dtype=self.dtype, name="conv")(x, train)
+        x = jnp.mean(x, axis=(1, 2))  # GAP
+        return nn.Dense(self.nc, dtype=self.dtype, name="linear")(x)
+
+
+def decode_detections(
+    feats: Sequence[Array],
+    strides: Sequence[int],
+    nc: int,
+    reg_max: int = 16,
+) -> Array:
+    """Decode raw Detect maps to (B, A, 4+nc): xywh pixels + sigmoid scores.
+
+    Pure-function equivalent of Detect._inference (reference head.py:100-131):
+    DFL softmax-expectation -> dist2bbox around cached anchors -> * stride.
+    Anchors are built from static shapes at trace time.
+    """
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+    b = feats[0].shape[0]
+    flat = jnp.concatenate(
+        [f.reshape(b, -1, f.shape[-1]) for f in feats], axis=1
+    )  # (B, A, 4*reg_max+nc)
+    box_logits = flat[..., : 4 * reg_max]
+    cls_logits = flat[..., 4 * reg_max : 4 * reg_max + nc]
+    dist = dfl_decode(box_logits, reg_max)  # (B, A, 4)
+    dbox = dist2bbox(dist, anchors[None], xywh=True, axis=-1) * stride_t[None]
+    return jnp.concatenate([dbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32))], axis=-1)

@@ -1,0 +1,163 @@
+"""Graph-walking task model (reference: ultralytics/nn/tasks.py BaseModel/_predict_once).
+
+``DetectionGraph`` is a flax module that executes a parsed ``ModelSpec``:
+sequential layer walk with a save-list for feature reuse, exactly mirroring
+the reference's nn.Sequential + save semantics (tasks.py:138-166) but with
+static shapes and NHWC layout. Submodules are named ``m{i}`` to give stable
+parameter paths for the torch->JAX weight converter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from bsyolo_tpu.nn import heads as H
+from bsyolo_tpu.nn import modules as M
+from bsyolo_tpu.nn.parser import LayerSpec, ModelSpec
+
+Array = jax.Array
+
+
+def _build_module(spec: LayerSpec, dtype) -> Optional[nn.Module]:
+    """Instantiate the flax module for one layer spec (None for stateless ops)."""
+    m, a = spec.module, spec.args
+    name = f"m{spec.i}"
+    if m == "Conv":
+        c2, k, s = a[0], a[1] if len(a) > 1 else 1, a[2] if len(a) > 2 else 1
+        p = a[3] if len(a) > 3 else None
+        g = a[4] if len(a) > 4 else 1
+        return M.ConvBN(c2, k, s, p=p, g=g, dtype=dtype, name=name)
+    if m == "DWConv":
+        c2, k = a[0], a[1] if len(a) > 1 else 1
+        s = a[2] if len(a) > 2 else 1
+        return M.DWConvBN(c2, k, s, dtype=dtype, name=name)
+    if m == "Pinwheel_shapedConv":
+        return M.PinwheelConv(a[0], a[1], a[2], dtype=dtype, name=name)
+    if m in ("C3k2", "C3k2_gai"):
+        c2, n = a[0], a[1]
+        c3k = a[2] if len(a) > 2 else False
+        e = a[3] if len(a) > 3 else 0.5
+        g = a[4] if len(a) > 4 else 1
+        shortcut = a[5] if len(a) > 5 else True
+        cls = M.C3k2 if m == "C3k2" else M.C3k2_gai
+        return cls(c2, n, shortcut, g, e, c3k=c3k, dtype=dtype, name=name)
+    if m == "C2f":
+        c2, n = a[0], a[1]
+        shortcut = a[2] if len(a) > 2 else False
+        g = a[3] if len(a) > 3 else 1
+        return M.C2f(c2, n, shortcut, g, dtype=dtype, name=name)
+    if m == "C3":
+        c2, n = a[0], a[1]
+        shortcut = a[2] if len(a) > 2 else True
+        return M.C3(c2, n, shortcut, dtype=dtype, name=name)
+    if m == "Bottleneck":
+        c2 = a[0]
+        shortcut = a[1] if len(a) > 1 else True
+        return M.Bottleneck(c2, shortcut, dtype=dtype, name=name)
+    if m == "SPPF":
+        return M.SPPF(a[0], a[1] if len(a) > 1 else 5, dtype=dtype, name=name)
+    if m == "C2PSA":
+        c2, n = a[0], a[1]
+        e = a[2] if len(a) > 2 else 0.5
+        return M.C2PSA(c2, n, e, dtype=dtype, name=name)
+    if m == "PSA":
+        return M.PSA(a[0], a[1] if len(a) > 1 else 0.5, dtype=dtype, name=name)
+    if m == "SCDown":
+        return M.SCDown(a[0], a[1], a[2], dtype=dtype, name=name)
+    if m == "MSCAAttention":
+        return M.MSCAAttention(a[0], dtype=dtype, name=name)
+    if m == "ELA":
+        return M.ELA(a[0], dtype=dtype, name=name)
+    if m in ("Upsample", "Concat", "Index"):
+        return None  # stateless
+    raise NotImplementedError(f"module {m} not wired into the graph builder")
+
+
+class DetectionGraph(nn.Module):
+    """Executes a ModelSpec. Output = head output (list of raw per-level maps)."""
+
+    spec: ModelSpec
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False):
+        spec = self.spec
+        saved: Dict[int, Array] = {}
+        prev: Array = x
+        for layer in spec.layers:
+            m = layer.module
+            if m in ("Detect", "Segment", "Pose", "OBB"):
+                feats = [saved[j] if j != -1 else prev for j in layer.f]
+                prev = self._head(layer, feats, train)
+            elif m == "Concat":
+                xs = [saved[j] if j != -1 else prev for j in layer.f]
+                prev = jnp.concatenate(xs, axis=-1)
+            elif m == "Upsample":
+                prev = M.upsample2x_nearest(prev)
+            elif m == "Index":
+                prev = saved[layer.f[-1]]
+            elif m == "Classify":
+                src = saved[layer.f[0]] if layer.f[0] != -1 else prev
+                prev = H.Classify(layer.args[0], dtype=self.dtype, name=f"m{layer.i}")(src, train)
+            else:
+                src = saved[layer.f[0]] if layer.f[0] != -1 else prev
+                mod = _build_module(layer, self.dtype)
+                prev = mod(src, train)
+            if layer.i in spec.save:
+                saved[layer.i] = prev
+        return prev
+
+    def _head(self, layer: LayerSpec, feats, train: bool):
+        spec = self.spec
+        name = f"m{layer.i}"
+        strides = spec.head_strides
+        a = layer.args
+        legacy = a[-1]
+        if layer.module == "Detect":
+            nc, ch = a[0], a[1]
+            return H.Detect(nc, ch, strides, legacy=legacy, dtype=self.dtype, name=name)(feats, train)
+        if layer.module == "Segment":
+            nc, nm, npr, ch = a[0], a[1], a[2], a[3]
+            return H.Segment(nc, ch, strides, nm, npr, legacy=legacy, dtype=self.dtype, name=name)(
+                feats, train
+            )
+        if layer.module == "Pose":
+            nc, kpt_shape, ch = a[0], tuple(a[1]), a[2]
+            return H.Pose(nc, ch, strides, kpt_shape, legacy=legacy, dtype=self.dtype, name=name)(
+                feats, train
+            )
+        if layer.module == "OBB":
+            nc, ne, ch = a[0], a[1], a[2]
+            return H.OBB(nc, ch, strides, ne, legacy=legacy, dtype=self.dtype, name=name)(feats, train)
+        raise NotImplementedError(layer.module)
+
+
+def build_model(spec: ModelSpec, img_size: int = 640, dtype=jnp.float32, seed: int = 0):
+    """Construct the graph model and initialize its variables.
+
+    Returns (model, variables) where variables = {'params', 'batch_stats'}.
+    init is jitted: eager linen init dispatches hundreds of individual op
+    compiles, which is pathologically slow; one fused compile is ~10x faster.
+    """
+    import functools
+
+    model = DetectionGraph(spec, dtype=dtype)
+    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn(jax.random.PRNGKey(seed), dummy)
+    return model, variables
+
+
+def make_forward(model: DetectionGraph, train: bool = False):
+    """A jitted pure forward: (variables, images NHWC) -> head output."""
+    return jax.jit(lambda variables, x: model.apply(variables, x, train=train))
+
+
+def count_params(variables) -> int:
+    params = variables["params"] if "params" in variables else variables
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

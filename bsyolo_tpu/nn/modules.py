@@ -1,0 +1,532 @@
+"""TPU-native neural network blocks (flax.linen, NHWC, bf16-friendly).
+
+Re-implements the reference block zoo — both the stock YOLO11 modules
+(reference: ultralytics/nn/modules/{conv,block,head}.py) and the BS-YOLO fork
+blocks (PMSFA block.py:3035, C3k2_gai block.py:3087, SCDown block.py:4503,
+MSCAAttention nn/Addmodules/MSCA.py:19, ELA nn/Addmodules/ELA.py:33,
+Pinwheel_shapedConv conv.py:153) — as idiomatic JAX:
+
+- NHWC layout throughout (TPU conv-native); channel ops act on axis -1
+- BatchNorm uses the reference's eps=1e-3 / momentum=0.03
+  (torch_utils.py:417-427 initialize_weights), i.e. linen momentum 0.97
+- compute dtype is configurable (bf16 for speed); params stay f32
+- no explicit conv+BN fusion pass: in inference mode BN is a per-channel
+  affine that XLA fuses into the convolution epilogue automatically
+
+Every module takes `train: bool` to select BN batch/running statistics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+BN_MOMENTUM = 0.97  # torch momentum 0.03
+BN_EPS = 1e-3
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """Same-shape padding (reference conv.py autopad)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+class ConvBN(nn.Module):
+    """Conv2d + BatchNorm + SiLU (reference Conv, conv.py:133)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return nn.silu(x) if self.act else x
+
+
+class DWConvBN(nn.Module):
+    """Depthwise Conv + BN + SiLU (reference DWConv, conv.py:224). g=gcd(c1,c2)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    d: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c1 = x.shape[-1]
+        g = math.gcd(c1, self.c2)
+        return ConvBN(self.c2, self.k, self.s, g=g, d=self.d, act=self.act, dtype=self.dtype, name="dw")(
+            x, train
+        )
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck (reference block.py Bottleneck)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c_, self.k[0], 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBN(self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class C2f(nn.Module):
+    """CSP bottleneck, 2 convolutions, fast variant (reference block.py:3295)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    def inner_block(self, c: int, i: int):
+        return Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(self.inner_block(c, i)(ys[-1], train))
+        return ConvBN(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convolutions (reference block.py:3320)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    def inner_block(self, c: int, i: int):
+        return Bottleneck(c, self.shortcut, self.g, k=(1, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = self.inner_block(c_, i)(a, train)
+        return ConvBN(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3k(C3):
+    """C3 with configurable kernel (reference block.py:3807); k=(k,k) bottlenecks."""
+
+    kk: int = 3
+
+    def inner_block(self, c: int, i: int):
+        return Bottleneck(c, self.shortcut, self.g, k=(self.kk, self.kk), e=1.0, dtype=self.dtype, name=f"m_{i}")
+
+
+class C3k2(C2f):
+    """C2f whose inner blocks are C3k(n=2) or Bottleneck (reference block.py:3796)."""
+
+    c3k: bool = False
+
+    def inner_block(self, c: int, i: int):
+        if self.c3k:
+            return C3k(c, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m_{i}")
+        return Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=0.5, dtype=self.dtype, name=f"m_{i}")
+
+
+class PMSFA(nn.Module):
+    """Progressive multi-scale feature aggregation (fork block, reference block.py:3035).
+
+    3x3 conv -> half goes through 5x5 DW -> quarter through 7x7 DW; concat
+    [quarter, quarter, half] -> 1x1 conv + residual.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        inc = x.shape[-1]
+        c1 = ConvBN(inc, 3, dtype=self.dtype, name="conv1")(x, train)
+        c1a, c1b = jnp.split(c1, 2, axis=-1)
+        c2 = ConvBN(inc // 2, 5, g=inc // 2, dtype=self.dtype, name="conv2")(c1a, train)
+        c2a, c2b = jnp.split(c2, 2, axis=-1)
+        c3 = ConvBN(inc // 4, 7, g=inc // 4, dtype=self.dtype, name="conv3")(c2a, train)
+        out = jnp.concatenate([c3, c2b, c1b], axis=-1)
+        return ConvBN(inc, 1, dtype=self.dtype, name="conv4")(out, train) + x
+
+
+class C3k_gai(C3):
+    """C3 whose inner blocks are PMSFA (fork block, reference block.py:3078)."""
+
+    def inner_block(self, c: int, i: int):
+        return PMSFA(dtype=self.dtype, name=f"m_{i}")
+
+
+class C3k2_gai(C2f):
+    """C2f whose inner blocks are C3k_gai(n=2) or PMSFA (fork block, block.py:3087)."""
+
+    c3k: bool = False
+
+    def inner_block(self, c: int, i: int):
+        if self.c3k:
+            return C3k_gai(c, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m_{i}")
+        return PMSFA(dtype=self.dtype, name=f"m_{i}")
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling - fast (reference block.py:3114)."""
+
+    c2: int
+    k: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_ = x.shape[-1] // 2
+        y = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        p = self.k // 2
+        pool = lambda t: nn.max_pool(
+            t, window_shape=(self.k, self.k), strides=(1, 1), padding=[(p, p), (p, p)]
+        )
+        y1 = pool(y)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([y, y1, y2, y3], axis=-1), train
+        )
+
+
+class SCDown(nn.Module):
+    """Separable-conv downsampling from YOLOv10 (reference block.py:4503)."""
+
+    c2: int
+    k: int = 3
+    s: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        y = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        return ConvBN(self.c2, self.k, self.s, g=self.c2, act=False, dtype=self.dtype, name="cv2")(y, train)
+
+
+class Attention(nn.Module):
+    """Spatial MHSA over the flattened feature map (reference block.py:4235).
+
+    qkv/proj are 1x1 convs; pe is a 3x3 depthwise positional conv on v.
+    """
+
+    dim: int
+    num_heads: int = 8
+    attn_ratio: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        B, H, W, C = x.shape
+        N = H * W
+        head_dim = self.dim // self.num_heads
+        key_dim = int(head_dim * self.attn_ratio)
+        scale = key_dim**-0.5
+        nh_kd = key_dim * self.num_heads
+        h = self.dim + nh_kd * 2
+        qkv = ConvBN(h, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
+        # (B, N, num_heads, 2*key_dim + head_dim) -> per-head split
+        qkv = qkv.reshape(B, N, self.num_heads, key_dim * 2 + head_dim)
+        q, k, v = jnp.split(qkv, [key_dim, key_dim * 2], axis=-1)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(B, H, W, C)
+        v_img = v.reshape(B, H, W, C)
+        pe = ConvBN(self.dim, 3, 1, g=self.dim, act=False, dtype=self.dtype, name="pe")(v_img, train)
+        return ConvBN(self.dim, 1, act=False, dtype=self.dtype, name="proj")(out + pe, train)
+
+
+class PSABlock(nn.Module):
+    """Attention + conv FFN with shortcuts (reference block.py:4348)."""
+
+    c: int
+    attn_ratio: float = 0.5
+    num_heads: int = 4
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        a = Attention(self.c, self.num_heads, self.attn_ratio, dtype=self.dtype, name="attn")(x, train)
+        x = x + a if self.shortcut else a
+        f = ConvBN(self.c * 2, 1, dtype=self.dtype, name="ffn_0")(x, train)
+        f = ConvBN(self.c, 1, act=False, dtype=self.dtype, name="ffn_1")(f, train)
+        return x + f if self.shortcut else f
+
+
+class C2PSA(nn.Module):
+    """CSP wrapper around n PSABlocks (reference block.py:4429)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        for i in range(self.n):
+            b = PSABlock(c, 0.5, max(1, c // 64), dtype=self.dtype, name=f"m_{i}")(b, train)
+        return ConvBN(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class PSA(nn.Module):
+    """Single-block PSA (reference block.py PSA)."""
+
+    c2: int
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        b = PSABlock(c, 0.5, max(1, c // 64), dtype=self.dtype, name="m_0")(b, train)
+        return ConvBN(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], axis=-1), train)
+
+
+def _dw_conv2d(x, features, kernel, padding, name, dtype, bias=True, dilation=(1, 1)):
+    """Raw depthwise conv2d with bias (torch nn.Conv2d(groups=dim) equivalent)."""
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel,
+        padding=padding,
+        feature_group_count=features,
+        kernel_dilation=dilation,
+        use_bias=bias,
+        dtype=dtype,
+        name=name,
+    )(x)
+
+
+class MSCAAttention(nn.Module):
+    """SegNeXt multi-scale strip-conv attention + per-branch SE gating.
+
+    Fork block (reference nn/Addmodules/MSCA.py:19-91): 5x5 DW base, then
+    three strip-conv branches (5, 7, 11-tap pairs) + a 21-tap branch; branch
+    weights from GAP->1x1 SE convs, sigmoid+softmax over the 4 branches;
+    1x1 mixing conv; multiplicative gate on the input.
+    """
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        d = self.dim
+        u = x
+        attn = _dw_conv2d(x, d, (5, 5), [(2, 2), (2, 2)], "conv0", self.dtype)
+
+        def strip(t, k, name):
+            t = _dw_conv2d(t, d, (1, k), [(0, 0), (k // 2, k // 2)], f"{name}_1", self.dtype)
+            return _dw_conv2d(t, d, (k, 1), [(k // 2, k // 2), (0, 0)], f"{name}_2", self.dtype)
+
+        # The 1x1 "dilconv" is shared across branches 0-2 in the reference
+        dilconv = nn.Conv(d, (1, 1), feature_group_count=d, use_bias=True, dtype=self.dtype, name="dilconv")
+        attn_0 = dilconv(strip(attn, 5, "conv0"))
+        attn_1 = dilconv(strip(attn, 7, "conv1"))
+        attn_2 = dilconv(strip(attn, 11, "conv2"))
+        attn_3 = strip(attn, 21, "conv3")
+
+        def se(t, name):
+            g = jnp.mean(t, axis=(1, 2), keepdims=True)  # GAP (B,1,1,C)
+            return nn.Conv(d, (1, 1), use_bias=True, dtype=self.dtype, name=name)(g)
+
+        w = jnp.stack(
+            [se(attn_0, "SE1"), se(attn_1, "SE2"), se(attn_2, "SE3"), se(attn_3, "SE4")], axis=0
+        )  # (4, B, 1, 1, C)
+        w = jax.nn.softmax(jax.nn.sigmoid(w), axis=0)
+        x_att = w[0] * attn_0 + w[1] * attn_1 + w[2] * attn_2 + w[3] * attn_3
+        attn = nn.Conv(d, (1, 1), use_bias=True, dtype=self.dtype, name="conv4")(x_att)
+        return attn * u
+
+
+class ELA(nn.Module):
+    """Efficient local attention, fork variant (reference nn/Addmodules/ELA.py:33-119).
+
+    Channel branch: GAP -> depthwise 1D conv -> sigmoid. Spatial branch:
+    H-mean / W-mean -> shared dilated depthwise 1D conv -> GroupNorm ->
+    sigmoid -> outer product. Learnable sigmoid-gated fusion + residual.
+    """
+
+    channel: int
+    b: int = 1
+    gamma: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        B, H, W, C = x.shape
+        ks = int(abs((math.log(self.channel, 2) + self.b) / self.gamma))
+        ks = ks if ks % 2 else ks + 1
+        pad_ch = (ks - 1) // 2
+        pad_sp = (ks - 1) * 2 // 2
+
+        # shared spatial conv (applied to both H and W sequences)
+        spatial_conv = nn.Conv(
+            C,
+            (ks,),
+            padding=[(pad_sp, pad_sp)],
+            feature_group_count=C,
+            kernel_dilation=(2,),
+            use_bias=False,
+            dtype=self.dtype,
+            name="spatial_conv",
+        )
+        gn = nn.GroupNorm(num_groups=max(1, C // 16), epsilon=1e-5, dtype=self.dtype, name="gn")
+
+        # channel attention: GAP -> (B, 1, C) -> dw conv1d k=ks -> sigmoid
+        gap = jnp.mean(x, axis=(1, 2), keepdims=False)[:, None, :]  # (B, 1, C)
+        ch = nn.Conv(
+            C,
+            (ks,),
+            padding=[(pad_ch, pad_ch)],
+            feature_group_count=C,
+            use_bias=False,
+            dtype=self.dtype,
+            name="ch_conv",
+        )(gap)
+        ch_att = jax.nn.sigmoid(ch)[:, :, None, :]  # (B, 1, 1, C)
+
+        x_h = jnp.mean(x, axis=2)  # (B, H, C)
+        h_att = jax.nn.sigmoid(gn(spatial_conv(x_h)))[:, :, None, :]  # (B, H, 1, C)
+        x_w = jnp.mean(x, axis=1)  # (B, W, C)
+        w_att = jax.nn.sigmoid(gn(spatial_conv(x_w)))[:, None, :, :]  # (B, 1, W, C)
+
+        ch_w = jax.nn.sigmoid(self.param("ch_weight", nn.initializers.zeros, (1,)))
+        sp_w = jax.nn.sigmoid(self.param("sp_weight", nn.initializers.zeros, (1,)))
+        res_w = jax.nn.sigmoid(self.param("res_weight", nn.initializers.zeros, (1,)))
+        att_mask = ch_w * ch_att + sp_w * (h_att * w_att)
+        return x * att_mask + res_w * x
+
+
+class ConvBNRect(nn.Module):
+    """ConvBN with a rectangular kernel (used by PinwheelConv strips)."""
+
+    c2: int
+    kernel: Tuple[int, int]
+    s: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nn.Conv(
+            self.c2,
+            self.kernel,
+            strides=(self.s, self.s),
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name="bn"
+        )(x)
+        return nn.silu(x) if self.act else x
+
+
+class PinwheelConv(nn.Module):
+    """Pinwheel-shaped conv via asymmetric padding (reference conv.py:153-179).
+
+    Shared (1,k) and (k,1) strip ConvBNs applied to 4 asymmetrically padded
+    views, concatenated, then a 2x2 valid ConvBN mixes them.
+    """
+
+    c2: int
+    k: int
+    s: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        k, s = self.k, self.s
+        c = self.c2 // 4
+        # torch ZeroPad2d padding order: (left, right, top, bottom)
+        p = [(k, 0, 1, 0), (0, k, 0, 1), (0, 1, k, 0), (1, 0, 0, k)]
+        cw = ConvBNRect(c, (1, k), s, dtype=self.dtype, name="cw")
+        ch = ConvBNRect(c, (k, 1), s, dtype=self.dtype, name="ch")
+
+        def padded(pad):
+            left, right, top, bottom = pad
+            return jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)))
+
+        yw0 = cw(padded(p[0]), train)
+        yw1 = cw(padded(p[1]), train)
+        yh0 = ch(padded(p[2]), train)
+        yh1 = ch(padded(p[3]), train)
+        out = jnp.concatenate([yw0, yw1, yh0, yh1], axis=-1)
+        return ConvBNRect(self.c2, (2, 2), 1, dtype=self.dtype, name="cat")(out, train)
+
+
+def upsample2x_nearest(x: Array) -> Array:
+    """nn.Upsample(scale_factor=2, mode='nearest') equivalent."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+def dfl_decode(dist_logits: Array, reg_max: int = 16) -> Array:
+    """Distribution Focal Loss integral decode (reference block.py DFL:58).
+
+    dist_logits: (..., 4*reg_max) side-major layout -> (..., 4) expected dists.
+    """
+    shape = dist_logits.shape
+    logits = dist_logits.reshape(shape[:-1] + (4, reg_max))
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    proj = jnp.arange(reg_max, dtype=jnp.float32)
+    return probs @ proj

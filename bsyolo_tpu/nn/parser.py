@@ -1,0 +1,249 @@
+"""YAML model-config parser (reference: ultralytics/nn/tasks.py:940 parse_model).
+
+Accepts the exact reference YAML schema (backbone/head lists of
+``[from, repeats, module, args]`` with ``scales:`` compound scaling) so the
+fork's model files (cfg/models/11/yolo11.yaml etc.) load unchanged. Produces a
+static, hashable ``ModelSpec`` consumed by the flax graph model — all channel
+arithmetic, depth/width scaling, and stride propagation happen here at parse
+time so the compiled graph sees only static shapes.
+"""
+
+from __future__ import annotations
+
+import ast
+import math
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import yaml
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Round channels up to the nearest multiple (reference utils/checks.py)."""
+    return math.ceil(x / divisor) * divisor
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    i: int  # layer index
+    f: Tuple[int, ...]  # from indices (resolved, absolute; -1 kept relative)
+    n: int  # repeats (after depth gain)
+    module: str  # module name, e.g. "Conv", "C3k2_gai"
+    args: Tuple[Any, ...]  # resolved module args (excluding c1)
+    c1: int  # input channels
+    c2: int  # output channels
+    stride: int  # cumulative downsample factor of this layer's output
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    layers: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]  # layer indices whose outputs are reused
+    nc: int
+    scale: str
+    task: str
+    yaml_name: str = ""
+    kpt_shape: Tuple[int, int] = (17, 3)
+    names: Tuple[str, ...] = ()
+
+    @property
+    def head(self) -> LayerSpec:
+        return self.layers[-1]
+
+    @property
+    def head_strides(self) -> Tuple[int, ...]:
+        idx = self.head.f
+        return tuple(self.layers[j].stride for j in idx)
+
+    @property
+    def head_ch(self) -> Tuple[int, ...]:
+        return tuple(self.layers[j].c2 for j in self.head.f)
+
+
+# Modules following the reference "conv-ish" channel rule (tasks.py:972-1046):
+# c1 = ch[f], c2 = make_divisible(min(args[0], max_channels) * width, 8)
+_CONVLIKE = {
+    "Conv",
+    "DWConv",
+    "ConvTranspose",
+    "Pinwheel_shapedConv",
+    "Bottleneck",
+    "SPP",
+    "SPPF",
+    "C2PSA",
+    "C2fPSA",
+    "C1",
+    "C2",
+    "C2f",
+    "C3",
+    "C3x",
+    "C3k2",
+    "C3k2_gai",
+    "PSA",
+    "SCDown",
+    "Classify",
+    "Focus",
+    "GhostConv",
+}
+# Modules that additionally get the repeat count inserted at args[2]
+_REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA"}
+_HEADS = {"Detect", "Segment", "Pose", "OBB"}
+
+
+def load_model_yaml(path) -> dict:
+    """Load a model YAML, inferring scale from filename like yolo11n.yaml."""
+    path = Path(path)
+    stem = path.stem
+    m = re.match(r"(.*?)([nslmx])?(-\w+)?$", stem)
+    unified = path
+    scale = ""
+    if not path.exists():
+        # yolo11n.yaml -> yolo11.yaml with scale "n" (reference tasks.py:1108)
+        m2 = re.match(r"(.*yolo\d+)([nslmx])(.*)$", stem)
+        if m2:
+            scale = m2.group(2)
+            unified = path.with_name(m2.group(1) + m2.group(3) + path.suffix)
+    d = yaml.safe_load(unified.read_text())
+    d["yaml_file"] = str(path)
+    if scale:
+        d["scale"] = scale
+    return d
+
+
+def _literal(a: Any, names: dict) -> Any:
+    if isinstance(a, str):
+        if a in names:
+            return names[a]
+        try:
+            return ast.literal_eval(a)
+        except (ValueError, SyntaxError):
+            return a
+    return a
+
+
+def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect", verbose: bool = False) -> ModelSpec:
+    """Parse a model dict into a ModelSpec (mirrors reference parse_model)."""
+    nc = int(d.get("nc", 80))
+    scales = d.get("scales")
+    depth, width, max_channels = (
+        d.get("depth_multiple", 1.0),
+        d.get("width_multiple", 1.0),
+        float("inf"),
+    )
+    scale = scale or d.get("scale", "")
+    if scales:
+        if not scale:
+            scale = tuple(scales.keys())[0]
+        depth, width, max_channels = scales[scale]
+    kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
+
+    legacy = True
+    channels = [ch]
+    strides = [1]
+    layers = []
+    save = set()
+    rows = list(d["backbone"]) + list(d["head"])
+    names = {"nc": nc}
+    for i, (f, n, m, args) in enumerate(rows):
+        m = m.replace("nn.", "")  # nn.Upsample -> Upsample
+        args = [_literal(a, names) for a in args]
+        n_rep = max(round(n * depth), 1) if n > 1 else n
+
+        fl = [f] if isinstance(f, int) else list(f)
+        c1 = channels[fl[0]] if fl[0] != -1 else channels[-1]
+        in_stride = strides[fl[0]] if fl[0] != -1 else strides[-1]
+        out_stride = in_stride
+
+        if m in _CONVLIKE:
+            c2 = args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c2, *args[1:]]
+            if m in _REPEAT:
+                args.insert(1, n_rep)  # (c2, n, ...)
+                n_rep = 1
+            if m in ("C3k2", "C3k2_gai"):
+                legacy = False
+                if scale in "mlx" and len(args) >= 3:
+                    args[2] = True  # c3k=True for m/l/x (tasks.py:1047-1050)
+            s = 1
+            if m in ("Conv", "DWConv", "Pinwheel_shapedConv") and len(args) >= 3:
+                s = args[2]
+            elif m == "SCDown" and len(args) >= 3:
+                s = args[2]
+            elif m == "Focus":
+                s = 2
+            out_stride = in_stride * s
+        elif m == "MSCAAttention":
+            c2 = c1
+            args = [c1, *args]
+        elif m == "ELA":
+            # reference tasks.py:1066: constructed with c1; output channels = c1
+            c2 = c1
+            args = [c1]
+        elif m == "Upsample":
+            c2 = c1
+            sf = args[1] if len(args) > 1 else 2
+            out_stride = in_stride // int(sf)
+        elif m == "Concat":
+            c2 = sum(channels[x] if x != -1 else channels[-1] for x in fl)
+            out_stride = strides[fl[0]] if fl[0] != -1 else strides[-1]
+        elif m == "BatchNorm2d":
+            c2 = c1
+        elif m in _HEADS:
+            in_ch = tuple(channels[x] for x in fl)
+            args = [*args, in_ch]
+            c2 = 0  # heads have no single channel count
+            if m == "Segment" and isinstance(args[2], int):
+                # args = [nc, nm, npr, in_ch]; npr gets width-scaled (tasks.py:1084)
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
+            args.append(legacy)
+            out_stride = 0
+        elif m == "Index":
+            c2 = channels[fl[-1]]
+        else:
+            raise NotImplementedError(
+                f"module '{m}' (layer {i}) is not supported by the TPU graph parser yet"
+            )
+
+        layers.append(
+            LayerSpec(
+                i=i,
+                f=tuple(fl),
+                n=n_rep,
+                module=m,
+                args=tuple(_freeze(a) for a in args),
+                c1=c1,
+                c2=c2,
+                stride=out_stride,
+            )
+        )
+        save.update(x % i for x in fl if x != -1)
+        if i == 0:
+            channels = []
+            strides = []
+        channels.append(c2)
+        strides.append(out_stride)
+
+    names_map = d.get("names") or {}
+    class_names = tuple(names_map[k] for k in sorted(names_map)) if names_map else tuple(
+        str(j) for j in range(nc)
+    )
+    return ModelSpec(
+        layers=tuple(layers),
+        save=tuple(sorted(save)),
+        nc=nc,
+        scale=scale,
+        task=task,
+        yaml_name=str(d.get("yaml_file", "")),
+        kpt_shape=kpt_shape,
+        names=class_names,
+    )
+
+
+def _freeze(a: Any) -> Any:
+    if isinstance(a, list):
+        return tuple(_freeze(x) for x in a)
+    return a

@@ -1,0 +1,152 @@
+"""torch -> JAX weight conversion.
+
+Converts a PyTorch state_dict from the reference model family (ultralytics
+YOLO11 / BS-YOLO ``.pt`` checkpoints, reference nn/tasks.py:914
+attempt_load_one_weight) into this framework's flax variables, by translating
+parameter paths and transposing tensors into NHWC/HWIO conventions.
+
+Path translation: flax modules are named so each path component maps 1:1 onto
+a torch dotted component — ``m{i}`` -> ``model.{i}``, ``m_{j}`` -> ``m.{j}``,
+``cv2_{i}_{j}`` -> ``cv2.{i}.{j}`` — with a few explicit exceptions (DWConvBN's
+``dw`` wrapper level is dropped; MSCA SE convs map to ``SEn.conv.0``; ELA's
+channel conv maps into its ``ch_att`` Sequential).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _translate_component(comp: str) -> Tuple[str, ...]:
+    """Translate one flax path component to zero or more torch components."""
+    if comp == "dw":  # DWConvBN wrapper level — not present in torch
+        return ()
+    m = re.match(r"^m(\d+)$", comp)
+    if m:
+        return ("model", m.group(1))
+    m = re.match(r"^SE(\d)$", comp)
+    if m:
+        return (f"SE{m.group(1)}", "conv", "0")
+    if comp == "ch_conv":
+        return ("ch_att", "2")
+    # generic: split trailing _<int> groups off alphabetic prefixes (m_0 -> m.0,
+    # cv2_1_2 -> cv2.1.2, ffn_0 -> ffn.0) but keep digit-embedded names like
+    # conv0_1 (MSCA strip convs) intact
+    m = re.match(r"^([a-zA-Z]+\d*)((?:_\d+)+)$", comp)
+    if m and not re.match(r"^conv\d$", m.group(1)):
+        return (m.group(1), *m.group(2).strip("_").split("_"))
+    return (comp,)
+
+
+_LEAF_MAP = {
+    # flax leaf -> torch leaf per collection
+    ("params", "kernel"): "weight",
+    ("params", "scale"): "weight",
+    ("params", "bias"): "bias",
+    ("batch_stats", "mean"): "running_mean",
+    ("batch_stats", "var"): "running_var",
+}
+
+
+def flax_path_to_torch_key(collection: str, path: Tuple[str, ...]) -> str:
+    *parents, leaf = path
+    comps = []
+    for c in parents:
+        comps.extend(_translate_component(c))
+    tleaf = _LEAF_MAP.get((collection, leaf), leaf)
+    if leaf in ("ch_weight", "sp_weight", "res_weight"):
+        return ".".join(comps + [leaf])
+    return ".".join(comps + [tleaf])
+
+
+def _to_flax_tensor(torch_arr: np.ndarray, target_shape: Tuple[int, ...], path) -> np.ndarray:
+    """Transpose a torch tensor into the flax layout expected at ``path``."""
+    a = np.asarray(torch_arr)
+    leaf = path[-1]
+    if leaf == "kernel":
+        if a.ndim == 4:
+            if "upsample" in path:  # ConvTranspose2d: (I, O, kh, kw) -> (kh, kw, O, I)? see below
+                # torch ConvTranspose2d weight: (in, out/groups, kH, kW)
+                # flax ConvTranspose kernel: (kH, kW, in, out)
+                cand = a.transpose(2, 3, 0, 1)
+            else:
+                # torch Conv2d weight: (out, in/groups, kH, kW)
+                # flax Conv kernel: (kH, kW, in/groups, out)
+                cand = a.transpose(2, 3, 1, 0)
+        elif a.ndim == 3:
+            # torch Conv1d (out, in/groups, k) -> flax (k, in/groups, out)
+            cand = a.transpose(2, 1, 0)
+        elif a.ndim == 2:
+            cand = a.T  # Dense
+        else:
+            cand = a
+        if cand.shape != tuple(target_shape):
+            raise ValueError(f"{path}: converted shape {cand.shape} != expected {tuple(target_shape)}")
+        return cand
+    if tuple(a.shape) != tuple(target_shape):
+        a = a.reshape(target_shape)
+    return a
+
+
+def convert_state_dict(state_dict: Dict[str, np.ndarray], variables, strict: bool = True):
+    """Fill flax ``variables`` ({'params','batch_stats'}) from a torch state_dict.
+
+    Returns (new_variables, report) where report lists unmatched keys.
+    """
+    import jax
+    from flax.core import unfreeze
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    used = set()
+    out = {}
+    missing = []
+    var_dict = unfreeze(variables) if hasattr(variables, "items") else variables
+    for collection, tree in var_dict.items():
+        flat = flatten_dict(tree)
+        new_flat = {}
+        for path, val in flat.items():
+            key = flax_path_to_torch_key(collection, tuple(path))
+            if key in sd:
+                new_flat[path] = _to_flax_tensor(sd[key], val.shape, path).astype(np.asarray(val).dtype)
+                used.add(key)
+            else:
+                missing.append(f"{collection}:{'/'.join(path)} -> {key}")
+                new_flat[path] = val
+        out[collection] = unflatten_dict(new_flat)
+    unused = [
+        k
+        for k in sd
+        if k not in used
+        and not k.endswith("num_batches_tracked")
+        and "dfl" not in k  # DFL projection is a pure function here
+        and "anchors" not in k
+        and "strides" not in k
+    ]
+    report = {"missing": missing, "unused": unused}
+    if strict and (missing or unused):
+        raise ValueError(f"weight conversion mismatch: {report}")
+    return jax.tree_util.tree_map(lambda x: x, out), report
+
+
+def load_torch_checkpoint(path: str):
+    """Load a reference ``.pt`` checkpoint into a numpy state_dict.
+
+    Mirrors reference torch_safe_load (nn/tasks.py:797): checkpoints store
+    {'model': nn.Module (EMA)} — we pull its state_dict. Requires torch.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model = ckpt.get("ema") or ckpt.get("model") if isinstance(ckpt, dict) else ckpt
+    if hasattr(model, "state_dict"):
+        sd = model.state_dict()
+    else:
+        sd = model
+    meta = {}
+    if isinstance(ckpt, dict):
+        meta = {k: ckpt.get(k) for k in ("train_args", "epoch", "date", "version") if k in ckpt}
+    return {k: v.detach().float().cpu().numpy() for k, v in sd.items()}, meta

@@ -1,0 +1,160 @@
+"""Torch-side golden model builder for parity tests.
+
+AST-extracts the actual reference block implementations (Conv, C3k2_gai,
+PMSFA, SCDown, MSCAAttention, ELA, SPPF, C2PSA, Detect, ...) from
+/root/reference and assembles them into the same graph that our parser
+produced — giving a runnable PyTorch oracle for parameter-count and forward
+numerics parity without importing the (un-importable) reference package.
+"""
+
+from __future__ import annotations
+
+import ast
+import functools
+import math
+from pathlib import Path
+
+import torch
+import torch.nn as nn
+
+REF = Path("/root/reference/ultralytics")
+
+
+@functools.lru_cache(maxsize=None)
+def _ns():
+    """One shared namespace with every reference class we need."""
+    import numpy as np
+    import torch.nn.functional as F
+
+    ns = {
+        "torch": torch,
+        "nn": nn,
+        "F": F,
+        "np": np,
+        "math": math,
+        "copy": __import__("copy"),
+        "__name__": "ref_torch_model",
+    }
+
+    def pull(relpath: str, names):
+        src = (REF / relpath).read_text()
+        tree = ast.parse(src)
+        pending = [
+            node
+            for node in tree.body
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)) and node.name in names
+        ]
+        missing = set(names) - {n.name for n in pending}
+        if missing:
+            raise KeyError(f"{relpath}: {missing}")
+        # classes may appear before their base classes in file order (the fork
+        # inserted _gai classes mid-file); retry until the set settles
+        while pending:
+            progress = False
+            errors = []
+            for node in list(pending):
+                try:
+                    mod = ast.Module(body=[node], type_ignores=[])
+                    exec(compile(mod, f"{relpath}:{node.name}", "exec"), ns)
+                    pending.remove(node)
+                    progress = True
+                except NameError as e:
+                    errors.append((node.name, e))
+            if not progress:
+                raise NameError(f"{relpath}: unresolved {errors}")
+
+    pull("utils/tal.py", ["make_anchors", "dist2bbox", "dist2rbox"])
+    ns["TORCH_1_10"] = True
+    pull("nn/modules/conv.py", ["autopad", "Conv", "DWConv", "Concat", "Pinwheel_shapedConv"])
+    pull(
+        "nn/modules/block.py",
+        [
+            "DFL",
+            "Bottleneck",
+            "C2f",
+            "C3",
+            "C3k",
+            "C3k2",
+            "SPPF",
+            "Attention",
+            "PSABlock",
+            "PSA",
+            "C2PSA",
+            "SCDown",
+            "PMSFA",
+            "Bottleneck_gai",
+            "C3k_gai",
+            "C3k2_gai",
+            "Proto",
+        ],
+    )
+    pull("nn/Addmodules/MSCA.py", ["oneConv", "MSCAAttention"])
+    pull("nn/Addmodules/ELA.py", ["ELA"])
+    pull("nn/modules/head.py", ["Detect"])
+    return ns
+
+
+class RefGraph(nn.Module):
+    """Torch graph walker equivalent to reference BaseModel._predict_once."""
+
+    def __init__(self, spec, img_size=640):
+        super().__init__()
+        ns = _ns()
+        self.spec = spec
+        layers = []
+        for L in spec.layers:
+            m, a = L.module, list(L.args)
+            if m in ("Conv", "DWConv", "SCDown", "SPPF", "C2PSA", "PSA", "C2f", "C3",
+                     "C3k2", "C3k2_gai", "Bottleneck", "Pinwheel_shapedConv"):
+                mod = ns[m](L.c1, *a)
+            elif m == "MSCAAttention":
+                mod = ns[m](a[0])
+            elif m == "ELA":
+                mod = ns[m](a[0])
+            elif m == "Upsample":
+                mod = nn.Upsample(None, a[1], a[2])
+            elif m == "Concat":
+                mod = ns["Concat"](1)
+            elif m == "Detect":
+                nc, ch, legacy = a[0], a[1], a[2]
+                ns["Detect"].legacy = legacy
+                mod = ns["Detect"](nc, list(ch))
+                mod.stride = torch.tensor([float(s) for s in spec.head_strides])
+            else:
+                raise NotImplementedError(m)
+            mod.i, mod.f = L.i, list(L.f)
+            layers.append(mod)
+        self.model = nn.Sequential(*layers)
+        self.save = list(spec.save)
+        # reference DetectionModel.__init__ runs bias_init after stride calc
+        head = self.model[-1]
+        if hasattr(head, "bias_init"):
+            head.bias_init()
+        self.eval()
+
+    def forward(self, x):
+        y = {}
+        out = x
+        for mod in self.model:
+            f = mod.f
+            if len(f) == 1 and f[0] == -1:
+                inp = out
+            elif isinstance(mod, _ns()["Concat"]) or mod.__class__.__name__ == "Concat":
+                inp = [y[j] if j != -1 else out for j in f]
+            else:  # Detect
+                inp = [y[j] if j != -1 else out for j in f]
+            out = mod(inp)
+            if mod.i in self.save:
+                y[mod.i] = out
+        return out
+
+    def num_params(self):
+        return sum(p.numel() for p in self.parameters())
+
+
+def build_ref_model(yaml_path, scale="n", img_size=640):
+    from bsyolo_tpu.nn.parser import load_model_yaml, parse_model_yaml
+
+    d = load_model_yaml(yaml_path)
+    spec = parse_model_yaml(d, scale=scale or d.get("scale", ""))
+    return RefGraph(spec, img_size), spec

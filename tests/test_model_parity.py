@@ -1,0 +1,100 @@
+"""End-to-end model parity: JAX graph vs the reference torch blocks.
+
+Builds the BS-YOLO yolo11n graph in both frameworks, converts the torch
+weights to flax via the converter, and compares raw head maps and decoded
+predictions. This is the M1 correctness gate (SURVEY.md section 7 milestone).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+
+YAML = "bsyolo_tpu/cfg/models/11/yolo11.yaml"
+
+
+@pytest.fixture(scope="module")
+def pair():
+    import torch
+
+    from ref_torch_model import build_ref_model
+    from bsyolo_tpu.nn.model import build_model
+    from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+    from bsyolo_tpu.nn.model import make_forward
+
+    torch.manual_seed(0)
+    ref, spec = build_ref_model(YAML, scale="n")
+    ref.eval()
+    model, variables = build_model(spec, img_size=128)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables, report = convert_state_dict(sd, variables, strict=True)
+    fwd = make_forward(model)
+    return ref, spec, model, variables, fwd
+
+
+class TestParamCount:
+    def test_param_count_matches_reference(self, pair):
+        ref, spec, model, variables, fwd = pair
+        from bsyolo_tpu.nn.model import count_params
+
+        ref_n = ref.num_params()
+        got_n = count_params(variables["params"])
+        # reference includes the 16-entry fixed (non-learnable) DFL projection
+        assert got_n == ref_n - 16
+
+
+class TestForwardParity:
+    def test_raw_head_maps_match(self, pair, rng):
+        import torch
+
+        ref, spec, model, variables, fwd = pair
+        x = rng.uniform(0, 1, size=(1, 128, 128, 3)).astype(np.float32)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            y_ref, feats_ref = ref(xt)  # eval mode: (decoded, raw list)
+        feats = fwd(variables, jnp.asarray(x))
+        assert len(feats) == len(feats_ref)
+        for f_jax, f_t in zip(feats, feats_ref):
+            got = np.asarray(f_jax).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(got, f_t.numpy(), rtol=1e-4, atol=2e-4)
+
+    def test_decoded_predictions_match(self, pair, rng):
+        import torch
+
+        ref, spec, model, variables, fwd = pair
+        from bsyolo_tpu.nn.heads import decode_detections
+
+        x = rng.uniform(0, 1, size=(1, 128, 128, 3)).astype(np.float32)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            y_ref, _ = ref(xt)  # (B, 4+nc, A)
+        feats = fwd(variables, jnp.asarray(x))
+        decoded = decode_detections(feats, spec.head_strides, spec.nc)  # (B, A, 4+nc)
+        got = np.asarray(decoded).transpose(0, 2, 1)
+        np.testing.assert_allclose(got, y_ref.numpy(), rtol=1e-4, atol=2e-4)
+
+
+class TestGradients:
+    def test_loss_gradient_flows(self, pair):
+        ref, spec, model, variables, fwd = pair
+
+        def loss_fn(params):
+            feats = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                jnp.ones((1, 128, 128, 3)),
+                train=False,
+            )
+            return sum(jnp.sum(f**2) for f in feats)
+
+        g = jax.jit(jax.grad(loss_fn))(variables["params"])
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+        total = sum(float(jnp.sum(jnp.abs(x))) for x in flat)
+        assert total > 0
