@@ -1,0 +1,117 @@
+"""Task-aligned assigner, static-shape formulation.
+
+Reference: ultralytics/utils/tal.py:51-335 (TaskAlignedAssigner). The
+reference leans on boolean fancy indexing and data-dependent shapes; this
+version is a dense masked computation over (batch, max_gt, anchors) so the
+whole assignment jits into one fused XLA program (it also runs under
+`stop_gradient` semantics by construction — callers pass detached inputs).
+
+Deviation noted for the record: the reference scatter-adds top-k indices even
+for invalid (padded) ground-truth rows after zero-filling their indices, then
+wipes count>1 anchors; since top-k indices within a valid row are distinct and
+invalid rows are masked out downstream anyway, we scatter `1 * row_valid`
+directly — same result, no index-0 pollution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bsyolo_tpu.ops.boxes import bbox_iou
+
+Array = jax.Array
+
+
+class AssignResult(NamedTuple):
+    target_labels: Array  # (b, A) int32
+    target_bboxes: Array  # (b, A, 4) xyxy (same units as inputs)
+    target_scores: Array  # (b, A, nc) float
+    fg_mask: Array  # (b, A) bool
+    target_gt_idx: Array  # (b, A) int32
+
+
+def _select_candidates_in_gts(anc_points: Array, gt_bboxes: Array, eps: float = 1e-9) -> Array:
+    """(A, 2) anchors inside (b, M, 4) xyxy boxes -> (b, M, A) bool (tal.py:280)."""
+    lt = anc_points[None, None, :, :] - gt_bboxes[:, :, None, :2]
+    rb = gt_bboxes[:, :, None, 2:] - anc_points[None, None, :, :]
+    deltas = jnp.concatenate([lt, rb], axis=-1)  # (b, M, A, 4)
+    return jnp.min(deltas, axis=-1) > eps
+
+
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+def task_aligned_assign(
+    pd_scores: Array,  # (b, A, nc) sigmoided
+    pd_bboxes: Array,  # (b, A, 4) xyxy
+    anc_points: Array,  # (A, 2)
+    gt_labels: Array,  # (b, M) int
+    gt_bboxes: Array,  # (b, M, 4) xyxy
+    mask_gt: Array,  # (b, M) bool/float
+    topk: int = 10,
+    num_classes: int = 80,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+) -> AssignResult:
+    """Static-shape task-aligned assignment (reference tal.py:77-167)."""
+    b, A, nc = pd_scores.shape
+    M = gt_bboxes.shape[1]
+    mask_gt = mask_gt.astype(jnp.bool_)
+
+    mask_in_gts = _select_candidates_in_gts(anc_points, gt_bboxes)  # (b, M, A)
+    mask_valid = mask_in_gts & mask_gt[:, :, None]
+
+    # alignment metric: score[gt_label]^alpha * CIoU^beta (tal.py:169-194)
+    labels = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)
+    bbox_scores = jnp.take_along_axis(
+        pd_scores[:, None, :, :],  # (b, 1, A, nc)
+        labels[:, :, None, None],  # (b, M, 1, 1)
+        axis=-1,
+    )[..., 0]  # (b, M, A)
+    bbox_scores = jnp.where(mask_valid, bbox_scores, 0.0)
+
+    overlaps = bbox_iou(
+        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True
+    )[..., 0]
+    overlaps = jnp.where(mask_valid, jnp.clip(overlaps, 0.0), 0.0)
+
+    align_metric = bbox_scores**alpha * overlaps**beta
+
+    # top-k candidates per gt (tal.py:195-230)
+    k = min(topk, A)
+    topk_vals, topk_idxs = jax.lax.top_k(align_metric, k)  # (b, M, k)
+    row_valid = mask_gt[:, :, None]  # (b, M, 1)
+    ones = jnp.broadcast_to(row_valid, topk_idxs.shape).astype(jnp.int8)
+    count = jnp.zeros((b, M, A), jnp.int8)
+    bidx = jnp.arange(b)[:, None, None]
+    midx = jnp.arange(M)[None, :, None]
+    count = count.at[bidx, midx, topk_idxs].add(ones)
+    mask_topk = count == 1
+    mask_pos = mask_topk & mask_valid  # (b, M, A)
+
+    # resolve anchors claimed by multiple gts: keep highest CIoU (tal.py:303-334)
+    fg_counts = jnp.sum(mask_pos.astype(jnp.int32), axis=1)  # (b, A)
+    multi = fg_counts[:, None, :] > 1  # (b, 1, A) -> broadcast over M
+    max_overlaps_idx = jnp.argmax(overlaps, axis=1)  # (b, A)
+    is_max = jax.nn.one_hot(max_overlaps_idx, M, axis=1, dtype=jnp.bool_)  # (b, M, A)
+    mask_pos = jnp.where(multi, is_max, mask_pos)
+    fg_mask = jnp.sum(mask_pos.astype(jnp.int32), axis=1) > 0  # (b, A)
+    target_gt_idx = jnp.argmax(mask_pos, axis=1).astype(jnp.int32)  # (b, A)
+
+    # gather targets (tal.py:232-278)
+    target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)  # (b, A)
+    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (b, A, 4)
+    target_scores = jax.nn.one_hot(target_labels, nc, dtype=pd_scores.dtype)
+    target_scores = target_scores * fg_mask[..., None]
+
+    # normalize by per-gt max alignment (tal.py:146-156)
+    align_metric = align_metric * mask_pos
+    pos_align = jnp.max(align_metric, axis=-1, keepdims=True)  # (b, M, 1)
+    pos_overlaps = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)  # (b, M, 1)
+    norm = jnp.max(align_metric * pos_overlaps / (pos_align + eps), axis=-2)  # (b, A)
+    target_scores = target_scores * norm[..., None]
+
+    return AssignResult(target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
