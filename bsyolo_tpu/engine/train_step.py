@@ -1,0 +1,176 @@
+"""The jitted training step and its carried state.
+
+TPU-first redesign of the reference hot loop (ultralytics/engine/trainer.py
+_do_train:318-430): everything the reference mutates imperatively per
+iteration — optimizer momentum, grad accumulation buffers, EMA weights, BN
+running stats, the EMA-Slide loss counters, warmup-interpolated lr/momentum —
+is explicit state threaded through one compiled XLA program. Gradient
+all-reduce happens implicitly when the batch is sharded over the mesh's
+"data" axis (replaces DDP allreduce, trainer.py:273).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax.struct import dataclass as flax_dataclass
+
+from bsyolo_tpu.engine import optim as O
+from bsyolo_tpu.losses.detect import DetectionLossConfig, LossState, detection_loss, init_loss_state
+
+Array = jax.Array
+
+
+@flax_dataclass
+class TrainState:
+    step: Array  # () int32, global iteration ni
+    params: Any
+    batch_stats: Any
+    ema_params: Any
+    ema_updates: Array  # () int32, optimizer-step count (EMA decay input)
+    slot0: Any  # SGD momentum buf | AdamW m
+    slot1: Any  # AdamW v (zeros under SGD)
+    acc_grads: Any
+    last_opt_step: Array  # () int32
+    loss_state: LossState
+
+
+class StepConfig(NamedTuple):
+    loss: DetectionLossConfig
+    optim: O.OptimConfig
+    batch_size: int  # global batch size
+    nb: int  # batches per epoch (for epoch-fraction LR schedule)
+    nw: int  # warmup iterations = max(round(warmup_epochs*nb), 100)
+    use_adamw: bool
+    weight_decay: float  # already scaled by batch*accumulate/nbs
+    max_grad_norm: float = 10.0
+
+
+def init_train_state(variables) -> TrainState:
+    params = variables["params"]
+    # every field gets its own fresh buffers: the train step donates the whole
+    # state (XLA rejects aliased donations), and donation would otherwise
+    # delete the caller's `variables` out from under it
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+    return TrainState(
+        step=jnp.int32(0),
+        params=copy(params),
+        batch_stats=copy(variables["batch_stats"]),
+        ema_params=copy(params),
+        ema_updates=jnp.int32(0),
+        slot0=zeros(),
+        slot1=zeros(),
+        acc_grads=zeros(),
+        last_opt_step=jnp.int32(-1),
+        loss_state=init_loss_state(),
+    )
+
+
+def make_train_step(model, cfg: StepConfig) -> Callable:
+    """Build the jitted (state, batch) -> (state, metrics) function.
+
+    batch: dict(img (B,H,W,3) f32 in [0,1], cls (B,M) i32,
+                bboxes (B,M,4) normalized xywh, mask (B,M) f32)
+    """
+    lf = O.lr_lambda(cfg.optim)
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        grp = O.param_groups(state.params)
+
+        def loss_fn(params):
+            feats, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["img"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, items, new_ls = detection_loss(
+                feats, batch["cls"], batch["bboxes"], batch["mask"], state.loss_state, cfg.loss
+            )
+            return total, (items, new_ls, mutated["batch_stats"])
+
+        (total, (items, new_ls, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+
+        acc = jax.tree_util.tree_map(jnp.add, state.acc_grads, grads)
+        ni = state.step
+        accumulate = O.warmup_accumulate(
+            ni.astype(jnp.float32), float(cfg.nw), cfg.optim.nbs / cfg.batch_size
+        )
+        do_update = (ni - state.last_opt_step) >= accumulate
+
+        epoch_f = ni.astype(jnp.float32) / float(cfg.nb)
+        lr_main, lr_bias, mom = O.warmup_scalars(
+            cfg.optim, ni.astype(jnp.float32), float(cfg.nw), epoch_f, lf
+        )
+
+        def apply_update(_):
+            clipped, gnorm = O.clip_by_global_norm(acc, cfg.max_grad_norm)
+            if cfg.use_adamw:
+                new_params, s0, s1 = O.adamw_update(
+                    state.params,
+                    clipped,
+                    state.slot0,
+                    state.slot1,
+                    (state.ema_updates + 1).astype(jnp.float32),
+                    grp,
+                    lr_main,
+                    lr_bias,
+                    cfg.optim.momentum,
+                    cfg.weight_decay,
+                )
+            else:
+                new_params, s0 = O.sgd_update(
+                    state.params, clipped, state.slot0, grp, lr_main, lr_bias, mom, cfg.weight_decay
+                )
+                s1 = state.slot1
+            new_updates = state.ema_updates + 1
+            new_ema = O.ema_update(state.ema_params, new_params, new_updates)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
+            return new_params, s0, s1, new_ema, new_updates, zeros, ni, gnorm
+
+        def no_update(_):
+            return (
+                state.params,
+                state.slot0,
+                state.slot1,
+                state.ema_params,
+                state.ema_updates,
+                acc,
+                state.last_opt_step,
+                jnp.float32(0),
+            )
+
+        new_params, s0, s1, ema, ema_n, new_acc, last_opt, gnorm = jax.lax.cond(
+            do_update, apply_update, no_update, None
+        )
+
+        new_state = TrainState(
+            step=ni + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            ema_params=ema,
+            ema_updates=ema_n,
+            slot0=s0,
+            slot1=s1,
+            acc_grads=new_acc,
+            last_opt_step=last_opt,
+            loss_state=new_ls,
+        )
+        metrics = {
+            "loss": total,
+            "box_loss": items[0],
+            "cls_loss": items[1],
+            "dfl_loss": items[2],
+            "lr": lr_main,
+            "grad_norm": gnorm,
+            "updated": do_update.astype(jnp.int32),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
