@@ -1,0 +1,230 @@
+"""Host-side training augmentations.
+
+NumPy/cv2 ports of the reference train pipeline (ultralytics/data/augment.py
+v8_transforms:2275): Mosaic(4) -> RandomPerspective(with LetterBox pre) ->
+RandomHSV -> RandomFlip. Augmentation is inherently ragged (variable label
+counts) and image-IO-bound, so it stays on host; the device graph starts at
+the padded, batched tensors produced by `format_labels`.
+
+All randomness flows through a numpy Generator passed explicitly — per-epoch
+determinism mirrors the reference's seeded workers (data/build.py:127-145).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from bsyolo_tpu.ops.letterbox import letterbox_image
+
+
+def random_hsv(img: np.ndarray, rng: np.random.Generator, hgain=0.015, sgain=0.7, vgain=0.4):
+    """HSV jitter via LUTs (reference augment.py:1303-1380 RandomHSV)."""
+    if hgain or sgain or vgain:
+        r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+        dtype = img.dtype
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_hue = ((x * r[0]) % 180).astype(dtype)
+        lut_sat = np.clip(x * r[1], 0, 255).astype(dtype)
+        lut_val = np.clip(x * r[2], 0, 255).astype(dtype)
+        im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+        img = cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR)
+    return img
+
+
+def random_flip(img, boxes_xyxy, rng, fliplr=0.5, flipud=0.0):
+    """Horizontal/vertical flips (reference augment.py:1383-1460)."""
+    h, w = img.shape[:2]
+    if flipud and rng.random() < flipud:
+        img = np.flipud(img)
+        y1 = boxes_xyxy[:, 1].copy()
+        boxes_xyxy[:, 1] = h - boxes_xyxy[:, 3]
+        boxes_xyxy[:, 3] = h - y1
+    if fliplr and rng.random() < fliplr:
+        img = np.fliplr(img)
+        x1 = boxes_xyxy[:, 0].copy()
+        boxes_xyxy[:, 0] = w - boxes_xyxy[:, 2]
+        boxes_xyxy[:, 2] = w - x1
+    return np.ascontiguousarray(img), boxes_xyxy
+
+
+def mosaic4(
+    images: List[np.ndarray],
+    labels: List[Tuple[np.ndarray, np.ndarray]],  # [(cls (n,), xyxy-pixel (n,4)), ...] x4
+    imgsz: int,
+    rng: np.random.Generator,
+):
+    """4-way mosaic on a 2x canvas (reference augment.py:490-620 Mosaic._mosaic4)."""
+    s = imgsz
+    border = (-s // 2, -s // 2)
+    yc = int(rng.uniform(-border[0], 2 * s + border[0]))
+    xc = int(rng.uniform(-border[1], 2 * s + border[1]))
+    img4 = np.full((s * 2, s * 2, images[0].shape[2]), 114, dtype=np.uint8)
+    out_cls, out_boxes = [], []
+    for i in range(4):
+        img = images[i]
+        h, w = img.shape[:2]
+        if i == 0:  # top left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        padw, padh = x1a - x1b, y1a - y1b
+        cls, boxes = labels[i]
+        if len(boxes):
+            b = boxes.copy()
+            b[:, [0, 2]] += padw
+            b[:, [1, 3]] += padh
+            out_cls.append(cls)
+            out_boxes.append(b)
+    cls = np.concatenate(out_cls) if out_cls else np.zeros((0,), np.float32)
+    boxes = np.concatenate(out_boxes) if out_boxes else np.zeros((0, 4), np.float32)
+    boxes = np.clip(boxes, 0, 2 * s)
+    return img4, cls, boxes, border
+
+
+def random_perspective(
+    img: np.ndarray,
+    cls: np.ndarray,
+    boxes_xyxy: np.ndarray,
+    rng: np.random.Generator,
+    degrees=0.0,
+    translate=0.1,
+    scale=0.5,
+    shear=0.0,
+    perspective=0.0,
+    border=(0, 0),
+):
+    """Affine warp + box transform + candidate filter (augment.py:952-1300)."""
+    size = (img.shape[1] + border[1] * 2, img.shape[0] + border[0] * 2)
+
+    C = np.eye(3, dtype=np.float32)
+    C[0, 2] = -img.shape[1] / 2
+    C[1, 2] = -img.shape[0] / 2
+    P = np.eye(3, dtype=np.float32)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3, dtype=np.float32)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3, dtype=np.float32)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3, dtype=np.float32)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * size[0]
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * size[1]
+    M = T @ S @ R @ P @ C
+
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img = cv2.warpPerspective(img, M, dsize=size, borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=size, borderValue=(114, 114, 114))
+
+    n = len(boxes_xyxy)
+    if n:
+        xy = np.ones((n * 4, 3), dtype=np.float32)
+        xy[:, :2] = boxes_xyxy[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, size[0])
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, size[1])
+        # candidate filter (reference box_candidates, augment.py:1280-1300)
+        w1 = boxes_xyxy[:, 2] - boxes_xyxy[:, 0]
+        h1 = boxes_xyxy[:, 3] - boxes_xyxy[:, 1]
+        w2 = new[:, 2] - new[:, 0]
+        h2 = new[:, 3] - new[:, 1]
+        ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+        keep = (w2 > 2) & (h2 > 2) & (w2 * h2 / (w1 * h1 * s * s + 1e-16) > 0.1) & (ar < 100)
+        cls, boxes_xyxy = cls[keep], new[keep]
+    return img, cls, boxes_xyxy
+
+
+def train_transform(
+    imgs: List[np.ndarray],
+    labels: List[Tuple[np.ndarray, np.ndarray]],
+    imgsz: int,
+    rng: np.random.Generator,
+    hyp: Optional[Dict] = None,
+    mosaic: bool = True,
+):
+    """Full train-time pipeline for ONE output sample from 4 source images.
+
+    Returns (img uint8 HWC, cls (n,), boxes xyxy pixels (n, 4)).
+    """
+    hyp = hyp or {}
+    if mosaic and len(imgs) >= 4:
+        img, cls, boxes, border = mosaic4(imgs[:4], labels[:4], imgsz, rng)
+    else:
+        img0 = imgs[0]
+        cls, boxes = labels[0]
+        img, r, (dw, dh) = letterbox_image(img0, (imgsz, imgsz), scaleup=True)
+        boxes = boxes * r
+        boxes[:, [0, 2]] += dw
+        boxes[:, [1, 3]] += dh
+        border = (0, 0)
+    img, cls, boxes = random_perspective(
+        img,
+        cls,
+        boxes,
+        rng,
+        degrees=hyp.get("degrees", 0.0),
+        translate=hyp.get("translate", 0.1),
+        scale=hyp.get("scale", 0.5),
+        shear=hyp.get("shear", 0.0),
+        perspective=hyp.get("perspective", 0.0),
+        border=border,
+    )
+    img = random_hsv(
+        img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
+    )
+    img, boxes = random_flip(
+        img, boxes, rng, fliplr=hyp.get("fliplr", 0.5), flipud=hyp.get("flipud", 0.0)
+    )
+    return img, cls, boxes
+
+
+def format_labels(img: np.ndarray, cls: np.ndarray, boxes_xyxy: np.ndarray, max_gt: int):
+    """Pad ragged labels into fixed (max_gt,) tensors; normalize boxes to xywh.
+
+    Replaces the reference's ragged collate (dataset.py:232 collate_fn) with
+    static shapes for XLA.
+    """
+    h, w = img.shape[:2]
+    n = min(len(cls), max_gt)
+    out_cls = np.zeros((max_gt,), np.int32)
+    out_box = np.zeros((max_gt, 4), np.float32)
+    out_mask = np.zeros((max_gt,), np.float32)
+    if n:
+        b = boxes_xyxy[:n].astype(np.float32)
+        cx = (b[:, 0] + b[:, 2]) / 2 / w
+        cy = (b[:, 1] + b[:, 3]) / 2 / h
+        bw = (b[:, 2] - b[:, 0]) / w
+        bh = (b[:, 3] - b[:, 1]) / h
+        out_box[:n] = np.stack([cx, cy, bw, bh], -1)
+        out_cls[:n] = cls[:n].astype(np.int32)
+        out_mask[:n] = 1.0
+    img_f = img.astype(np.float32) / 255.0
+    if img_f.ndim == 2:
+        img_f = img_f[..., None].repeat(3, -1)
+    return img_f[..., ::-1].copy(), out_cls, out_box, out_mask  # BGR->RGB like reference

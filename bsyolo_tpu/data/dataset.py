@@ -1,0 +1,164 @@
+"""YOLO-format dataset (maps reference ultralytics/data/{base,dataset,utils}.py).
+
+Reads the reference's on-disk layout unchanged: a dataset YAML with
+path/train/val/names (e.g. the fork's cfg/datasets/car.yaml), images under
+``images/`` with labels in sibling ``labels/*.txt`` files of
+``class cx cy w h`` normalized rows (reference data/utils.py img2label_paths).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import yaml
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
+
+
+def load_dataset_yaml(path) -> Dict:
+    """Load + resolve a dataset YAML (reference data/utils.py check_det_dataset)."""
+    path = Path(path)
+    d = yaml.safe_load(path.read_text())
+    root = Path(d.get("path", path.parent))
+    if not root.is_absolute():
+        root = (path.parent / root).resolve()
+    out = dict(d)
+    out["path"] = root
+    for split in ("train", "val", "test"):
+        if d.get(split):
+            p = Path(d[split])
+            out[split] = str(p if p.is_absolute() else root / p)
+    names = d.get("names", {})
+    if isinstance(names, list):
+        names = dict(enumerate(names))
+    out["names"] = {int(k): str(v) for k, v in names.items()}
+    out["nc"] = d.get("nc", len(out["names"]))
+    return out
+
+
+def img2label_path(img_path: str) -> str:
+    """images/xxx.jpg -> labels/xxx.txt (reference data/utils.py:45)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return sb.join(img_path.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
+
+
+class YOLODataset:
+    """Detection dataset: file listing + label parsing + augmentation hooks."""
+
+    def __init__(
+        self,
+        img_path: str,
+        imgsz: int = 640,
+        augment: bool = True,
+        hyp: Optional[Dict] = None,
+        max_gt: int = 128,
+        single_cls: bool = False,
+        fraction: float = 1.0,
+    ):
+        self.img_files = self._list_images(img_path)
+        if fraction < 1.0:
+            self.img_files = self.img_files[: max(1, round(len(self.img_files) * fraction))]
+        if not self.img_files:
+            raise FileNotFoundError(f"no images found in {img_path}")
+        self.label_files = [img2label_path(f) for f in self.img_files]
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = dict(hyp or {})
+        self.max_gt = max_gt
+        self.single_cls = single_cls
+        self.labels = [self._load_label(i) for i in range(len(self.img_files))]
+
+    @staticmethod
+    def _list_images(img_path: str) -> List[str]:
+        p = Path(img_path)
+        files: List[str] = []
+        if p.is_dir():
+            files = sorted(
+                str(f) for f in p.rglob("*") if f.suffix.lower().lstrip(".") in IMG_FORMATS
+            )
+        elif p.is_file() and p.suffix == ".txt":  # file list
+            base = p.parent
+            for line in p.read_text().splitlines():
+                line = line.strip()
+                if line:
+                    fp = Path(line)
+                    files.append(str(fp if fp.is_absolute() else base / fp))
+        elif p.is_file():
+            files = [str(p)]
+        return files
+
+    def _load_label(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (cls (n,), xywh-normalized (n, 4))."""
+        lp = self.label_files[i]
+        if not os.path.exists(lp):
+            return np.zeros((0,), np.float32), np.zeros((0, 4), np.float32)
+        rows = []
+        for line in Path(lp).read_text().splitlines():
+            parts = line.split()
+            if len(parts) >= 5:
+                rows.append([float(x) for x in parts[:5]])
+        if not rows:
+            return np.zeros((0,), np.float32), np.zeros((0, 4), np.float32)
+        arr = np.asarray(rows, np.float32)
+        cls = arr[:, 0] * (0 if self.single_cls else 1)
+        return cls, np.clip(arr[:, 1:5], 0, 1)
+
+    def __len__(self):
+        return len(self.img_files)
+
+    def load_image(self, i: int) -> np.ndarray:
+        im = cv2.imread(self.img_files[i])  # BGR
+        if im is None:
+            raise FileNotFoundError(self.img_files[i])
+        # pre-resize long side to imgsz (reference base.py load_image rect logic)
+        h0, w0 = im.shape[:2]
+        r = self.imgsz / max(h0, w0)
+        if r != 1:
+            interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
+            im = cv2.resize(im, (min(int(w0 * r), self.imgsz), min(int(h0 * r), self.imgsz)), interpolation=interp)
+        return im
+
+    def label_pixels(self, i: int, shape: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+        """(cls, xyxy in pixels of the pre-resized image)."""
+        cls, xywh = self.labels[i]
+        h, w = shape
+        if len(xywh) == 0:
+            return cls, np.zeros((0, 4), np.float32)
+        cx, cy, bw, bh = xywh[:, 0] * w, xywh[:, 1] * h, xywh[:, 2] * w, xywh[:, 3] * h
+        xyxy = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1)
+        return cls, xyxy
+
+    def get_sample(self, i: int, rng: np.random.Generator, mosaic: bool = True):
+        """One training sample: (img f32 RGB [0,1], cls, xywh-n, mask)."""
+        from bsyolo_tpu.data.augment import format_labels, train_transform
+
+        if self.augment:
+            use_mosaic = mosaic and rng.random() < self.hyp.get("mosaic", 1.0)
+            if use_mosaic:
+                idxs = [i] + list(rng.integers(0, len(self), 3))
+            else:
+                idxs = [i]
+            imgs = [self.load_image(j) for j in idxs]
+            labels = [self.label_pixels(j, imgs[k].shape[:2]) for k, j in enumerate(idxs)]
+            img, cls, boxes = train_transform(
+                imgs, labels, self.imgsz, rng, self.hyp, mosaic=use_mosaic
+            )
+        else:
+            from bsyolo_tpu.ops.letterbox import letterbox_image
+
+            im = self.load_image(i)
+            cls, boxes = self.label_pixels(i, im.shape[:2])
+            img, r, (dw, dh) = letterbox_image(im, (self.imgsz, self.imgsz), scaleup=False)
+            if len(boxes):
+                boxes = boxes * r
+                boxes[:, [0, 2]] += dw
+                boxes[:, [1, 3]] += dh
+        return format_labels(img, cls, boxes, self.max_gt)

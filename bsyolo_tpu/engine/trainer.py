@@ -1,0 +1,221 @@
+"""Detection trainer shell (maps reference engine/trainer.py BaseTrainer).
+
+The hot loop is the jitted step in train_step.py; this shell owns what the
+reference does around it: dataloaders, epoch scheduling, close_mosaic,
+validation on EMA weights, checkpointing, results.csv, early stopping.
+Data-parallelism = mesh batch sharding (no DDP relaunch, trainer.py:217-229).
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import time
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from bsyolo_tpu.cfg import get_cfg, model_yaml_path
+from bsyolo_tpu.data import DataLoader, YOLODataset, load_dataset_yaml
+from bsyolo_tpu.engine.optim import OptimConfig, resolve_auto
+from bsyolo_tpu.engine.train_step import StepConfig, TrainState, init_train_state, make_train_step
+from bsyolo_tpu.engine.validator import DetectionValidator
+from bsyolo_tpu.losses import DetectionLossConfig
+from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+from bsyolo_tpu.parallel import get_mesh, replicated_sharding, shard_batch
+from bsyolo_tpu.utils import LOGGER
+
+
+def save_checkpoint(path: Path, state: TrainState, meta: Dict):
+    """Serialize {params, ema, batch_stats, counters} + meta (reference
+    trainer.py:512-543 save_model; orbax-free msgpack via flax)."""
+    from flax import serialization
+
+    payload = {
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "batch_stats": state.batch_stats,
+        "step": state.step,
+        "ema_updates": state.ema_updates,
+    }
+    path.parent.mkdir(parents=True, exist_ok=True)
+    blob = serialization.to_bytes(payload)
+    import json
+
+    header = json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(blob)
+
+
+def load_checkpoint(path, template=None):
+    """Returns (payload, meta). With a template pytree, restores typed arrays."""
+    import json
+
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        meta = json.loads(f.read(n).decode())
+        blob = f.read()
+    if template is not None:
+        payload = serialization.from_bytes(template, blob)
+    else:
+        payload = serialization.msgpack_restore(blob)
+    return payload, meta
+
+
+class DetectionTrainer:
+    """Train a detection model from a model YAML + dataset YAML."""
+
+    def __init__(self, overrides: Optional[Dict] = None):
+        self.args = get_cfg(overrides=overrides or {})
+        self.save_dir = Path(self.args.project or "runs/detect") / (self.args.name or "train")
+        self.best_fitness = 0.0
+        self.epoch = 0
+        self.metrics = None
+
+    def setup(self):
+        args = self.args
+        data = load_dataset_yaml(args.data)
+        self.data = data
+        yaml_path = model_yaml_path(str(args.model))
+        d = load_model_yaml(yaml_path)
+        d["nc"] = data["nc"]
+        if data.get("names"):
+            d["names"] = data["names"]
+        self.spec = parse_model_yaml(d, scale=d.get("scale", ""))
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if args.amp else jnp.float32
+        self.model, variables = build_model(
+            self.spec, img_size=args.imgsz, dtype=dtype, seed=args.seed
+        )
+
+        train_ds = YOLODataset(
+            data["train"],
+            imgsz=args.imgsz,
+            augment=True,
+            hyp=vars(args),
+            max_gt=args.max_gt,
+            single_cls=args.single_cls,
+            fraction=args.fraction,
+        )
+        val_ds = YOLODataset(
+            data["val"], imgsz=args.imgsz, augment=False, max_gt=args.max_gt,
+            single_cls=args.single_cls,
+        )
+        self.train_loader = DataLoader(train_ds, args.batch, shuffle=True, seed=args.seed)
+        self.val_loader = DataLoader(val_ds, args.batch, shuffle=False, drop_last=False)
+        nb = max(len(self.train_loader), 1)
+        self.nb = nb
+
+        opt = OptimConfig(
+            name=args.optimizer,
+            lr0=args.lr0,
+            lrf=args.lrf,
+            momentum=args.momentum,
+            weight_decay=args.weight_decay,
+            warmup_epochs=args.warmup_epochs,
+            warmup_momentum=args.warmup_momentum,
+            warmup_bias_lr=args.warmup_bias_lr,
+            cos_lr=args.cos_lr,
+            epochs=args.epochs,
+            nbs=args.nbs,
+        )
+        opt = resolve_auto(opt, self.spec.nc, args.batch, nb)
+        accumulate = max(round(args.nbs / args.batch), 1)
+        wd = opt.weight_decay * args.batch * accumulate / args.nbs
+        loss_cfg = DetectionLossConfig(
+            nc=self.spec.nc,
+            strides=self.spec.head_strides,
+            box=args.box,
+            cls=args.cls,
+            dfl=args.dfl,
+            nwd_loss=args.nwdloss,
+            iou_ratio=args.iou_ratio,
+        )
+        nw = max(round(opt.warmup_epochs * nb), 100) if opt.warmup_epochs > 0 else 0
+        self.step_cfg = StepConfig(
+            loss=loss_cfg,
+            optim=opt,
+            batch_size=args.batch,
+            nb=nb,
+            nw=nw,
+            use_adamw=opt.name in ("AdamW", "Adam", "NAdam", "RAdam"),
+            weight_decay=wd,
+        )
+        self.train_step = make_train_step(self.model, self.step_cfg)
+        self.state = init_train_state(variables)
+        self.mesh = get_mesh()
+        self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+        self.validator = DetectionValidator(self.model, self.spec, names=data.get("names"))
+        self.csv_path = self.save_dir / "results.csv"
+
+    def train(self):
+        self.setup()
+        args = self.args
+        LOGGER.info(
+            f"training {args.model} on {args.data}: {args.epochs} epochs, batch {args.batch}, "
+            f"imgsz {args.imgsz}, {len(self.train_loader.dataset)} train images, "
+            f"{self.step_cfg.optim.name} lr0={self.step_cfg.optim.lr0}"
+        )
+        patience = args.patience or float("inf")
+        t_start = time.time()
+        stop_epoch = args.epochs
+        for epoch in range(args.epochs):
+            self.epoch = epoch
+            if args.close_mosaic and epoch == max(args.epochs - args.close_mosaic, 0):
+                self.train_loader.close_mosaic()
+            self.train_loader.set_epoch(epoch)
+            em = {}
+            n = 0
+            for batch in self.train_loader:
+                batch = shard_batch(batch, self.mesh)
+                self.state, m = self.train_step(self.state, batch)
+                n += 1
+                for k in ("loss", "box_loss", "cls_loss", "dfl_loss"):
+                    em[k] = em.get(k, 0.0) + float(m[k])
+            em = {k: v / max(n, 1) for k, v in em.items()}
+
+            fitness = 0.0
+            if args.val:
+                variables = {"params": self.state.ema_params, "batch_stats": self.state.batch_stats}
+                self.metrics = self.validator(variables, self.val_loader)
+                fitness = self.metrics.fitness
+            self._log_epoch(epoch, em, fitness)
+
+            if args.save:
+                meta = {"epoch": epoch, "fitness": fitness, "args": {k: str(v) for k, v in vars(args).items()}}
+                save_checkpoint(self.save_dir / "weights" / "last.ckpt", self.state, meta)
+                if fitness >= self.best_fitness:
+                    self.best_fitness = fitness
+                    save_checkpoint(self.save_dir / "weights" / "best.ckpt", self.state, meta)
+
+            if args.time and (time.time() - t_start) / 3600 > args.time:
+                stop_epoch = epoch + 1
+                break
+        LOGGER.info(f"done: {stop_epoch} epochs, best fitness {self.best_fitness:.4f}")
+        return self.metrics
+
+    def _log_epoch(self, epoch, em, fitness):
+        row = {"epoch": epoch, **{k: round(v, 5) for k, v in em.items()}, "fitness": round(fitness, 5)}
+        if self.metrics is not None:
+            for k, v in zip(self.metrics.keys, self.metrics.mean_results()):
+                row[k] = round(float(v), 5)
+        self.csv_path.parent.mkdir(parents=True, exist_ok=True)
+        write_header = not self.csv_path.exists()
+        with open(self.csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if write_header:
+                w.writeheader()
+            w.writerow(row)
+        LOGGER.info(
+            f"epoch {epoch}: loss {em.get('loss', 0):.3f} "
+            f"(box {em.get('box_loss', 0):.3f} cls {em.get('cls_loss', 0):.3f} "
+            f"dfl {em.get('dfl_loss', 0):.3f}) fitness {fitness:.4f}"
+        )

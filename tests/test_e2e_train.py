@@ -1,0 +1,122 @@
+"""End-to-end: synthetic YOLO-format dataset -> DetectionTrainer -> mAP.
+
+This is the M2 milestone gate (SURVEY.md §7): the full data pipeline
+(mosaic/affine/HSV/flip), jitted train step, EMA validation, checkpointing,
+and results.csv all exercised through the real trainer entrypoint.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def make_synthetic_dataset(root: Path, n_train=48, n_val=16, size=96, seed=3):
+    """2-class dataset: class 0 = bright square, class 1 = dark circle."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("val", n_val)):
+        img_dir = root / "images" / split
+        lbl_dir = root / "labels" / split
+        img_dir.mkdir(parents=True, exist_ok=True)
+        lbl_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = rng.integers(30, 70, (size, size, 3)).astype(np.uint8)
+            lines = []
+            for _ in range(int(rng.integers(1, 3))):
+                w = int(rng.integers(18, 34))
+                x0 = int(rng.integers(2, size - w - 2))
+                y0 = int(rng.integers(2, size - w - 2))
+                c = int(rng.integers(0, 2))
+                if c == 0:
+                    img[y0 : y0 + w, x0 : x0 + w] = [230, 220, 210]
+                else:
+                    cv2.circle(img, (x0 + w // 2, y0 + w // 2), w // 2, (10, 10, 15), -1)
+                lines.append(
+                    f"{c} {(x0 + w / 2) / size:.6f} {(y0 + w / 2) / size:.6f} {w / size:.6f} {w / size:.6f}"
+                )
+            cv2.imwrite(str(img_dir / f"{i:04d}.jpg"), img)
+            (lbl_dir / f"{i:04d}.txt").write_text("\n".join(lines))
+    yaml_path = root / "data.yaml"
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\nnc: 2\n"
+        "names:\n  0: square\n  1: circle\n"
+    )
+    return yaml_path
+
+
+@pytest.mark.slow
+def test_full_training_run(tmp_path):
+    from bsyolo_tpu.engine.trainer import DetectionTrainer, load_checkpoint
+
+    data_yaml = make_synthetic_dataset(tmp_path / "ds")
+    tiny = str(Path(__file__).parent / "fixtures" / "tiny.yaml")
+    trainer = DetectionTrainer(
+        overrides={
+            "model": tiny,
+            "data": str(data_yaml),
+            "epochs": 20,
+            "batch": 8,
+            "imgsz": 96,
+            "optimizer": "SGD",
+            "lr0": 0.02,
+            "warmup_epochs": 1.0,
+            "close_mosaic": 8,
+            "project": str(tmp_path / "runs"),
+            "name": "t",
+            "max_gt": 32,
+            "amp": False,
+            "patience": 100,
+            "nbs": 8,
+        }
+    )
+    metrics = trainer.train()
+    assert metrics is not None
+    map50 = metrics.box.map50
+    assert map50 > 0.5, f"mAP50 too low after training: {map50}"
+
+    # checkpoints + results.csv written
+    ckpt = tmp_path / "runs" / "t" / "weights" / "best.ckpt"
+    assert ckpt.exists()
+    payload, meta = load_checkpoint(ckpt)
+    assert "ema_params" in payload and meta["epoch"] >= 0
+    assert (tmp_path / "runs" / "t" / "results.csv").exists()
+
+
+def test_dataset_and_loader(tmp_path, rng):
+    from bsyolo_tpu.data import DataLoader, YOLODataset, load_dataset_yaml
+
+    data_yaml = make_synthetic_dataset(tmp_path / "ds", n_train=12, n_val=4)
+    data = load_dataset_yaml(data_yaml)
+    assert data["nc"] == 2 and data["names"][0] == "square"
+
+    ds = YOLODataset(data["train"], imgsz=64, augment=True, hyp={"mosaic": 1.0}, max_gt=16)
+    assert len(ds) == 12
+    img, cls, boxes, mask = ds.get_sample(0, rng)
+    assert img.shape == (64, 64, 3) and img.dtype == np.float32
+    assert 0 <= img.min() and img.max() <= 1.0
+    assert cls.shape == (16,) and boxes.shape == (16, 4) and mask.shape == (16,)
+    if mask.sum():
+        valid = boxes[mask > 0]
+        assert (valid >= 0).all() and (valid <= 1).all()
+
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["img"].shape == (4, 64, 64, 3)
+
+    # deterministic per epoch
+    loader.set_epoch(0)
+    a = next(iter(loader))
+    loader.set_epoch(0)
+    b = next(iter(loader))
+    np.testing.assert_array_equal(a["img"], b["img"])
+
+    # val (no augment) keeps exact letterboxed labels
+    vds = YOLODataset(data["val"], imgsz=64, augment=False, max_gt=16)
+    img, cls, boxes, mask = vds.get_sample(0, rng)
+    assert mask.sum() >= 1
