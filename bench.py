@@ -1,0 +1,94 @@
+"""Benchmark: yolo11n-BS end-to-end inference throughput on one TPU chip.
+
+Measures the full compiled predict path (forward + DFL decode + NMS) at
+640x640 in bf16.
+
+Methodology: the TPU here is reached through a relay where per-dispatch RTT
+is ~30-60 ms and `block_until_ready` does NOT reliably synchronize, so naive
+timing is meaningless. Instead we run the model N times inside ONE compiled
+`lax.scan` (iteration-dependent inputs so nothing collapses), fetch a scalar
+checksum (forces real execution), and difference two N values so dispatch RTT
+cancels:   per_iter = (t(N2) - t(N1)) / (N2 - N1).
+
+Baseline anchor (BASELINE.md): reference yolo11n at 1.5 ms on T4 TensorRT10
+batch 1 => ~667 img/s; vs_baseline = measured/667.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bsyolo_tpu.cfg import model_yaml_path
+    from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+    from bsyolo_tpu.nn.heads import decode_detections
+    from bsyolo_tpu.ops.nms import non_max_suppression
+
+    img_size = int(os.environ.get("BENCH_IMGSZ", 640))
+    scale = os.environ.get("BENCH_SCALE", "n")
+    bs = int(os.environ.get("BENCH_BATCH", 16))
+    d = load_model_yaml(model_yaml_path("yolo11.yaml"))
+    d["nc"] = 80
+    spec = parse_model_yaml(d, scale=scale)
+    model, variables = build_model(spec, img_size=img_size, dtype=jnp.bfloat16)
+
+    def predict(variables, x):
+        feats = model.apply(variables, x, train=False)
+        preds = decode_detections(feats, spec.head_strides, spec.nc)
+        return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_k=512)
+
+    @partial(jax.jit, static_argnames="n")
+    def predict_loop(variables, x, n):
+        def body(carry, i):
+            xx, acc = carry
+            out = predict(variables, xx + i * 1e-6)
+            # chain: next input depends on this output; checksum forces exec
+            return (x + out[0, 0, 0] * 1e-9, acc + jnp.sum(out)), None
+
+        (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), jnp.arange(n, dtype=jnp.float32))
+        return acc
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (bs, img_size, img_size, 3)).astype(np.float32))
+
+    n1, n2 = 2, 12
+    times = {}
+    for n in (n1, n2):
+        float(predict_loop(variables, x, n))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(predict_loop(variables, x, n))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+        print(f"# scan n={n}: {best*1000:.1f} ms", file=sys.stderr)
+
+    per_iter = (times[n2] - times[n1]) / (n2 - n1)
+    ips = bs / per_iter
+    baseline_ips = 1000.0 / 1.5  # reference yolo11n T4 TRT10 batch-1 (README.md:134)
+    print(
+        json.dumps(
+            {
+                "metric": f"yolo11{scale}-BS e2e inference throughput @{img_size} (fwd+decode+NMS, bf16, batch={bs}, scan-diff timing)",
+                "value": round(ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / baseline_ips, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

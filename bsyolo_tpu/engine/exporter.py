@@ -1,0 +1,107 @@
+"""Model export (maps reference engine/exporter.py).
+
+The reference fans out to 14 runtime formats from torch; the TPU-native
+equivalents are the XLA-ecosystem ones:
+
+- stablehlo: serialized StableHLO via jax.export — the portable artifact
+  (loadable from C++ via PjRt, the N3-N8 client analog)
+- params: raw weights checkpoint (.ckpt)
+- saved_model / tflite: via jax2tf when tensorflow is present (gated)
+
+Each export embeds the full predict path (forward + decode; NMS optional)
+with static shapes.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+from bsyolo_tpu.utils import LOGGER
+
+
+def export_model(
+    yolo,
+    format: str = "stablehlo",
+    imgsz: Optional[int] = None,
+    batch: int = 1,
+    nms: bool = False,
+    output: Optional[str] = None,
+):
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from bsyolo_tpu.nn.heads import decode_detections
+    from bsyolo_tpu.ops.nms import non_max_suppression
+
+    imgsz = imgsz or yolo._img_size
+    spec = yolo.spec
+    model = yolo.model
+    variables = yolo.variables
+
+    def predict(x):
+        feats = model.apply(variables, x, train=False)
+        preds = decode_detections(feats, spec.head_strides, spec.nc)
+        if nms:
+            return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300)
+        return preds
+
+    x_spec = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.float32)
+    name = Path(yolo.model_path).stem
+    out = Path(output or f"{name}.{format}")
+
+    if format == "stablehlo":
+        exported = jexport.export(jax.jit(predict))(x_spec)
+        blob = exported.serialize()
+        out.write_bytes(blob)
+        meta = {
+            "imgsz": imgsz,
+            "batch": batch,
+            "nc": spec.nc,
+            "names": list(spec.names),
+            "nms": nms,
+            "input": "NHWC float32 [0,1] RGB",
+            "output": "(B, anchors, 4+nc) xywh+scores" if not nms else "(B, 300, 6) xyxy conf cls",
+        }
+        Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
+        LOGGER.info(f"exported StableHLO to {out} ({len(blob)} bytes)")
+        return str(out)
+
+    if format == "params":
+        return yolo.save(str(out.with_suffix(".ckpt")))
+
+    if format in ("saved_model", "tflite"):
+        try:
+            import tensorflow as tf
+            from jax.experimental import jax2tf
+        except ImportError as e:
+            raise RuntimeError(f"format '{format}' requires tensorflow: {e}")
+        tf_fn = tf.function(
+            jax2tf.convert(predict, with_gradient=False),
+            input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3), tf.float32)],
+            autograph=False,
+        )
+        module = tf.Module()
+        module.f = tf_fn
+        if format == "saved_model":
+            tf.saved_model.save(module, str(out))
+            return str(out)
+        converter = tf.lite.TFLiteConverter.from_concrete_functions(
+            [tf_fn.get_concrete_function()], module
+        )
+        blob = converter.convert()
+        out = out.with_suffix(".tflite")
+        out.write_bytes(blob)
+        return str(out)
+
+    raise ValueError(f"unsupported export format: {format} (available: stablehlo, params, saved_model, tflite)")
+
+
+def load_stablehlo(path: str):
+    """Rehydrate an exported StableHLO artifact into a callable (client side)."""
+    from jax import export as jexport
+
+    exported = jexport.deserialize(Path(path).read_bytes())
+    return exported.call

@@ -1,0 +1,149 @@
+"""Streaming predictor (maps reference engine/predictor.py BasePredictor).
+
+Source handling (image paths, dirs, globs, numpy arrays, video files, lists)
+-> letterbox -> batched jitted forward+decode+NMS -> boxes scaled back to
+original frames -> Results stream. The compiled graph is cached per
+(batch, imgsz) so video streaming hits a single XLA program per shape.
+"""
+
+from __future__ import annotations
+
+import glob
+import time
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsyolo_tpu.engine.results import Results
+from bsyolo_tpu.nn.heads import decode_detections
+from bsyolo_tpu.ops.letterbox import letterbox_image
+from bsyolo_tpu.ops.nms import non_max_suppression
+from bsyolo_tpu.ops.boxes import scale_boxes
+from bsyolo_tpu.utils import LOGGER
+
+IMG_SUFFIXES = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp"}
+VID_SUFFIXES = {".mp4", ".avi", ".mov", ".mkv", ".m4v", ".mpg", ".mpeg", ".wmv", ".webm"}
+
+
+def iter_source(source, vid_stride: int = 1) -> Iterator[tuple]:
+    """Yield (frame BGR ndarray, path, is_video_frame)."""
+    import cv2
+
+    if isinstance(source, np.ndarray):
+        yield source, "array", False
+        return
+    if isinstance(source, (list, tuple)):
+        for s in source:
+            yield from iter_source(s, vid_stride)
+        return
+    p = Path(str(source))
+    if p.is_dir():
+        for f in sorted(p.rglob("*")):
+            if f.suffix.lower() in IMG_SUFFIXES:
+                im = cv2.imread(str(f))
+                if im is not None:
+                    yield im, str(f), False
+        return
+    if "*" in str(source):
+        for f in sorted(glob.glob(str(source), recursive=True)):
+            im = cv2.imread(f)
+            if im is not None:
+                yield im, f, False
+        return
+    if p.suffix.lower() in VID_SUFFIXES or str(source).startswith(("rtsp://", "http://", "https://")):
+        cap = cv2.VideoCapture(str(source))
+        n = 0
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if n % vid_stride == 0:
+                    yield frame, f"{source}#frame{n}", True
+                n += 1
+        finally:
+            cap.release()
+        return
+    im = cv2.imread(str(source))
+    if im is None:
+        raise FileNotFoundError(f"cannot read source: {source}")
+    yield im, str(source), False
+
+
+class DetectionPredictor:
+    def __init__(
+        self,
+        model,
+        spec,
+        variables,
+        conf: float = 0.25,
+        iou: float = 0.7,
+        max_det: int = 300,
+        imgsz: int = 640,
+        classes: Optional[List[int]] = None,
+        agnostic_nms: bool = False,
+        names: Optional[Dict[int, str]] = None,
+    ):
+        self.model = model
+        self.spec = spec
+        self.variables = variables
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        self.imgsz = imgsz
+        self.classes = classes
+        self.names = names or {i: n for i, n in enumerate(spec.names)}
+        nc = spec.nc
+        strides = spec.head_strides
+
+        def forward(variables, x):
+            feats = model.apply(variables, x, train=False)
+            preds = decode_detections(feats, strides, nc)
+            return non_max_suppression(
+                preds,
+                conf_thres=conf,
+                iou_thres=iou,
+                max_det=max_det,
+                nc=nc,
+                agnostic=agnostic_nms,
+            )
+
+        self._forward = jax.jit(forward)
+
+    def stream(self, source, vid_stride: int = 1, verbose: bool = False) -> Iterator[Results]:
+        """Per-frame streaming inference (reference stream_inference:220)."""
+        for frame, path, _ in iter_source(source, vid_stride):
+            t0 = time.perf_counter()
+            lb, r, (dw, dh) = letterbox_image(frame, (self.imgsz, self.imgsz))
+            x = jnp.asarray(lb[None, ..., ::-1].astype(np.float32) / 255.0)
+            t1 = time.perf_counter()
+            dets = np.asarray(self._forward(self.variables, x))[0]
+            t2 = time.perf_counter()
+            res = self._to_results(dets, frame, path)
+            res.speed = {
+                "preprocess": (t1 - t0) * 1000,
+                "inference": (t2 - t1) * 1000,
+                "postprocess": (time.perf_counter() - t2) * 1000,
+            }
+            if verbose:
+                LOGGER.info(f"{path}: {res.verbose_line} ({res.speed['inference']:.1f} ms)")
+            yield res
+
+    def _to_results(self, dets: np.ndarray, frame: np.ndarray, path: str) -> Results:
+        d = dets[dets[:, 4] > 0]
+        if self.classes is not None and len(d):
+            d = d[np.isin(d[:, 5].astype(int), self.classes)]
+        if len(d):
+            boxes = np.asarray(
+                scale_boxes((self.imgsz, self.imgsz), jnp.asarray(d[:, :4]), frame.shape[:2])
+            )
+            d = np.concatenate([boxes, d[:, 4:6]], -1)
+        else:
+            d = np.zeros((0, 6), np.float32)
+        return Results(frame, path, self.names, boxes=d)
+
+    def __call__(self, source, **kwargs) -> List[Results]:
+        return list(self.stream(source, **kwargs))

@@ -1,0 +1,230 @@
+"""Results API (maps reference ultralytics/engine/results.py).
+
+Containers returned by predict/track: ``Results`` with ``Boxes`` (and later
+``Masks``/``Keypoints``/``Probs``/``OBB``), plotting, and save/json helpers.
+Data lives in host numpy — by the time results exist, the device work is done.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class Boxes:
+    """Detection boxes (reference results.py:939). data: (n, 6|7) columns
+    x1, y1, x2, y2, [track_id], conf, cls."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        if data.ndim == 1:
+            data = data[None]
+        self.data = data
+        self.orig_shape = orig_shape
+        self.is_track = data.shape[-1] == 7
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        return Boxes(self.data[idx], self.orig_shape)
+
+    @property
+    def xyxy(self):
+        return self.data[:, :4]
+
+    @property
+    def conf(self):
+        return self.data[:, -2]
+
+    @property
+    def cls(self):
+        return self.data[:, -1]
+
+    @property
+    def id(self):
+        return self.data[:, -3] if self.is_track else None
+
+    @property
+    def xywh(self):
+        b = self.data[:, :4]
+        return np.stack(
+            [(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2, b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]],
+            -1,
+        )
+
+    @property
+    def xyxyn(self):
+        h, w = self.orig_shape
+        return self.xyxy / np.asarray([w, h, w, h], np.float32)
+
+    @property
+    def xywhn(self):
+        h, w = self.orig_shape
+        return self.xywh / np.asarray([w, h, w, h], np.float32)
+
+
+class Masks:
+    """Segmentation masks (reference results.py:1157). data: (n, H, W) binary."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = data
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        """Mask contours in pixel coords (needs cv2)."""
+        import cv2
+
+        out = []
+        for m in self.data:
+            cs, _ = cv2.findContours((m > 0.5).astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+            out.append(max(cs, key=cv2.contourArea).reshape(-1, 2).astype(np.float32) if cs else np.zeros((0, 2), np.float32))
+        return out
+
+
+class Probs:
+    """Classification probabilities (reference results.py:1379)."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = data
+
+    @property
+    def top1(self):
+        return int(np.argmax(self.data))
+
+    @property
+    def top5(self):
+        return np.argsort(-self.data)[:5].tolist()
+
+    @property
+    def top1conf(self):
+        return float(self.data[self.top1])
+
+    @property
+    def top5conf(self):
+        return self.data[self.top5]
+
+
+class Results:
+    """Single-image inference result (reference results.py:187)."""
+
+    def __init__(
+        self,
+        orig_img: np.ndarray,
+        path: str,
+        names: Dict[int, str],
+        boxes: Optional[np.ndarray] = None,
+        masks: Optional[np.ndarray] = None,
+        probs: Optional[np.ndarray] = None,
+        speed: Optional[Dict[str, float]] = None,
+    ):
+        self.orig_img = orig_img
+        self.orig_shape = orig_img.shape[:2]
+        self.path = path
+        self.names = names
+        self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.probs = Probs(probs) if probs is not None else None
+        self.speed = speed or {}
+
+    def __len__(self):
+        return len(self.boxes) if self.boxes is not None else 0
+
+    def __getitem__(self, idx):
+        return Results(
+            self.orig_img,
+            self.path,
+            self.names,
+            boxes=self.boxes.data[idx] if self.boxes is not None else None,
+        )
+
+    def new(self, boxes: Optional[np.ndarray] = None):
+        return Results(self.orig_img, self.path, self.names, boxes=boxes)
+
+    def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5) -> np.ndarray:
+        """Draw boxes/labels on a copy of the original image (BGR)."""
+        import cv2
+
+        img = self.orig_img.copy()
+        lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
+        if self.boxes is not None:
+            for row in self.boxes.data:
+                x1, y1, x2, y2 = row[:4].astype(int)
+                conf, cls = row[-2], int(row[-1])
+                color = _class_color(cls)
+                cv2.rectangle(img, (x1, y1), (x2, y2), color, lw)
+                tid = f"id:{int(row[4])} " if self.boxes.is_track else ""
+                label = f"{tid}{self.names.get(cls, cls)} {conf:.2f}"
+                cv2.putText(
+                    img, label, (x1, max(y1 - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, max(lw - 1, 1)
+                )
+        return img
+
+    def save(self, filename: str):
+        import cv2
+
+        Path(filename).parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(filename), self.plot())
+        return filename
+
+    def to_json(self) -> str:
+        rows = []
+        if self.boxes is not None:
+            for row in self.boxes.data:
+                cls = int(row[-1])
+                rec = {
+                    "name": self.names.get(cls, str(cls)),
+                    "class": cls,
+                    "confidence": round(float(row[-2]), 5),
+                    "box": {
+                        "x1": round(float(row[0]), 2),
+                        "y1": round(float(row[1]), 2),
+                        "x2": round(float(row[2]), 2),
+                        "y2": round(float(row[3]), 2),
+                    },
+                }
+                if self.boxes.is_track:
+                    rec["track_id"] = int(row[4])
+                rows.append(rec)
+        return json.dumps(rows, indent=2)
+
+    def save_txt(self, txt_file: str, save_conf: bool = False):
+        """YOLO-format txt (reference results.py:716)."""
+        h, w = self.orig_shape
+        lines = []
+        if self.boxes is not None:
+            for row, xywhn in zip(self.boxes.data, self.boxes.xywhn):
+                cls, conf = int(row[-1]), float(row[-2])
+                parts = [str(cls), *(f"{v:.6f}" for v in xywhn)]
+                if save_conf:
+                    parts.append(f"{conf:.6f}")
+                lines.append(" ".join(parts))
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
+        return txt_file
+
+    @property
+    def verbose_line(self) -> str:
+        if not len(self):
+            return "(no detections)"
+        counts: Dict[str, int] = {}
+        for c in self.boxes.cls.astype(int):
+            name = self.names.get(int(c), str(c))
+            counts[name] = counts.get(name, 0) + 1
+        return ", ".join(f"{v} {k}{'s' if v > 1 else ''}" for k, v in counts.items())
+
+
+def _class_color(cls: int):
+    palette = [
+        (56, 56, 255), (151, 157, 255), (31, 112, 255), (29, 178, 255), (49, 210, 207),
+        (10, 249, 72), (23, 204, 146), (134, 219, 61), (52, 147, 26), (187, 212, 0),
+        (168, 153, 44), (255, 194, 0), (147, 69, 52), (255, 115, 100), (236, 24, 0),
+        (255, 56, 132), (133, 0, 82), (255, 56, 203), (200, 149, 255), (199, 55, 255),
+    ]
+    return palette[cls % len(palette)]

@@ -1,0 +1,196 @@
+"""The YOLO model facade (maps reference engine/model.py Model + models/yolo/model.py).
+
+Task-agnostic user entrypoint:
+
+    from bsyolo_tpu import YOLO
+    m = YOLO("yolo11n.yaml")          # build from graph config
+    m = YOLO("runs/.../best.ckpt")     # load a trained checkpoint
+    m = YOLO("yolo11n.yaml").load("yolo11n.pt")  # import reference weights
+    m.train(data="car.yaml", epochs=200)
+    m.val(data="car.yaml")
+    m.predict("image.jpg", save=True)
+    m.track("video.mp4")
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+from bsyolo_tpu.cfg import get_cfg, model_yaml_path
+from bsyolo_tpu.utils import LOGGER
+
+
+class YOLO:
+    def __init__(self, model: Union[str, Path] = "yolo11n.yaml", task: Optional[str] = None):
+        self.model_path = str(model)
+        self.task = task or "detect"
+        self.overrides: Dict[str, Any] = {}
+        self.spec = None
+        self.model = None
+        self.variables = None
+        self.metrics = None
+        self._predictor = None
+        self._img_size = 640
+        if self.model_path.endswith(".ckpt"):
+            self._load_ckpt(self.model_path)
+        elif self.model_path.endswith(".pt"):
+            raise ValueError(
+                "reference .pt checkpoints carry no loadable graph here; use "
+                "YOLO('<model>.yaml').load('<weights>.pt') instead"
+            )
+        else:
+            self._new(self.model_path)
+
+    # --- construction -----------------------------------------------------
+    def _new(self, yaml_name: str, img_size: int = 640):
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+
+        path = model_yaml_path(yaml_name)
+        d = load_model_yaml(path)
+        self.spec = parse_model_yaml(d, scale=d.get("scale", ""))
+        self.model, self.variables = build_model(self.spec, img_size=img_size)
+        self._img_size = img_size
+
+    def _load_ckpt(self, path: str):
+        from bsyolo_tpu.engine.trainer import load_checkpoint
+
+        payload, meta = load_checkpoint(path)
+        args = meta.get("args", {})
+        model_yaml = args.get("model", "yolo11n.yaml")
+        self._new(model_yaml)
+        # prefer EMA weights like the reference (trainer.py:512 ckpts are EMA)
+        self.variables = {
+            "params": payload.get("ema_params", payload["params"]),
+            "batch_stats": payload["batch_stats"],
+        }
+        self.ckpt_meta = meta
+
+    def load(self, weights: str) -> "YOLO":
+        """Import reference torch weights into the current graph."""
+        from bsyolo_tpu.utils.torch_weights import convert_state_dict, load_torch_checkpoint
+
+        sd, meta = load_torch_checkpoint(weights)
+        self.variables, report = convert_state_dict(sd, self.variables, strict=False)
+        n_missing = len(report["missing"])
+        if n_missing:
+            LOGGER.warning(f"weight import: {n_missing} params not found in {weights}")
+        return self
+
+    @property
+    def names(self) -> Dict[int, str]:
+        return {i: n for i, n in enumerate(self.spec.names)} if self.spec else {}
+
+    # --- modes --------------------------------------------------------------
+    def train(self, **kwargs):
+        from bsyolo_tpu.engine.trainer import DetectionTrainer, load_checkpoint
+
+        overrides = {**self.overrides, **kwargs}
+        overrides["model"] = overrides.get("model", self.model_path)
+        trainer = DetectionTrainer(overrides=overrides)
+        self.metrics = trainer.train()
+        # adopt trained EMA weights + spec
+        self.spec = trainer.spec
+        self.model = trainer.model
+        self.variables = {
+            "params": trainer.state.ema_params,
+            "batch_stats": trainer.state.batch_stats,
+        }
+        self._img_size = trainer.args.imgsz
+        self._predictor = None
+        self.trainer = trainer
+        return self.metrics
+
+    def val(self, data: Optional[str] = None, batch: int = 16, imgsz: Optional[int] = None, **kwargs):
+        from bsyolo_tpu.data import DataLoader, YOLODataset, load_dataset_yaml
+        from bsyolo_tpu.engine.validator import DetectionValidator
+
+        assert self.model is not None, "no model loaded"
+        data = data or self.overrides.get("data")
+        d = load_dataset_yaml(data)
+        imgsz = imgsz or self._img_size
+        ds = YOLODataset(d["val"], imgsz=imgsz, augment=False, max_gt=kwargs.get("max_gt", 128))
+        loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
+        validator = DetectionValidator(self.model, self.spec, names=d.get("names"))
+        self.metrics = validator(self.variables, loader)
+        return self.metrics
+
+    def predict(self, source, stream: bool = False, **kwargs):
+        from bsyolo_tpu.engine.predictor import DetectionPredictor
+
+        assert self.model is not None, "no model loaded"
+        conf = kwargs.get("conf")
+        conf = 0.25 if conf is None else conf  # 0.0 is a valid threshold
+        imgsz = kwargs.get("imgsz") or self._img_size
+        key = (conf, kwargs.get("iou", 0.7), imgsz, tuple(kwargs.get("classes") or ()))
+        if self._predictor is None or self._predictor_key != key:
+            self._predictor = DetectionPredictor(
+                self.model,
+                self.spec,
+                self.variables,
+                conf=conf,
+                iou=kwargs.get("iou", 0.7),
+                max_det=kwargs.get("max_det", 300),
+                imgsz=imgsz,
+                classes=kwargs.get("classes"),
+                agnostic_nms=kwargs.get("agnostic_nms", False),
+                names=self.names,
+            )
+            self._predictor_key = key
+        else:
+            self._predictor.variables = self.variables
+        gen = self._predictor.stream(
+            source, vid_stride=kwargs.get("vid_stride", 1), verbose=kwargs.get("verbose", False)
+        )
+        if stream:
+            return gen
+        results = list(gen)
+        if kwargs.get("save"):
+            out_dir = Path(kwargs.get("project", "runs/detect")) / kwargs.get("name", "predict")
+            for i, r in enumerate(results):
+                stem = Path(r.path).stem if r.path not in ("array",) else f"image{i}"
+                r.save(out_dir / f"{stem}.jpg")
+        return results
+
+    def __call__(self, source, **kwargs):
+        return self.predict(source, **kwargs)
+
+    def track(self, source, persist: bool = False, tracker: str = "bytetrack.yaml", **kwargs):
+        """Detection + multi-object tracking (reference engine/model.py:560)."""
+        from bsyolo_tpu.trackers import track_results
+
+        if not persist or not hasattr(self, "_tracker"):
+            from bsyolo_tpu.trackers import create_tracker
+
+            self._tracker = create_tracker(tracker)
+        kwargs.setdefault("conf", 0.1)  # reference track defaults (model.py:602)
+        results = self.predict(source, **kwargs)
+        if isinstance(results, list):
+            return [track_results(self._tracker, r) for r in results]
+        return (track_results(self._tracker, r) for r in results)
+
+    def save(self, path: str):
+        """Save current weights as a .ckpt loadable by YOLO()."""
+        from bsyolo_tpu.engine.train_step import init_train_state
+        from bsyolo_tpu.engine.trainer import save_checkpoint
+
+        state = init_train_state(self.variables)
+        meta = {"args": {"model": self.model_path}, "epoch": -1, "fitness": 0.0}
+        save_checkpoint(Path(path), state, meta)
+        return path
+
+    def export(self, format: str = "stablehlo", **kwargs):
+        from bsyolo_tpu.engine.exporter import export_model
+
+        return export_model(self, format=format, **kwargs)
+
+    def info(self):
+        from bsyolo_tpu.nn.model import count_params
+
+        n = count_params(self.variables["params"]) if self.variables else 0
+        LOGGER.info(f"{self.model_path}: {len(self.spec.layers)} layers, {n:,} parameters")
+        return {"layers": len(self.spec.layers), "parameters": n}

@@ -1,0 +1,156 @@
+"""Facade-level tests: YOLO() predict/val/track/export/save on the tiny model."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+TINY = str(Path(__file__).parent / "fixtures" / "tiny.yaml")
+
+
+@pytest.fixture(scope="module")
+def yolo():
+    from bsyolo_tpu import YOLO
+
+    m = YOLO(TINY)
+    m._new(TINY, img_size=96)  # small for CPU test speed
+    return m
+
+
+def square_image(size=200, x0=60, y0=50, w=56):
+    img = np.full((size, size, 3), 40, np.uint8)
+    img[y0 : y0 + w, x0 : x0 + w] = [220, 210, 200]
+    return img
+
+
+class TestPredict:
+    def test_predict_array_and_results_api(self, yolo):
+        img = square_image()
+        results = yolo.predict(img, conf=0.0001)
+        assert len(results) == 1
+        r = results[0]
+        assert r.orig_shape == (200, 200)
+        if len(r):
+            assert r.boxes.xyxy.shape[1] == 4
+            assert (r.boxes.xyxy[:, 2] <= 200.01).all()
+            j = r.to_json()
+            assert "confidence" in j
+        plotted = r.plot()
+        assert plotted.shape == img.shape
+
+    def test_predict_file_and_dir(self, yolo, tmp_path):
+        import cv2
+
+        p1 = tmp_path / "imgs" / "a.jpg"
+        p1.parent.mkdir()
+        cv2.imwrite(str(p1), square_image())
+        cv2.imwrite(str(tmp_path / "imgs" / "b.png"), square_image(x0=20))
+        r1 = yolo.predict(str(p1))
+        assert len(r1) == 1 and r1[0].path == str(p1)
+        rdir = yolo.predict(str(tmp_path / "imgs"))
+        assert len(rdir) == 2
+
+    def test_predict_video_stream(self, yolo, tmp_path):
+        import cv2
+
+        vp = str(tmp_path / "v.mp4")
+        vw = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (200, 200))
+        for i in range(6):
+            vw.write(square_image(x0=40 + i * 8))
+        vw.release()
+        frames = list(yolo.predict(vp, stream=True, vid_stride=2))
+        assert len(frames) == 3
+
+    def test_save_txt_and_missing_source(self, yolo, tmp_path):
+        r = yolo.predict(square_image(), conf=0.0001)[0]
+        txt = r.save_txt(tmp_path / "out.txt", save_conf=True)
+        assert Path(txt).exists()
+        with pytest.raises(FileNotFoundError):
+            yolo.predict(str(tmp_path / "nope.jpg"))
+
+
+class TestTrack:
+    def test_track_ids_persist(self, yolo, tmp_path):
+        import cv2
+
+        vp = str(tmp_path / "v.mp4")
+        vw = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (200, 200))
+        for i in range(8):
+            vw.write(square_image(x0=40 + i * 4))
+        vw.release()
+        tracker_cfg = str(Path(__file__).parent / "fixtures" / "trackertest.yaml")
+        results = yolo.track(vp, persist=False, conf=0.00001, tracker=tracker_cfg)
+        assert len(results) == 8
+        n_with_ids = 0
+        for r in results:
+            if r.boxes is not None and len(r.boxes):
+                assert r.boxes.data.shape[1] == 7
+                assert r.boxes.id is not None
+                n_with_ids += 1
+        assert n_with_ids >= 4, "tracking produced no ids (vacuous test)" 
+
+
+class TestTrackerUnit:
+    def test_bytetrack_basic_identity(self):
+        from bsyolo_tpu.trackers import BYTETracker
+
+        t = BYTETracker()
+        # a box moving right steadily keeps its id
+        ids = []
+        for i in range(6):
+            xywh = np.asarray([[50 + 4 * i, 50, 20, 20]], np.float32)
+            out = t.update(xywh, np.asarray([0.9]), np.asarray([0.0]))
+            if len(out):
+                ids.append(int(out[0, 4]))
+        assert len(set(ids)) == 1
+        assert len(ids) >= 5
+
+    def test_bytetrack_low_conf_rescue(self):
+        from bsyolo_tpu.trackers import BYTETracker
+
+        t = BYTETracker()
+        for i in range(3):
+            t.update(np.asarray([[50 + i, 50, 20, 20]], np.float32), np.asarray([0.9]), np.asarray([0.0]))
+        # drop to low conf: track should survive via the second association
+        out = t.update(np.asarray([[54, 50, 20, 20]], np.float32), np.asarray([0.15]), np.asarray([0.0]))
+        assert len(out) == 1
+
+    def test_two_objects_two_ids(self):
+        from bsyolo_tpu.trackers import BYTETracker
+
+        t = BYTETracker()
+        for i in range(4):
+            boxes = np.asarray([[40, 40, 16, 16], [140, 140, 16, 16]], np.float32)
+            out = t.update(boxes, np.asarray([0.9, 0.85]), np.asarray([0.0, 1.0]))
+        assert len(out) == 2
+        assert len(set(out[:, 4].astype(int))) == 2
+
+
+class TestExportSave:
+    def test_save_and_reload_ckpt(self, yolo, tmp_path):
+        from bsyolo_tpu import YOLO
+
+        p = str(tmp_path / "m.ckpt")
+        yolo.save(p)
+        m2 = YOLO(p)
+        img = square_image()
+        r1 = yolo.predict(img, conf=0.0001)[0]
+        r2 = m2.predict(img, conf=0.0001, imgsz=96)[0]
+        if len(r1) and len(r2):
+            np.testing.assert_allclose(r1.boxes.data[:1], r2.boxes.data[:1], rtol=1e-4, atol=1e-3)
+
+    def test_stablehlo_export_roundtrip(self, yolo, tmp_path):
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.engine.exporter import load_stablehlo
+
+        out = yolo.export(format="stablehlo", imgsz=96, output=str(tmp_path / "m.stablehlo"))
+        assert Path(out).exists() and Path(out + ".json").exists()
+        fn = load_stablehlo(out)
+        x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+        preds = fn(x)
+        # (B, A, 4+nc): A = (96/8)^2 + (96/16)^2 = 144+36
+        assert preds.shape == (1, 180, 6)
