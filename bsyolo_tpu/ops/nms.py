@@ -73,10 +73,18 @@ def _nms_single(
     scores = pred[:, 4:]  # (A, nc)
 
     if multi_label and nc > 1:
-        flat = scores.reshape(-1)  # (A*nc,)
-        k = min(pre_k, flat.shape[0])
-        cand_scores, flat_idx = jax.lax.top_k(flat, k)
-        anchor_idx = flat_idx // nc
+        # two-stage candidate selection: top anchors by max-class score first,
+        # then a multi-label top-k within the survivors. Avoids sorting the
+        # full (A*nc) score matrix (672k entries for 8400x80) — same result
+        # unless a candidate's anchor falls outside the anchor top-k, which at
+        # pre_k >= max_det candidates is immaterial to mAP.
+        ka = min(pre_k, num_anchors)
+        best_score = jnp.max(scores, axis=-1)  # (A,)
+        _, top_anchors = jax.lax.top_k(best_score, ka)
+        sub = scores[top_anchors]  # (ka, nc)
+        k = min(pre_k, ka * nc)
+        cand_scores, flat_idx = jax.lax.top_k(sub.reshape(-1), k)
+        anchor_idx = top_anchors[flat_idx // nc]
         cls_idx = (flat_idx % nc).astype(jnp.float32)
     else:
         best_cls = jnp.argmax(scores, axis=-1)
