@@ -96,20 +96,50 @@ class DetectionPredictor:
         self.imgsz = imgsz
         self.classes = classes
         self.names = names or {i: n for i, n in enumerate(spec.names)}
+        self.task = spec.task
         nc = spec.nc
         strides = spec.head_strides
 
-        def forward(variables, x):
-            feats = model.apply(variables, x, train=False)
-            preds = decode_detections(feats, strides, nc)
-            return non_max_suppression(
-                preds,
-                conf_thres=conf,
-                iou_thres=iou,
-                max_det=max_det,
-                nc=nc,
-                agnostic=agnostic_nms,
-            )
+        if spec.task == "classify":
+
+            def forward(variables, x):
+                logits = model.apply(variables, x, train=False)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        elif spec.task == "segment":
+            from bsyolo_tpu.nn.heads import decode_extras
+            from bsyolo_tpu.ops.masks import process_mask
+
+            def forward(variables, x):
+                out = model.apply(variables, x, train=False)
+                feats, proto = out["feats"], out["proto"]
+                preds = decode_detections(feats, strides, nc)
+                dets, idx = non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc,
+                    agnostic=agnostic_nms, return_idx=True,
+                )
+                mc = decode_extras(feats, nc)  # (B, A, nm)
+                coeffs = jnp.take_along_axis(mc, jnp.maximum(idx, 0)[..., None], axis=1)
+                img_hw = (x.shape[1], x.shape[2])
+                masks = jax.vmap(lambda p, c, b: process_mask(p, c, b, img_hw))(
+                    proto, coeffs, dets[..., :4]
+                )
+                masks = masks * (idx >= 0)[..., None, None]
+                return dets, masks
+
+        else:  # detect (pose/obb decode extras land with their val pipelines)
+
+            def forward(variables, x):
+                feats = model.apply(variables, x, train=False)
+                preds = decode_detections(feats, strides, nc)
+                return non_max_suppression(
+                    preds,
+                    conf_thres=conf,
+                    iou_thres=iou,
+                    max_det=max_det,
+                    nc=nc,
+                    agnostic=agnostic_nms,
+                )
 
         self._forward = jax.jit(forward)
 
@@ -120,6 +150,32 @@ class DetectionPredictor:
             lb, r, (dw, dh) = letterbox_image(frame, (self.imgsz, self.imgsz))
             x = jnp.asarray(lb[None, ..., ::-1].astype(np.float32) / 255.0)
             t1 = time.perf_counter()
+            if self.task == "classify":
+                probs = np.asarray(self._forward(self.variables, x))[0]
+                t2 = time.perf_counter()
+                res = Results(frame, path, self.names, probs=probs)
+                res.speed = {
+                    "preprocess": (t1 - t0) * 1000,
+                    "inference": (t2 - t1) * 1000,
+                    "postprocess": 0.0,
+                }
+                yield res
+                continue
+            if self.task == "segment":
+                dets_d, masks_d = self._forward(self.variables, x)
+                dets = np.asarray(dets_d)[0]
+                masks = np.asarray(masks_d)[0]
+                t2 = time.perf_counter()
+                res = self._to_results(dets, frame, path, masks=masks)
+                res.speed = {
+                    "preprocess": (t1 - t0) * 1000,
+                    "inference": (t2 - t1) * 1000,
+                    "postprocess": (time.perf_counter() - t2) * 1000,
+                }
+                if verbose:
+                    LOGGER.info(f"{path}: {res.verbose_line}")
+                yield res
+                continue
             dets = np.asarray(self._forward(self.variables, x))[0]
             t2 = time.perf_counter()
             res = self._to_results(dets, frame, path)
@@ -132,18 +188,41 @@ class DetectionPredictor:
                 LOGGER.info(f"{path}: {res.verbose_line} ({res.speed['inference']:.1f} ms)")
             yield res
 
-    def _to_results(self, dets: np.ndarray, frame: np.ndarray, path: str) -> Results:
-        d = dets[dets[:, 4] > 0]
+    def _to_results(
+        self, dets: np.ndarray, frame: np.ndarray, path: str, masks: Optional[np.ndarray] = None
+    ) -> Results:
+        keep = dets[:, 4] > 0
+        d = dets[keep]
+        if masks is not None:
+            masks = masks[keep]
         if self.classes is not None and len(d):
-            d = d[np.isin(d[:, 5].astype(int), self.classes)]
+            sel = np.isin(d[:, 5].astype(int), self.classes)
+            d = d[sel]
+            if masks is not None:
+                masks = masks[sel]
+        out_masks = None
         if len(d):
             boxes = np.asarray(
                 scale_boxes((self.imgsz, self.imgsz), jnp.asarray(d[:, :4]), frame.shape[:2])
             )
             d = np.concatenate([boxes, d[:, 4:6]], -1)
+            if masks is not None and len(masks):
+                # undo the letterbox: crop the padded region then resize
+                import cv2
+
+                h0, w0 = frame.shape[:2]
+                gain = min(self.imgsz / h0, self.imgsz / w0)
+                ph = round((self.imgsz - h0 * gain) / 2 - 0.1)
+                pw = round((self.imgsz - w0 * gain) / 2 - 0.1)
+                hs, ws = int(round(h0 * gain)), int(round(w0 * gain))
+                cropped = masks[:, ph : ph + hs, pw : pw + ws]
+                out_masks = np.stack(
+                    [cv2.resize(m, (w0, h0), interpolation=cv2.INTER_LINEAR) for m in cropped]
+                )
+                out_masks = (out_masks > 0.5).astype(np.float32)
         else:
             d = np.zeros((0, 6), np.float32)
-        return Results(frame, path, self.names, boxes=d)
+        return Results(frame, path, self.names, boxes=d, masks=out_masks)
 
     def __call__(self, source, **kwargs) -> List[Results]:
         return list(self.stream(source, **kwargs))

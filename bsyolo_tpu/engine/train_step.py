@@ -70,27 +70,32 @@ def init_train_state(variables) -> TrainState:
     )
 
 
-def make_train_step(model, cfg: StepConfig) -> Callable:
+def make_train_step(model, cfg: StepConfig, criterion: Callable = None) -> Callable:
     """Build the jitted (state, batch) -> (state, metrics) function.
 
     batch: dict(img (B,H,W,3) f32 in [0,1], cls (B,M) i32,
                 bboxes (B,M,4) normalized xywh, mask (B,M) f32)
+
+    criterion(outputs, batch, loss_state, loss_cfg) -> (total, items, state);
+    defaults to the detection loss.
     """
     lf = O.lr_lambda(cfg.optim)
+    if criterion is None:
+        criterion = lambda outputs, batch, ls, lc: detection_loss(
+            outputs, batch["cls"], batch["bboxes"], batch["mask"], ls, lc
+        )
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, dict]:
         grp = O.param_groups(state.params)
 
         def loss_fn(params):
-            feats, mutated = model.apply(
+            outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["img"],
                 train=True,
                 mutable=["batch_stats"],
             )
-            total, items, new_ls = detection_loss(
-                feats, batch["cls"], batch["bboxes"], batch["mask"], state.loss_state, cfg.loss
-            )
+            total, items, new_ls = criterion(outputs, batch, state.loss_state, cfg.loss)
             return total, (items, new_ls, mutated["batch_stats"])
 
         (total, (items, new_ls, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -162,11 +167,10 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
             last_opt_step=last_opt,
             loss_state=new_ls,
         )
+        names = ("box_loss", "cls_loss", "dfl_loss", "seg_loss", "kpt_loss")
         metrics = {
             "loss": total,
-            "box_loss": items[0],
-            "cls_loss": items[1],
-            "dfl_loss": items[2],
+            **{names[i]: items[i] for i in range(items.shape[0]) if i < len(names)},
             "lr": lr_main,
             "grad_norm": gnorm,
             "updated": do_update.astype(jnp.int32),

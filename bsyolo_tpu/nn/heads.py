@@ -197,6 +197,40 @@ class Classify(nn.Module):
         return nn.Dense(self.nc, dtype=self.dtype, name="linear")(x)
 
 
+def decode_extras(
+    feats: Sequence[Array],
+    nc: int,
+    reg_max: int = 16,
+) -> Array:
+    """Flatten per-anchor extra channels (mask coeffs / keypoints / angle):
+    (B, A, extra) from per-level maps carrying 4*reg_max+nc+extra channels."""
+    b = feats[0].shape[0]
+    base = 4 * reg_max + nc
+    return jnp.concatenate(
+        [f.reshape(b, -1, f.shape[-1])[..., base:] for f in feats], axis=1
+    )
+
+
+def decode_keypoints(kpts_flat: Array, feats, strides, kpt_shape=(17, 3)) -> Array:
+    """Decode raw keypoint maps to pixel coords (reference head.py Pose.kpts_decode).
+
+    kpts_flat: (B, A, nk); returns (B, A, nkpt, ndim) with x, y in pixels and
+    visibility passed through sigmoid.
+    """
+    from bsyolo_tpu.ops.anchors import make_anchors
+
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+    b, a, nk = kpts_flat.shape
+    nkpt, ndim = kpt_shape
+    k = kpts_flat.reshape(b, a, nkpt, ndim).astype(jnp.float32)
+    xy = (k[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * stride_t[None, :, None, :]
+    if ndim == 3:
+        vis = jax.nn.sigmoid(k[..., 2:3])
+        return jnp.concatenate([xy, vis], axis=-1)
+    return xy
+
+
 def decode_detections(
     feats: Sequence[Array],
     strides: Sequence[int],

@@ -83,7 +83,6 @@ _CONVLIKE = {
     "C3k2_gai",
     "PSA",
     "SCDown",
-    "Classify",
     "Focus",
     "GhostConv",
 }
@@ -145,7 +144,7 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
     layers = []
     save = set()
     rows = list(d["backbone"]) + list(d["head"])
-    names = {"nc": nc}
+    names = {"nc": nc, "kpt_shape": list(kpt_shape)}
     for i, (f, n, m, args) in enumerate(rows):
         m = m.replace("nn.", "")  # nn.Upsample -> Upsample
         args = [_literal(a, names) for a in args]
@@ -192,10 +191,15 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
             out_stride = strides[fl[0]] if fl[0] != -1 else strides[-1]
         elif m == "BatchNorm2d":
             c2 = c1
+        elif m == "Classify":
+            c2 = args[0]
+            args = [c2]
+            task = "classify"
         elif m in _HEADS:
             in_ch = tuple(channels[x] for x in fl)
             args = [*args, in_ch]
             c2 = 0  # heads have no single channel count
+            task = {"Detect": "detect", "Segment": "segment", "Pose": "pose", "OBB": "obb"}[m]
             if m == "Segment" and isinstance(args[2], int):
                 # args = [nc, nm, npr, in_ch]; npr gets width-scaled (tasks.py:1084)
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)

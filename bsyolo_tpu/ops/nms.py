@@ -104,6 +104,7 @@ def _nms_single(
     out_scores, out_idx = jax.lax.top_k(keep_scores, min(max_det, k))
     sel_boxes = cand_boxes[out_idx]
     sel_cls = cls_idx[out_idx]
+    sel_anchor = anchor_idx[out_idx]
     ok = out_scores > 0
     out = jnp.concatenate(
         [
@@ -113,11 +114,13 @@ def _nms_single(
         ],
         axis=-1,
     )
+    sel_anchor = jnp.where(ok, sel_anchor, -1)
     if max_det > k:  # pad if caller asked for more than pre_k slots
         pad = jnp.zeros((max_det - k, 6), dtype=out.dtype)
         pad = pad.at[:, 5].set(-1.0)
         out = jnp.concatenate([out, pad], axis=0)
-    return out
+        sel_anchor = jnp.concatenate([sel_anchor, jnp.full((max_det - k,), -1, sel_anchor.dtype)])
+    return out, sel_anchor
 
 
 @partial(
@@ -131,6 +134,7 @@ def _nms_single(
         "multi_label",
         "agnostic",
         "max_wh",
+        "return_idx",
     ),
 )
 def non_max_suppression(
@@ -143,6 +147,7 @@ def non_max_suppression(
     multi_label: bool = True,
     agnostic: bool = False,
     max_wh: float = 7680.0,
+    return_idx: bool = False,
 ) -> Array:
     """Batched static-shape NMS.
 
@@ -154,11 +159,14 @@ def non_max_suppression(
 
     Returns:
         (B, max_det, 6) float32: x1, y1, x2, y2, conf, cls — zero-padded rows
-        have conf == 0 and cls == -1.
+        have conf == 0 and cls == -1. With return_idx=True also returns
+        (B, max_det) int32 source-anchor indices (-1 for padding), used to
+        gather per-anchor extras (mask coefficients, keypoints, angles).
     """
     if nc <= 0:
         nc = prediction.shape[-1] - 4
     fn = lambda p: _nms_single(
         p, conf_thres, iou_thres, max_det, pre_k, nc, multi_label, agnostic, max_wh
     )
-    return jax.vmap(fn)(prediction.astype(jnp.float32))
+    out, idx = jax.vmap(fn)(prediction.astype(jnp.float32))
+    return (out, idx) if return_idx else out

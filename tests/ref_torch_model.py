@@ -90,7 +90,7 @@ def _ns():
     )
     pull("nn/Addmodules/MSCA.py", ["oneConv", "MSCAAttention"])
     pull("nn/Addmodules/ELA.py", ["ELA"])
-    pull("nn/modules/head.py", ["Detect"])
+    pull("nn/modules/head.py", ["Detect", "Segment", "Pose", "OBB", "Classify"])
     return ns
 
 
@@ -115,11 +115,19 @@ class RefGraph(nn.Module):
                 mod = nn.Upsample(None, a[1], a[2])
             elif m == "Concat":
                 mod = ns["Concat"](1)
-            elif m == "Detect":
-                nc, ch, legacy = a[0], a[1], a[2]
-                ns["Detect"].legacy = legacy
-                mod = ns["Detect"](nc, list(ch))
+            elif m in ("Detect", "Segment", "Pose", "OBB"):
+                ns["Detect"].legacy = a[-1]
+                if m == "Detect":
+                    mod = ns[m](a[0], list(a[1]))
+                elif m == "Segment":
+                    mod = ns[m](a[0], a[1], a[2], list(a[3]))
+                elif m == "Pose":
+                    mod = ns[m](a[0], tuple(a[1]), list(a[2]))
+                else:  # OBB
+                    mod = ns[m](a[0], a[1], list(a[2]))
                 mod.stride = torch.tensor([float(s) for s in spec.head_strides])
+            elif m == "Classify":
+                mod = ns["Classify"](L.c1, a[0])
             else:
                 raise NotImplementedError(m)
             mod.i, mod.f = L.i, list(L.f)

@@ -98,3 +98,33 @@ class TestGradients:
         assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
         total = sum(float(jnp.sum(jnp.abs(x))) for x in flat)
         assert total > 0
+
+
+class TestTaskGraphs:
+    """All task-family graphs build and match reference parameter counts."""
+
+    @pytest.mark.parametrize(
+        "name,scale",
+        [
+            ("yolo11-seg.yaml", "n"),
+            ("yolo11-pose.yaml", "n"),
+            ("yolo11-obb.yaml", "n"),
+            ("yolo11-cls.yaml", "n"),
+            ("yolo11-stock.yaml", "n"),
+            ("yolo11.yaml", "s"),
+        ],
+    )
+    def test_param_parity(self, name, scale):
+        import torch
+
+        from ref_torch_model import build_ref_model
+        from bsyolo_tpu.nn.model import build_model, count_params
+
+        path = f"bsyolo_tpu/cfg/models/11/{name}"
+        ref, spec = build_ref_model(path, scale=scale)
+        model, variables = build_model(spec, img_size=64)
+        got = count_params(variables["params"])
+        want = ref.num_params()
+        # reference counts include the fixed 16-entry DFL conv (absent for cls)
+        dfl = 0 if spec.task == "classify" else 16
+        assert got == want - dfl, f"{name}: {got} vs {want}"

@@ -1,0 +1,126 @@
+"""Multi-task coverage: segmentation/classification forward, decode, losses."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def build(yaml_name, scale="n", img=64):
+    from bsyolo_tpu.cfg import model_yaml_path
+    from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+
+    d = load_model_yaml(model_yaml_path(yaml_name))
+    d["nc"] = 4
+    spec = parse_model_yaml(d, scale=scale)
+    model, variables = build_model(spec, img_size=img)
+    return spec, model, variables
+
+
+class TestSegmentForward:
+    def test_output_structure_and_predict(self):
+        from bsyolo_tpu import YOLO
+
+        spec, model, variables = build("yolo11n-seg.yaml")
+        assert spec.task == "segment"
+        out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.zeros((1, 64, 64, 3))
+        )
+        assert set(out.keys()) == {"feats", "proto"}
+        assert out["proto"].shape == (1, 16, 16, 32)  # proto at /4, nm=32 (unscaled)
+
+    def test_seg_loss_runs_and_grads(self, rng):
+        from bsyolo_tpu.losses import DetectionLossConfig, init_loss_state
+        from bsyolo_tpu.losses.segment import segmentation_loss
+
+        spec, model, variables = build("yolo11n-seg.yaml")
+        nm = spec.head.args[1]  # 32, unscaled (reference head.py Segment)
+        B, M = 2, 4
+        out = model.apply(variables, jnp.zeros((B, 64, 64, 3)), train=False)
+        cfg = DetectionLossConfig(nc=spec.nc, strides=spec.head_strides)
+        boxes = np.zeros((B, M, 4), np.float32)
+        boxes[:, 0] = [0.5, 0.5, 0.4, 0.4]
+        cls = np.zeros((B, M), np.int32)
+        mask = np.zeros((B, M), np.float32)
+        mask[:, 0] = 1
+        hm, wm = out["proto"].shape[1:3]
+        gmasks = np.zeros((B, hm, wm), np.int32)
+        gmasks[:, 4:12, 4:12] = 1  # instance 0 occupies the center
+        total, items, st = segmentation_loss(
+            out,
+            jnp.asarray(cls),
+            jnp.asarray(boxes),
+            jnp.asarray(mask),
+            jnp.asarray(gmasks),
+            init_loss_state(),
+            cfg,
+            nm=nm,
+            max_masks=16,
+        )
+        assert np.isfinite(float(total))
+        assert items.shape == (4,)  # box, seg, cls, dfl
+        assert float(items[1]) > 0  # seg term active
+
+        def loss_of(params):
+            o = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                            jnp.zeros((B, 64, 64, 3)), train=False)
+            t, _, _ = segmentation_loss(
+                o, jnp.asarray(cls), jnp.asarray(boxes), jnp.asarray(mask),
+                jnp.asarray(gmasks), init_loss_state(), cfg, nm=nm, max_masks=16)
+            return t
+
+        g = jax.jit(jax.grad(loss_of))(variables["params"])
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(g))
+
+    def test_segment_predict_masks(self):
+        from bsyolo_tpu import YOLO
+        from bsyolo_tpu.cfg import model_yaml_path
+
+        m = YOLO(str(model_yaml_path("yolo11n-seg.yaml")))
+        m._new(str(model_yaml_path("yolo11n-seg.yaml")), img_size=64)
+        img = np.full((100, 120, 3), 60, np.uint8)
+        img[20:70, 30:90] = 220
+        res = m.predict(img, conf=0.00001, max_det=8)[0]
+        if len(res):
+            assert res.masks is not None
+            assert res.masks.data.shape[1:] == (100, 120)
+            assert set(np.unique(res.masks.data)) <= {0.0, 1.0}
+
+
+class TestClassify:
+    def test_forward_and_predict(self):
+        from bsyolo_tpu import YOLO
+        from bsyolo_tpu.cfg import model_yaml_path
+
+        spec, model, variables = build("yolo11n-cls.yaml")
+        assert spec.task == "classify"
+        out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.zeros((2, 64, 64, 3))
+        )
+        assert out.shape == (2, 4)
+
+        m = YOLO(str(model_yaml_path("yolo11n-cls.yaml")))
+        m._new(str(model_yaml_path("yolo11n-cls.yaml")), img_size=64)
+        res = m.predict(np.zeros((80, 80, 3), np.uint8))[0]
+        assert res.probs is not None
+        assert 0 <= res.probs.top1 < 80
+        assert len(res.probs.top5) == 5
+
+    def test_classification_loss(self, rng):
+        from bsyolo_tpu.losses.classify import classification_loss
+        from bsyolo_tpu.losses import init_loss_state
+
+        logits = jnp.asarray(rng.normal(0, 1, (8, 10)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 10, (8,)))
+        total, items, _ = classification_loss(logits, labels, init_loss_state())
+        assert np.isfinite(float(total)) and items.shape == (1,)
+        # perfect logits -> near-zero loss
+        perfect = jax.nn.one_hot(labels, 10) * 100.0
+        t2, _, _ = classification_loss(perfect, labels, init_loss_state())
+        assert float(t2) < 1e-3
