@@ -27,11 +27,16 @@ from bsyolo_tpu.losses import DetectionLossConfig
 from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
 from bsyolo_tpu.parallel import get_mesh, replicated_sharding, shard_batch
 from bsyolo_tpu.utils import LOGGER
+from bsyolo_tpu.utils.callbacks import EarlyStopping, default_callbacks
 
 
-def save_checkpoint(path: Path, state: TrainState, meta: Dict):
+def save_checkpoint(path: Path, state: TrainState, meta: Dict, full: bool = False):
     """Serialize {params, ema, batch_stats, counters} + meta (reference
-    trainer.py:512-543 save_model; orbax-free msgpack via flax)."""
+    trainer.py:512-543 save_model; orbax-free msgpack via flax).
+
+    With full=True the complete TrainState (optimizer slots, accumulators,
+    loss state) is embedded so training can resume exactly.
+    """
     from flax import serialization
 
     payload = {
@@ -41,6 +46,8 @@ def save_checkpoint(path: Path, state: TrainState, meta: Dict):
         "step": state.step,
         "ema_updates": state.ema_updates,
     }
+    if full:
+        payload["train_state"] = serialization.to_state_dict(state)
     path.parent.mkdir(parents=True, exist_ok=True)
     blob = serialization.to_bytes(payload)
     import json
@@ -72,12 +79,18 @@ def load_checkpoint(path, template=None):
 class DetectionTrainer:
     """Train a detection model from a model YAML + dataset YAML."""
 
-    def __init__(self, overrides: Optional[Dict] = None):
+    def __init__(self, overrides: Optional[Dict] = None, callbacks=None):
         self.args = get_cfg(overrides=overrides or {})
         self.save_dir = Path(self.args.project or "runs/detect") / (self.args.name or "train")
         self.best_fitness = 0.0
         self.epoch = 0
         self.metrics = None
+        self.epoch_metrics = None
+        self.callbacks = callbacks or default_callbacks()
+        self.stopper = EarlyStopping(self.args.patience)
+
+    def add_callback(self, event: str, fn):
+        self.callbacks.add(event, fn)
 
     def setup(self):
         args = self.args
@@ -156,19 +169,47 @@ class DetectionTrainer:
         self.validator = DetectionValidator(self.model, self.spec, names=data.get("names"))
         self.csv_path = self.save_dir / "results.csv"
 
+        if self.args.resume:
+            self._resume()
+
+    def _resume(self):
+        """Restore a full TrainState from last.ckpt (reference trainer.py:723)."""
+        last = self.save_dir / "weights" / "last.ckpt"
+        if not last.exists():
+            LOGGER.warning(f"resume requested but {last} not found; starting fresh")
+            return
+        payload, meta = load_checkpoint(last)
+        if "train_state" not in payload:
+            LOGGER.warning(f"{last} lacks a full train state; resuming weights only")
+        from flax import serialization
+
+        if "train_state" in payload:
+            self.state = serialization.from_state_dict(self.state, payload["train_state"])
+        else:
+            self.state = self.state.replace(
+                params=serialization.from_state_dict(self.state.params, payload["params"]),
+                ema_params=serialization.from_state_dict(self.state.ema_params, payload["ema_params"]),
+                batch_stats=serialization.from_state_dict(self.state.batch_stats, payload["batch_stats"]),
+            )
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_fitness = float(meta.get("best_fitness", meta.get("fitness", 0.0)))
+        LOGGER.info(f"resumed from {last} at epoch {self.start_epoch}")
+
     def train(self):
+        self.start_epoch = 0
         self.setup()
         args = self.args
+        self.callbacks.run("on_train_start", self)
         LOGGER.info(
             f"training {args.model} on {args.data}: {args.epochs} epochs, batch {args.batch}, "
             f"imgsz {args.imgsz}, {len(self.train_loader.dataset)} train images, "
             f"{self.step_cfg.optim.name} lr0={self.step_cfg.optim.lr0}"
         )
-        patience = args.patience or float("inf")
         t_start = time.time()
         stop_epoch = args.epochs
-        for epoch in range(args.epochs):
+        for epoch in range(self.start_epoch, args.epochs):
             self.epoch = epoch
+            self.callbacks.run("on_train_epoch_start", self)
             if args.close_mosaic and epoch == max(args.epochs - args.close_mosaic, 0):
                 self.train_loader.close_mosaic()
             self.train_loader.set_epoch(epoch)
@@ -182,23 +223,49 @@ class DetectionTrainer:
                     em[k] = em.get(k, 0.0) + float(m[k])
             em = {k: v / max(n, 1) for k, v in em.items()}
 
+            self.callbacks.run("on_train_epoch_end", self)
             fitness = 0.0
             if args.val:
                 variables = {"params": self.state.ema_params, "batch_stats": self.state.batch_stats}
                 self.metrics = self.validator(variables, self.val_loader)
                 fitness = self.metrics.fitness
             self._log_epoch(epoch, em, fitness)
+            self.epoch_metrics = {"train/" + k: v for k, v in em.items()}
+            self.epoch_metrics["fitness"] = fitness
+            if self.metrics is not None:
+                self.epoch_metrics.update(
+                    {k: float(v) for k, v in zip(self.metrics.keys, self.metrics.mean_results())}
+                )
+            self.callbacks.run("on_fit_epoch_end", self)
 
             if args.save:
-                meta = {"epoch": epoch, "fitness": fitness, "args": {k: str(v) for k, v in vars(args).items()}}
-                save_checkpoint(self.save_dir / "weights" / "last.ckpt", self.state, meta)
                 if fitness >= self.best_fitness:
                     self.best_fitness = fitness
+                meta = {
+                    "epoch": epoch,
+                    "fitness": fitness,
+                    "best_fitness": self.best_fitness,
+                    "args": {k: str(v) for k, v in vars(args).items()},
+                }
+                save_checkpoint(self.save_dir / "weights" / "last.ckpt", self.state, meta, full=True)
+                if fitness >= self.best_fitness:
                     save_checkpoint(self.save_dir / "weights" / "best.ckpt", self.state, meta)
+                self.callbacks.run("on_model_save", self)
 
+            if self.stopper(epoch, fitness):
+                LOGGER.info(
+                    f"early stopping at epoch {epoch} (no improvement for {self.stopper.patience} epochs)"
+                )
+                stop_epoch = epoch + 1
+                break
             if args.time and (time.time() - t_start) / 3600 > args.time:
                 stop_epoch = epoch + 1
                 break
+        self.callbacks.run("on_train_end", self)
+        if args.plots and self.csv_path.exists():
+            from bsyolo_tpu.utils.plotting import plot_results
+
+            plot_results(self.csv_path)
         LOGGER.info(f"done: {stop_epoch} epochs, best fitness {self.best_fitness:.4f}")
         return self.metrics
 

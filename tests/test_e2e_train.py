@@ -120,3 +120,32 @@ def test_dataset_and_loader(tmp_path, rng):
     vds = YOLODataset(data["val"], imgsz=64, augment=False, max_gt=16)
     img, cls, boxes, mask = vds.get_sample(0, rng)
     assert mask.sum() >= 1
+
+
+@pytest.mark.slow
+def test_resume_and_callbacks(tmp_path):
+    """Resume restores full state; callbacks fire; early stopping hooks in."""
+    from bsyolo_tpu.engine.trainer import DetectionTrainer, load_checkpoint
+
+    data_yaml = make_synthetic_dataset(tmp_path / "ds", n_train=16, n_val=8)
+    tiny = str(Path(__file__).parent / "fixtures" / "tiny.yaml")
+    common = {
+        "model": tiny, "data": str(data_yaml), "batch": 8, "imgsz": 96,
+        "optimizer": "SGD", "lr0": 0.01, "warmup_epochs": 0.5,
+        "project": str(tmp_path / "runs"), "name": "t", "max_gt": 32,
+        "amp": False, "nbs": 8, "close_mosaic": 0,
+    }
+    events = []
+    t1 = DetectionTrainer(overrides={**common, "epochs": 3})
+    t1.add_callback("on_train_epoch_start", lambda tr: events.append(tr.epoch))
+    t1.train()
+    assert events == [0, 1, 2]
+    step_after_3 = int(t1.state.step)
+
+    # resume to epoch 5: picks up at epoch 3 with the full optimizer state
+    t2 = DetectionTrainer(overrides={**common, "epochs": 5, "resume": True})
+    t2.train()
+    assert t2.start_epoch == 3
+    assert int(t2.state.step) == step_after_3 + 2 * len(t2.train_loader)
+    payload, meta = load_checkpoint(tmp_path / "runs" / "t" / "weights" / "last.ckpt")
+    assert meta["epoch"] == 4
