@@ -39,10 +39,13 @@ def main():
     img_size = int(os.environ.get("BENCH_IMGSZ", 640))
     scale = os.environ.get("BENCH_SCALE", "n")
     bs = int(os.environ.get("BENCH_BATCH", 16))
+    from bsyolo_tpu.nn.model import cast_inference_params
+
     d = load_model_yaml(model_yaml_path("yolo11.yaml"))
     d["nc"] = 80
     spec = parse_model_yaml(d, scale=scale)
     model, variables = build_model(spec, img_size=img_size, dtype=jnp.bfloat16)
+    variables = cast_inference_params(variables)
 
     def predict(variables, x):
         feats = model.apply(variables, x, train=False)
@@ -53,22 +56,24 @@ def main():
     def predict_loop(variables, x, n):
         def body(carry, i):
             xx, acc = carry
-            out = predict(variables, xx + i * 1e-6)
+            out = predict(variables, xx + (i * 1e-6).astype(x.dtype))
             # chain: next input depends on this output; checksum forces exec
-            return (x + out[0, 0, 0] * 1e-9, acc + jnp.sum(out)), None
+            return (x + (out[0, 0, 0] * 1e-9).astype(x.dtype), acc + jnp.sum(out)), None
 
         (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), jnp.arange(n, dtype=jnp.float32))
         return acc
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (bs, img_size, img_size, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(0, 1, (bs, img_size, img_size, 3)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
 
-    n1, n2 = 2, 12
+    n1, n2 = 2, 22
     times = {}
     for n in (n1, n2):
         float(predict_loop(variables, x, n))  # compile + warm
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             float(predict_loop(variables, x, n))
             best = min(best, time.perf_counter() - t0)
