@@ -127,7 +127,36 @@ class DetectionPredictor:
                 masks = masks * (idx >= 0)[..., None, None]
                 return dets, masks
 
-        else:  # detect (pose/obb decode extras land with their val pipelines)
+        elif spec.task == "pose":
+            from bsyolo_tpu.nn.heads import decode_extras, decode_keypoints
+
+            kpt_shape = spec.kpt_shape
+
+            def forward(variables, x):
+                feats = model.apply(variables, x, train=False)
+                preds = decode_detections(feats, strides, nc)
+                dets, idx = non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc,
+                    agnostic=agnostic_nms, return_idx=True,
+                )
+                kflat = decode_extras(feats, nc)  # (B, A, nk) raw
+                kpts = decode_keypoints(kflat, feats, strides, kpt_shape)  # (B, A, nkpt, d)
+                sel = jnp.take_along_axis(
+                    kpts, jnp.maximum(idx, 0)[..., None, None], axis=1
+                ) * (idx >= 0)[..., None, None]
+                return dets, sel
+
+        elif spec.task == "obb":
+            from bsyolo_tpu.nn.heads import decode_obb
+            from bsyolo_tpu.ops.obb import nms_rotated
+
+            def forward(variables, x):
+                preds = decode_obb(model.apply(variables, x, train=False), strides, nc)
+                return nms_rotated(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc
+                )
+
+        else:  # detect
 
             def forward(variables, x):
                 feats = model.apply(variables, x, train=False)
@@ -159,6 +188,51 @@ class DetectionPredictor:
                     "inference": (t2 - t1) * 1000,
                     "postprocess": 0.0,
                 }
+                yield res
+                continue
+            if self.task == "pose":
+                dets_d, kpts_d = self._forward(self.variables, x)
+                dets = np.asarray(dets_d)[0]
+                kpts = np.asarray(kpts_d)[0]
+                t2 = time.perf_counter()
+                keep = dets[:, 4] > 0
+                d, k = dets[keep], kpts[keep]
+                h0, w0 = frame.shape[:2]
+                gain = min(self.imgsz / h0, self.imgsz / w0)
+                pw = round((self.imgsz - w0 * gain) / 2 - 0.1)
+                ph = round((self.imgsz - h0 * gain) / 2 - 0.1)
+                if len(d):
+                    boxes = np.asarray(
+                        scale_boxes((self.imgsz, self.imgsz), jnp.asarray(d[:, :4]), frame.shape[:2])
+                    )
+                    d = np.concatenate([boxes, d[:, 4:6]], -1)
+                    k = k.copy()
+                    k[..., 0] = (k[..., 0] - pw) / gain
+                    k[..., 1] = (k[..., 1] - ph) / gain
+                else:
+                    d = np.zeros((0, 6), np.float32)
+                    k = np.zeros((0,) + kpts.shape[1:], np.float32)
+                res = Results(frame, path, self.names, boxes=d, keypoints=k)
+                res.speed = {"preprocess": (t1 - t0) * 1000, "inference": (t2 - t1) * 1000,
+                             "postprocess": (time.perf_counter() - t2) * 1000}
+                yield res
+                continue
+            if self.task == "obb":
+                dets = np.asarray(self._forward(self.variables, x))[0]
+                t2 = time.perf_counter()
+                d = dets[dets[:, 4] > 0]
+                h0, w0 = frame.shape[:2]
+                gain = min(self.imgsz / h0, self.imgsz / w0)
+                pw = round((self.imgsz - w0 * gain) / 2 - 0.1)
+                ph = round((self.imgsz - h0 * gain) / 2 - 0.1)
+                if len(d):
+                    d = d.copy()
+                    d[:, 0] = (d[:, 0] - pw) / gain
+                    d[:, 1] = (d[:, 1] - ph) / gain
+                    d[:, 2:4] /= gain
+                res = Results(frame, path, self.names, obb=d)
+                res.speed = {"preprocess": (t1 - t0) * 1000, "inference": (t2 - t1) * 1000,
+                             "postprocess": (time.perf_counter() - t2) * 1000}
                 yield res
                 continue
             if self.task == "segment":

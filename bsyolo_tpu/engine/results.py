@@ -88,6 +88,66 @@ class Masks:
         return out
 
 
+class Keypoints:
+    """Pose keypoints (reference results.py:1255). data: (n, nkpt, 2|3)."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = data
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return self.xy / np.asarray([w, h], np.float32)
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+
+class OBBoxes:
+    """Oriented boxes (reference results.py:1520 OBB). data: (n, 7|8) columns
+    x, y, w, h, [track_id], conf, cls, angle."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        if data.ndim == 1:
+            data = data[None]
+        self.data = data
+        self.orig_shape = orig_shape
+        self.is_track = data.shape[-1] == 8
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xywhr(self):
+        d = self.data
+        return np.concatenate([d[:, :4], d[:, -1:]], axis=-1)
+
+    @property
+    def conf(self):
+        return self.data[:, -3]
+
+    @property
+    def cls(self):
+        return self.data[:, -2]
+
+    @property
+    def xyxyxyxy(self):
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.ops.obb import xywhr2xyxyxyxy
+
+        return np.asarray(xywhr2xyxyxyxy(jnp.asarray(self.xywhr)))
+
+
 class Probs:
     """Classification probabilities (reference results.py:1379)."""
 
@@ -122,6 +182,8 @@ class Results:
         boxes: Optional[np.ndarray] = None,
         masks: Optional[np.ndarray] = None,
         probs: Optional[np.ndarray] = None,
+        keypoints: Optional[np.ndarray] = None,
+        obb: Optional[np.ndarray] = None,
         speed: Optional[Dict[str, float]] = None,
     ):
         self.orig_img = orig_img
@@ -131,6 +193,8 @@ class Results:
         self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
         self.masks = Masks(masks, self.orig_shape) if masks is not None else None
         self.probs = Probs(probs) if probs is not None else None
+        self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
+        self.obb = OBBoxes(obb, self.orig_shape) if obb is not None else None
         self.speed = speed or {}
 
     def __len__(self):

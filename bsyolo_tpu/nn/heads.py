@@ -231,6 +231,37 @@ def decode_keypoints(kpts_flat: Array, feats, strides, kpt_shape=(17, 3)) -> Arr
     return xy
 
 
+def decode_obb(
+    feats: Sequence[Array],
+    strides: Sequence[int],
+    nc: int,
+    reg_max: int = 16,
+    ne: int = 1,
+) -> Array:
+    """Decode OBB head maps -> (B, A, 4+nc+1): xywh, scores, angle.
+
+    Reference head.py OBB.forward:211-226: angle = (sigmoid(raw)-0.25)*pi,
+    boxes decoded around the angle via dist2rbox.
+    """
+    import math as _math
+
+    from bsyolo_tpu.ops.anchors import dist2rbox
+
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+    b = feats[0].shape[0]
+    flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in feats], axis=1)
+    box_logits = flat[..., : 4 * reg_max]
+    cls_logits = flat[..., 4 * reg_max : 4 * reg_max + nc]
+    angle_raw = flat[..., 4 * reg_max + nc : 4 * reg_max + nc + ne]
+    angle = (jax.nn.sigmoid(angle_raw.astype(jnp.float32)) - 0.25) * _math.pi
+    dist = dfl_decode(box_logits, reg_max)
+    rbox = dist2rbox(dist, angle, anchors[None]) * stride_t[None]
+    return jnp.concatenate(
+        [rbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32)), angle], axis=-1
+    )
+
+
 def decode_detections(
     feats: Sequence[Array],
     strides: Sequence[int],

@@ -124,3 +124,64 @@ class TestClassify:
         perfect = jax.nn.one_hot(labels, 10) * 100.0
         t2, _, _ = classification_loss(perfect, labels, init_loss_state())
         assert float(t2) < 1e-3
+
+
+class TestPoseOBB:
+    def test_pose_predict_keypoints(self):
+        from bsyolo_tpu import YOLO
+        from bsyolo_tpu.cfg import model_yaml_path
+
+        m = YOLO(str(model_yaml_path("yolo11n-pose.yaml")))
+        m._new(str(model_yaml_path("yolo11n-pose.yaml")), img_size=64)
+        assert m.spec.task == "pose"
+        img = np.full((80, 100, 3), 60, np.uint8)
+        img[20:60, 30:70] = 220
+        res = m.predict(img, conf=0.00001, max_det=8)[0]
+        if len(res):
+            assert res.keypoints is not None
+            assert res.keypoints.data.shape[1:] == (17, 3)
+            # decoded keypoints live in original-image coords
+            assert np.all(res.keypoints.conf >= 0) and np.all(res.keypoints.conf <= 1)
+
+    def test_obb_predict_rotated(self):
+        from bsyolo_tpu import YOLO
+        from bsyolo_tpu.cfg import model_yaml_path
+
+        m = YOLO(str(model_yaml_path("yolo11n-obb.yaml")))
+        m._new(str(model_yaml_path("yolo11n-obb.yaml")), img_size=64)
+        assert m.spec.task == "obb"
+        img = np.full((80, 100, 3), 60, np.uint8)
+        img[20:60, 30:70] = 220
+        res = m.predict(img, conf=0.00001, max_det=8)[0]
+        if res.obb is not None and len(res.obb):
+            xywhr = res.obb.xywhr
+            assert xywhr.shape[1] == 5
+            # angles within the head's (-pi/4, 3pi/4) range
+            assert np.all(xywhr[:, 4] > -np.pi / 4 - 1e-3)
+            assert np.all(xywhr[:, 4] < 3 * np.pi / 4 + 1e-3)
+            corners = res.obb.xyxyxyxy
+            assert corners.shape[1:] == (4, 2)
+
+
+class TestProbIoU:
+    def test_probiou_matches_reference(self, rng):
+        import torch
+
+        import ref_oracle
+        from bsyolo_tpu.ops.obb import probiou
+
+        ns = ref_oracle._extract(
+            "ultralytics/utils/metrics.py", ("probiou", "_get_covariance_matrix")
+        )
+        n = 32
+        obb1 = np.concatenate(
+            [rng.uniform(20, 80, (n, 2)), rng.uniform(5, 30, (n, 2)), rng.uniform(-0.7, 2.3, (n, 1))],
+            -1,
+        ).astype(np.float32)
+        obb2 = np.concatenate(
+            [rng.uniform(20, 80, (n, 2)), rng.uniform(5, 30, (n, 2)), rng.uniform(-0.7, 2.3, (n, 1))],
+            -1,
+        ).astype(np.float32)
+        ref = ns["probiou"](torch.from_numpy(obb1), torch.from_numpy(obb2)).numpy()
+        got = np.asarray(probiou(jnp.asarray(obb1), jnp.asarray(obb2)))[..., 0]
+        np.testing.assert_allclose(got, ref.squeeze(-1) if ref.ndim > 1 else ref, rtol=1e-4, atol=1e-5)
