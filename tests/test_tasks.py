@@ -185,3 +185,42 @@ class TestProbIoU:
         ref = ns["probiou"](torch.from_numpy(obb1), torch.from_numpy(obb2)).numpy()
         got = np.asarray(probiou(jnp.asarray(obb1), jnp.asarray(obb2)))[..., 0]
         np.testing.assert_allclose(got, ref.squeeze(-1) if ref.ndim > 1 else ref, rtol=1e-4, atol=1e-5)
+
+
+class TestPoseLoss:
+    def test_pose_loss_runs_and_grads(self, rng):
+        from bsyolo_tpu.losses import DetectionLossConfig, init_loss_state
+        from bsyolo_tpu.losses.pose import pose_loss
+
+        spec, model, variables = build("yolo11n-pose.yaml")
+        assert spec.task == "pose"
+        B, M, nkpt = 2, 4, 17
+        out = model.apply(variables, jnp.zeros((B, 64, 64, 3)), train=False)
+        cfg = DetectionLossConfig(nc=spec.nc, strides=spec.head_strides)
+        boxes = np.zeros((B, M, 4), np.float32)
+        boxes[:, 0] = [0.5, 0.5, 0.5, 0.5]
+        cls = np.zeros((B, M), np.int32)
+        mask = np.zeros((B, M), np.float32)
+        mask[:, 0] = 1
+        kpts = np.zeros((B, M, nkpt, 3), np.float32)
+        kpts[:, 0, :, 0] = rng.uniform(0.3, 0.7, (B, nkpt))
+        kpts[:, 0, :, 1] = rng.uniform(0.3, 0.7, (B, nkpt))
+        kpts[:, 0, :, 2] = 2.0  # visible
+
+        total, items, st = pose_loss(
+            out, jnp.asarray(cls), jnp.asarray(boxes), jnp.asarray(mask),
+            jnp.asarray(kpts), init_loss_state(), cfg,
+        )
+        assert np.isfinite(float(total))
+        assert items.shape == (5,)  # box, pose, kobj, cls, dfl
+        assert float(items[1]) > 0 and float(items[2]) > 0
+
+        def loss_of(params):
+            o = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                            jnp.zeros((B, 64, 64, 3)), train=False)
+            t, _, _ = pose_loss(o, jnp.asarray(cls), jnp.asarray(boxes), jnp.asarray(mask),
+                                jnp.asarray(kpts), init_loss_state(), cfg)
+            return t
+
+        g = jax.jit(jax.grad(loss_of))(variables["params"])
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(g))
