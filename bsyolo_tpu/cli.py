@@ -88,8 +88,8 @@ def main(argv=None) -> int:
     known = dict(DEFAULT_CFG_DICT)
     known.update({"model": None, "data": None, "source": None})
     check_dict_alignment(known, overrides)
-    if task != "detect":
-        raise NotImplementedError(f"task '{task}' CLI is not wired up yet (detect only)")
+    if task not in ("detect", "classify", "segment", "pose", "obb"):
+        raise NotImplementedError(f"task '{task}' is not supported")
 
     from bsyolo_tpu import YOLO
 

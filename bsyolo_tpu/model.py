@@ -91,6 +91,20 @@ class YOLO:
 
         overrides = {**self.overrides, **kwargs}
         overrides["model"] = overrides.get("model", self.model_path)
+        if self.spec is not None and self.spec.task == "classify":
+            from bsyolo_tpu.engine.classify import ClassificationTrainer
+
+            trainer = ClassificationTrainer(overrides=overrides)
+            self.metrics = trainer.train()
+            self.spec = trainer.spec
+            self.model = trainer.model
+            self.variables = {
+                "params": trainer.state.ema_params,
+                "batch_stats": trainer.state.batch_stats,
+            }
+            self.trainer = trainer
+            self._predictor = None
+            return self.metrics
         trainer = DetectionTrainer(overrides=overrides)
         self.metrics = trainer.train()
         # adopt trained EMA weights + spec

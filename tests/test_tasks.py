@@ -224,3 +224,40 @@ class TestPoseLoss:
 
         g = jax.jit(jax.grad(loss_of))(variables["params"])
         assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.slow
+def test_classification_training(tmp_path):
+    """Full classify train: color-separable 2-class folders -> high top-1."""
+    import cv2
+
+    from bsyolo_tpu.engine.classify import ClassificationTrainer
+
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 32), ("val", 12)):
+        for ci, color in enumerate(([40, 40, 200], [200, 40, 40])):  # red vs blue
+            d = tmp_path / "ds" / split / f"class{ci}"
+            d.mkdir(parents=True)
+            for i in range(n):
+                img = np.full((48, 48, 3), color, np.uint8)
+                img += rng.integers(0, 40, img.shape).astype(np.uint8)
+                cv2.imwrite(str(d / f"{i}.jpg"), img)
+    tr = ClassificationTrainer(
+        overrides={
+            "model": str(Path(__file__).parent / "fixtures" / "tinycls.yaml"),
+            "data": str(tmp_path / "ds"),
+            "epochs": 24,
+            "batch": 16,
+            "imgsz": 48,
+            "optimizer": "SGD",
+            "lr0": 0.03,
+            "warmup_epochs": 0.5,
+            "project": str(tmp_path / "runs"),
+            "name": "c",
+            "amp": False,
+            "nbs": 16,
+        }
+    )
+    metrics = tr.train()
+    assert metrics.top1 > 0.8, f"top1 too low: {metrics.top1}"
+    assert (tmp_path / "runs" / "c" / "weights" / "best.ckpt").exists()
