@@ -50,19 +50,8 @@ class DataLoader:
         self.mosaic = False
 
     def _assemble(self, idxs, rng) -> Dict[str, np.ndarray]:
-        imgs, clss, boxes, masks = [], [], [], []
-        for i in idxs:
-            im, c, b, m = self.dataset.get_sample(int(i), rng, mosaic=self.mosaic)
-            imgs.append(im)
-            clss.append(c)
-            boxes.append(b)
-            masks.append(m)
-        return {
-            "img": np.stack(imgs),
-            "cls": np.stack(clss),
-            "bboxes": np.stack(boxes),
-            "mask": np.stack(masks),
-        }
+        samples = [self.dataset.get_sample(int(i), rng, mosaic=self.mosaic) for i in idxs]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)

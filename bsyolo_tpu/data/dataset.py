@@ -62,7 +62,11 @@ class YOLODataset:
         max_gt: int = 128,
         single_cls: bool = False,
         fraction: float = 1.0,
+        task: str = "detect",
+        mask_ratio: int = 4,
     ):
+        self.task = task
+        self.mask_ratio = mask_ratio
         self.img_files = self._list_images(img_path)
         if fraction < 1.0:
             self.img_files = self.img_files[: max(1, round(len(self.img_files) * fraction))]
@@ -95,18 +99,33 @@ class YOLODataset:
             files = [str(p)]
         return files
 
-    def _load_label(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (cls (n,), xywh-normalized (n, 4))."""
+    def _load_label(self, i: int):
+        """Returns (cls (n,), xywh-normalized (n, 4)); polygon rows (class
+        x1 y1 x2 y2 ...) are reduced to their bounding box, with the polygons
+        kept in self.segments[i] for segmentation training."""
         lp = self.label_files[i]
+        empty = (np.zeros((0,), np.float32), np.zeros((0, 4), np.float32))
+        if not hasattr(self, "segments"):
+            self.segments: Dict[int, list] = {}
         if not os.path.exists(lp):
-            return np.zeros((0,), np.float32), np.zeros((0, 4), np.float32)
-        rows = []
+            return empty
+        rows, polys = [], []
         for line in Path(lp).read_text().splitlines():
             parts = line.split()
-            if len(parts) >= 5:
+            if len(parts) >= 7 and len(parts) % 2 == 1:  # polygon: cls + 2k coords
+                vals = [float(x) for x in parts]
+                poly = np.asarray(vals[1:], np.float32).reshape(-1, 2)
+                xy_min, xy_max = poly.min(0), poly.max(0)
+                cxy = (xy_min + xy_max) / 2
+                wh = xy_max - xy_min
+                rows.append([vals[0], cxy[0], cxy[1], wh[0], wh[1]])
+                polys.append(poly)
+            elif len(parts) >= 5:
                 rows.append([float(x) for x in parts[:5]])
+                polys.append(None)
         if not rows:
-            return np.zeros((0,), np.float32), np.zeros((0, 4), np.float32)
+            return empty
+        self.segments[i] = polys
         arr = np.asarray(rows, np.float32)
         cls = arr[:, 0] * (0 if self.single_cls else 1)
         return cls, np.clip(arr[:, 1:5], 0, 1)
@@ -136,10 +155,13 @@ class YOLODataset:
         xyxy = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1)
         return cls, xyxy
 
-    def get_sample(self, i: int, rng: np.random.Generator, mosaic: bool = True):
-        """One training sample: (img f32 RGB [0,1], cls, xywh-n, mask)."""
+    def get_sample(self, i: int, rng: np.random.Generator, mosaic: bool = True) -> Dict:
+        """One training sample dict: img (f32 RGB [0,1]), cls, bboxes (xywh-n),
+        mask; for task='segment' also masks ((imgsz/ratio)^2 overlap-encoded)."""
         from bsyolo_tpu.data.augment import format_labels, train_transform
 
+        if self.task == "segment":
+            return self._get_segment_sample(i, rng)
         if self.augment:
             use_mosaic = mosaic and rng.random() < self.hyp.get("mosaic", 1.0)
             if use_mosaic:
@@ -161,4 +183,54 @@ class YOLODataset:
                 boxes = boxes * r
                 boxes[:, [0, 2]] += dw
                 boxes[:, [1, 3]] += dh
-        return format_labels(img, cls, boxes, self.max_gt)
+        out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
+        return {"img": out_img, "cls": out_cls, "bboxes": out_box, "mask": out_mask}
+
+    def _get_segment_sample(self, i: int, rng: np.random.Generator) -> Dict:
+        """Segmentation sample: letterbox + flips only this round (polygon
+        warping through mosaic/affine lands with the full augment set);
+        masks are rasterized overlap-encoded at imgsz/mask_ratio (reference
+        overlap_mask=True semantics, data/dataset.py + loss.py:455)."""
+        import cv2
+
+        from bsyolo_tpu.data.augment import format_labels
+        from bsyolo_tpu.ops.letterbox import letterbox_image
+
+        im = self.load_image(i)
+        h, w = im.shape[:2]
+        cls, boxes = self.label_pixels(i, (h, w))
+        polys = self.segments.get(i, [None] * len(cls))
+        img, r, (dw, dh) = letterbox_image(im, (self.imgsz, self.imgsz), scaleup=self.augment)
+        if len(boxes):
+            boxes = boxes * r
+            boxes[:, [0, 2]] += dw
+            boxes[:, [1, 3]] += dh
+        flip = self.augment and rng.random() < self.hyp.get("fliplr", 0.5)
+        if flip:
+            img = np.ascontiguousarray(np.fliplr(img))
+            if len(boxes):
+                x1 = boxes[:, 0].copy()
+                boxes[:, 0] = self.imgsz - boxes[:, 2]
+                boxes[:, 2] = self.imgsz - x1
+        ms = self.imgsz // self.mask_ratio
+        masks = np.zeros((ms, ms), np.int32)
+        scale = ms / self.imgsz
+        for j, poly in enumerate(polys[: self.max_gt]):
+            if poly is None:
+                x1, y1, x2, y2 = boxes[j] * scale
+                cv2.rectangle(masks, (int(x1), int(y1)), (int(x2), int(y2)), j + 1, -1)
+                continue
+            p = poly.copy() * [w, h] * r
+            p[:, 0] += dw
+            p[:, 1] += dh
+            if flip:
+                p[:, 0] = self.imgsz - p[:, 0]
+            cv2.fillPoly(masks, [(p * scale).astype(np.int32)], j + 1)
+        out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
+        return {
+            "img": out_img,
+            "cls": out_cls,
+            "bboxes": out_box,
+            "mask": out_mask,
+            "masks": masks,
+        }

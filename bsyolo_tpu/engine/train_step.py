@@ -70,7 +70,7 @@ def init_train_state(variables) -> TrainState:
     )
 
 
-def make_train_step(model, cfg: StepConfig, criterion: Callable = None) -> Callable:
+def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_names=None) -> Callable:
     """Build the jitted (state, batch) -> (state, metrics) function.
 
     batch: dict(img (B,H,W,3) f32 in [0,1], cls (B,M) i32,
@@ -167,7 +167,7 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None) -> Calla
             last_opt_step=last_opt,
             loss_state=new_ls,
         )
-        names = ("box_loss", "cls_loss", "dfl_loss", "seg_loss", "kpt_loss")
+        names = item_names or ("box_loss", "cls_loss", "dfl_loss", "seg_loss", "kpt_loss")
         metrics = {
             "loss": total,
             **{names[i]: items[i] for i in range(items.shape[0]) if i < len(names)},

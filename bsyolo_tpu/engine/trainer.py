@@ -109,6 +109,7 @@ class DetectionTrainer:
             self.spec, img_size=args.imgsz, dtype=dtype, seed=args.seed
         )
 
+        task = self.spec.task
         train_ds = YOLODataset(
             data["train"],
             imgsz=args.imgsz,
@@ -117,10 +118,12 @@ class DetectionTrainer:
             max_gt=args.max_gt,
             single_cls=args.single_cls,
             fraction=args.fraction,
+            task=task,
+            mask_ratio=args.mask_ratio,
         )
         val_ds = YOLODataset(
             data["val"], imgsz=args.imgsz, augment=False, max_gt=args.max_gt,
-            single_cls=args.single_cls,
+            single_cls=args.single_cls, task=task, mask_ratio=args.mask_ratio,
         )
         self.train_loader = DataLoader(train_ds, args.batch, shuffle=True, seed=args.seed)
         self.val_loader = DataLoader(val_ds, args.batch, shuffle=False, drop_last=False)
@@ -162,7 +165,24 @@ class DetectionTrainer:
             use_adamw=opt.name in ("AdamW", "Adam", "NAdam", "RAdam"),
             weight_decay=wd,
         )
-        self.train_step = make_train_step(self.model, self.step_cfg)
+        criterion = None
+        item_names = None
+        if task == "segment":
+            from bsyolo_tpu.losses.segment import segmentation_loss
+
+            nm = self.spec.head.args[1]
+
+            def criterion(outputs, batch, ls, lc):
+                return segmentation_loss(
+                    outputs, batch["cls"], batch["bboxes"], batch["mask"], batch["masks"],
+                    ls, lc, nm=nm, overlap=args.overlap_mask,
+                )
+
+            item_names = ("box_loss", "seg_loss", "cls_loss", "dfl_loss")
+
+        self.train_step = make_train_step(
+            self.model, self.step_cfg, criterion=criterion, item_names=item_names
+        )
         self.state = init_train_state(variables)
         self.mesh = get_mesh()
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))

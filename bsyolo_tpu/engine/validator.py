@@ -44,7 +44,8 @@ class DetectionValidator:
         strides = spec.head_strides
 
         def forward(variables, img):
-            feats = model.apply(variables, img, train=False)
+            out = model.apply(variables, img, train=False)
+            feats = out["feats"] if isinstance(out, dict) else out
             preds = decode_detections(feats, strides, nc)
             return non_max_suppression(
                 preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_k=pre_k, nc=nc

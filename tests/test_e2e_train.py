@@ -96,7 +96,8 @@ def test_dataset_and_loader(tmp_path, rng):
 
     ds = YOLODataset(data["train"], imgsz=64, augment=True, hyp={"mosaic": 1.0}, max_gt=16)
     assert len(ds) == 12
-    img, cls, boxes, mask = ds.get_sample(0, rng)
+    s0 = ds.get_sample(0, rng)
+    img, cls, boxes, mask = s0["img"], s0["cls"], s0["bboxes"], s0["mask"]
     assert img.shape == (64, 64, 3) and img.dtype == np.float32
     assert 0 <= img.min() and img.max() <= 1.0
     assert cls.shape == (16,) and boxes.shape == (16, 4) and mask.shape == (16,)
@@ -118,8 +119,7 @@ def test_dataset_and_loader(tmp_path, rng):
 
     # val (no augment) keeps exact letterboxed labels
     vds = YOLODataset(data["val"], imgsz=64, augment=False, max_gt=16)
-    img, cls, boxes, mask = vds.get_sample(0, rng)
-    assert mask.sum() >= 1
+    assert vds.get_sample(0, rng)["mask"].sum() >= 1
 
 
 @pytest.mark.slow
@@ -149,3 +149,73 @@ def test_resume_and_callbacks(tmp_path):
     assert int(t2.state.step) == step_after_3 + 2 * len(t2.train_loader)
     payload, meta = load_checkpoint(tmp_path / "runs" / "t" / "weights" / "last.ckpt")
     assert meta["epoch"] == 4
+
+
+@pytest.mark.slow
+def test_segment_training_run(tmp_path):
+    """Segment task end-to-end: polygon labels -> seg loss decreases, box mAP
+    rises, masks come out of predict."""
+    import cv2
+
+    from bsyolo_tpu.engine.trainer import DetectionTrainer
+
+    rng = np.random.default_rng(3)
+    size = 96
+    for split, n in (("train", 32), ("val", 8)):
+        img_dir = tmp_path / "ds" / "images" / split
+        lbl_dir = tmp_path / "ds" / "labels" / split
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        for i in range(n):
+            img = rng.integers(30, 70, (size, size, 3)).astype(np.uint8)
+            w = int(rng.integers(24, 40))
+            x0 = int(rng.integers(2, size - w - 2))
+            y0 = int(rng.integers(2, size - w - 2))
+            img[y0 : y0 + w, x0 : x0 + w] = [225, 215, 205]
+            # polygon label: the square's 4 corners, normalized
+            pts = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + w), (x0, y0 + w)]
+            poly = " ".join(f"{x / size:.6f} {y / size:.6f}" for x, y in pts)
+            cv2.imwrite(str(img_dir / f"{i:04d}.jpg"), img)
+            (lbl_dir / f"{i:04d}.txt").write_text(f"0 {poly}\n")
+    (tmp_path / "ds" / "data.yaml").write_text(
+        f"path: {tmp_path / 'ds'}\ntrain: images/train\nval: images/val\nnc: 2\n"
+        "names:\n  0: square\n  1: other\n"
+    )
+    trainer = DetectionTrainer(
+        overrides={
+            "model": str(Path(__file__).parent / "fixtures" / "tinyseg.yaml"),
+            "data": str(tmp_path / "ds" / "data.yaml"),
+            "epochs": 32,
+            "batch": 8,
+            "imgsz": 96,
+            "optimizer": "SGD",
+            "lr0": 0.02,
+            "warmup_epochs": 1.0,
+            "project": str(tmp_path / "runs"),
+            "name": "s",
+            "max_gt": 8,
+            "amp": False,
+            "nbs": 8,
+            "close_mosaic": 0,
+        }
+    )
+    assert trainer.args is not None
+    metrics = trainer.train()
+    assert metrics.box.map50 > 0.3, f"box mAP50 too low: {metrics.box.map50}"
+
+    # predict with the trained weights through the facade-style path
+    from bsyolo_tpu.engine.predictor import DetectionPredictor
+
+    variables = {"params": trainer.state.ema_params, "batch_stats": trainer.state.batch_stats}
+    pred = DetectionPredictor(trainer.model, trainer.spec, variables, conf=0.2, imgsz=96)
+    img = np.full((size, size, 3), 50, np.uint8)
+    img[20:60, 30:70] = [225, 215, 205]
+    res = pred(img)[0]
+    assert len(res) >= 1
+    assert res.masks is not None and len(res.masks) >= 1
+    # the mask should overlap the painted square substantially
+    m = res.masks.data[0]
+    inside = m[25:55, 35:65].mean()
+    outside = m[70:, :20].mean() if m[70:, :20].size else 0
+    assert inside > 0.35, f"mask doesn't cover the object: inside={inside:.2f}"
+    assert outside < 0.2
