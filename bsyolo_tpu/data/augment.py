@@ -99,6 +99,99 @@ def mosaic4(
     return img4, cls, boxes, border
 
 
+def mosaic9(
+    images: List[np.ndarray],
+    labels: List[Tuple[np.ndarray, np.ndarray]],
+    imgsz: int,
+    rng: np.random.Generator,
+):
+    """9-way mosaic on a 3x canvas (reference augment.py Mosaic._mosaic9)."""
+    s = imgsz
+    canvas = np.full((s * 3, s * 3, images[0].shape[2]), 114, dtype=np.uint8)
+    out_cls, out_boxes = [], []
+    hp = wp = 0
+    prev_h = prev_w = 0
+    for i in range(9):
+        img = images[i]
+        h, w = img.shape[:2]
+        if i == 0:  # center
+            c = (s, s, s + w, s + h)
+        elif i == 1:  # top
+            c = (s, s - h, s + w, s)
+        elif i == 2:  # top right
+            c = (s + prev_w, s - h, s + prev_w + w, s)
+        elif i == 3:  # right
+            c = (s + prev_w, s, s + prev_w + w, s + h)
+        elif i == 4:  # bottom right
+            c = (s + prev_w, s + prev_h, s + prev_w + w, s + prev_h + h)
+        elif i == 5:  # bottom
+            c = (s + prev_w - w, s + prev_h, s + prev_w, s + prev_h + h)
+        elif i == 6:  # bottom left
+            c = (s + prev_w - prev_w - w, s + prev_h, s + prev_w - prev_w, s + prev_h + h)
+        elif i == 7:  # left
+            c = (s - w, s + prev_h - h, s, s + prev_h)
+        else:  # top left
+            c = (s - w, s + prev_h - prev_h - h, s, s + prev_h - prev_h)
+        x1, y1, x2, y2 = (max(v, 0) for v in c)
+        x2, y2 = min(c[2], 3 * s), min(c[3], 3 * s)
+        if x2 > x1 and y2 > y1:
+            canvas[y1:y2, x1:x2] = img[
+                (y1 - c[1]) : (y1 - c[1]) + (y2 - y1), (x1 - c[0]) : (x1 - c[0]) + (x2 - x1)
+            ]
+            cls, boxes = labels[i]
+            if len(boxes):
+                b = boxes.copy()
+                b[:, [0, 2]] += c[0]
+                b[:, [1, 3]] += c[1]
+                out_cls.append(cls)
+                out_boxes.append(b)
+        prev_h, prev_w = h, w
+    # crop a 2s x 2s window at a random offset (must fit the 3s canvas)
+    yc = int(rng.uniform(0, s))
+    xc = int(rng.uniform(0, s))
+    canvas = canvas[yc : yc + 2 * s, xc : xc + 2 * s]
+    cls = np.concatenate(out_cls) if out_cls else np.zeros((0,), np.float32)
+    boxes = np.concatenate(out_boxes) if out_boxes else np.zeros((0, 4), np.float32)
+    if len(boxes):
+        boxes[:, [0, 2]] -= xc
+        boxes[:, [1, 3]] -= yc
+        boxes = np.clip(boxes, 0, 2 * s)
+        keep = ((boxes[:, 2] - boxes[:, 0]) > 2) & ((boxes[:, 3] - boxes[:, 1]) > 2)
+        cls, boxes = cls[keep], boxes[keep]
+    return canvas, cls, boxes, (-s // 2, -s // 2)
+
+
+def mixup(img1, labels1, img2, labels2, rng: np.random.Generator):
+    """Beta(32, 32) image blend + label union (reference augment.py:867 MixUp)."""
+    r = rng.beta(32.0, 32.0)
+    img = (img1.astype(np.float32) * r + img2.astype(np.float32) * (1 - r)).astype(img1.dtype)
+    cls = np.concatenate([labels1[0], labels2[0]])
+    boxes = np.concatenate([labels1[1], labels2[1]])
+    return img, cls, boxes
+
+
+def copy_paste(img, cls, boxes, rng: np.random.Generator, p: float = 0.5):
+    """Flip-mode copy-paste (reference augment.py:1634, copy_paste_mode=flip):
+    horizontally mirror a subset of boxes and paste the mirrored pixels."""
+    if len(boxes) == 0 or p <= 0:
+        return img, cls, boxes
+    h, w = img.shape[:2]
+    n = max(1, int(len(boxes) * p))
+    sel = rng.choice(len(boxes), n, replace=False)
+    new_cls, new_boxes = [cls], [boxes]
+    img = img.copy()
+    for j in sel:
+        x1, y1, x2, y2 = (int(v) for v in boxes[j])
+        mx1, mx2 = w - x2, w - x1
+        if mx2 <= mx1 or x2 <= x1 or y2 <= y1:
+            continue
+        # skip if the mirrored location overlaps an existing box heavily
+        img[y1:y2, mx1:mx2] = np.fliplr(img[y1:y2, x1:x2])
+        new_cls.append(cls[j : j + 1])
+        new_boxes.append(np.asarray([[mx1, y1, mx2, y2]], np.float32))
+    return img, np.concatenate(new_cls), np.concatenate(new_boxes)
+
+
 def random_perspective(
     img: np.ndarray,
     cls: np.ndarray,
@@ -173,7 +266,9 @@ def train_transform(
     Returns (img uint8 HWC, cls (n,), boxes xyxy pixels (n, 4)).
     """
     hyp = hyp or {}
-    if mosaic and len(imgs) >= 4:
+    if mosaic and len(imgs) >= 9 and rng.random() < hyp.get("mosaic9", 0.0):
+        img, cls, boxes, border = mosaic9(imgs[:9], labels[:9], imgsz, rng)
+    elif mosaic and len(imgs) >= 4:
         img, cls, boxes, border = mosaic4(imgs[:4], labels[:4], imgsz, rng)
     else:
         img0 = imgs[0]
@@ -195,6 +290,8 @@ def train_transform(
         perspective=hyp.get("perspective", 0.0),
         border=border,
     )
+    if hyp.get("copy_paste", 0.0) > 0 and rng.random() < hyp.get("copy_paste", 0.0):
+        img, cls, boxes = copy_paste(img, cls, boxes, rng)
     img = random_hsv(
         img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
     )

@@ -173,6 +173,18 @@ class YOLODataset:
             img, cls, boxes = train_transform(
                 imgs, labels, self.imgsz, rng, self.hyp, mosaic=use_mosaic
             )
+            if use_mosaic and rng.random() < self.hyp.get("mixup", 0.0):
+                # MixUp blends two fully-transformed mosaic samples
+                # (reference augment.py:867; v8_transforms order :2275)
+                from bsyolo_tpu.data.augment import mixup
+
+                idxs2 = list(rng.integers(0, len(self), 4))
+                imgs2 = [self.load_image(j) for j in idxs2]
+                labels2 = [self.label_pixels(j, imgs2[k].shape[:2]) for k, j in enumerate(idxs2)]
+                img2, cls2, boxes2 = train_transform(
+                    imgs2, labels2, self.imgsz, rng, self.hyp, mosaic=True
+                )
+                img, cls, boxes = mixup(img, (cls, boxes), img2, (cls2, boxes2), rng)
         else:
             from bsyolo_tpu.ops.letterbox import letterbox_image
 

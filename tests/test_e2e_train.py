@@ -219,3 +219,25 @@ def test_segment_training_run(tmp_path):
     outside = m[70:, :20].mean() if m[70:, :20].size else 0
     assert inside > 0.35, f"mask doesn't cover the object: inside={inside:.2f}"
     assert outside < 0.2
+
+
+def test_extra_augmentations(rng):
+    from bsyolo_tpu.data.augment import copy_paste, mixup, mosaic9
+
+    imgs = [rng.integers(0, 255, (48, 64, 3)).astype(np.uint8) for _ in range(9)]
+    labels = [
+        (np.zeros((1,), np.float32), np.asarray([[10, 10, 30, 30]], np.float32)) for _ in range(9)
+    ]
+    img, cls, boxes, border = mosaic9(imgs, labels, 64, rng)
+    assert img.shape == (128, 128, 3)
+    assert (boxes >= 0).all() and (boxes <= 128).all()
+
+    m_img, m_cls, m_boxes = mixup(imgs[0], labels[0], imgs[1], labels[1], rng)
+    assert m_img.shape == imgs[0].shape
+    assert len(m_cls) == 2 and len(m_boxes) == 2
+
+    cp_img, cp_cls, cp_boxes = copy_paste(
+        imgs[0], labels[0][0], labels[0][1], rng, p=1.0
+    )
+    assert len(cp_boxes) == 2  # original + mirrored copy
+    assert cp_boxes[1][0] == 64 - 30 and cp_boxes[1][2] == 64 - 10
