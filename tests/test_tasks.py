@@ -261,3 +261,46 @@ def test_classification_training(tmp_path):
     metrics = tr.train()
     assert metrics.top1 > 0.8, f"top1 too low: {metrics.top1}"
     assert (tmp_path / "runs" / "c" / "weights" / "best.ckpt").exists()
+
+
+class TestOBBLoss:
+    def test_obb_loss_runs_and_grads(self, rng):
+        from bsyolo_tpu.losses import DetectionLossConfig, init_loss_state
+        from bsyolo_tpu.losses.obb import obb_loss
+
+        spec, model, variables = build("yolo11n-obb.yaml")
+        assert spec.task == "obb"
+        B, M = 2, 4
+        feats = model.apply(variables, jnp.zeros((B, 64, 64, 3)), train=False)
+        cfg = DetectionLossConfig(nc=spec.nc, strides=spec.head_strides)
+        rboxes = np.zeros((B, M, 5), np.float32)
+        rboxes[:, 0] = [0.5, 0.5, 0.4, 0.2, 0.4]  # rotated box
+        cls = np.zeros((B, M), np.int32)
+        mask = np.zeros((B, M), np.float32)
+        mask[:, 0] = 1
+        total, items, st = obb_loss(
+            feats, jnp.asarray(cls), jnp.asarray(rboxes), jnp.asarray(mask),
+            init_loss_state(), cfg,
+        )
+        assert np.isfinite(float(total)) and items.shape == (3,)
+        assert float(items[0]) > 0
+
+        def loss_of(params):
+            f = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                            jnp.zeros((B, 64, 64, 3)), train=False)
+            t, _, _ = obb_loss(f, jnp.asarray(cls), jnp.asarray(rboxes), jnp.asarray(mask),
+                               init_loss_state(), cfg)
+            return t
+
+        g = jax.jit(jax.grad(loss_of))(variables["params"])
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(g))
+
+    def test_rotated_candidates(self, rng):
+        from bsyolo_tpu.losses.obb import _candidates_in_rotated_gts
+
+        # a 45-degree box at center (50, 50), w=20, h=10
+        rbox = jnp.asarray([[[50.0, 50.0, 20.0, 10.0, np.pi / 4]]])
+        pts = jnp.asarray([[50.0, 50.0], [56.0, 44.0], [80.0, 80.0], [44.0, 44.0]])
+        got = np.asarray(_candidates_in_rotated_gts(pts, rbox))[0, 0]
+        assert got[0]  # center inside
+        assert not got[2]  # far away outside
