@@ -100,19 +100,24 @@ class YOLODataset:
         return files
 
     def _load_label(self, i: int):
-        """Returns (cls (n,), xywh-normalized (n, 4)); polygon rows (class
-        x1 y1 x2 y2 ...) are reduced to their bounding box, with the polygons
-        kept in self.segments[i] for segmentation training."""
+        """Returns (cls (n,), xywh-normalized (n, 4)). Extra per-task label
+        payloads are kept on the dataset:
+        - segment: polygon rows (class x1 y1 ... xn yn) -> self.segments[i]
+        - pose: rows (class cx cy w h kx ky v ...) -> self.keypoints[i]
+        - obb: corner rows (class x1 y1 ... x4 y4) -> self.rboxes[i] (xywhr)
+        """
         lp = self.label_files[i]
         empty = (np.zeros((0,), np.float32), np.zeros((0, 4), np.float32))
         if not hasattr(self, "segments"):
             self.segments: Dict[int, list] = {}
+            self.keypoints: Dict[int, list] = {}
+            self.rboxes: Dict[int, list] = {}
         if not os.path.exists(lp):
             return empty
-        rows, polys = [], []
+        rows, polys, kpts, rbs = [], [], [], []
         for line in Path(lp).read_text().splitlines():
             parts = line.split()
-            if len(parts) >= 7 and len(parts) % 2 == 1:  # polygon: cls + 2k coords
+            if self.task == "segment" and len(parts) >= 7 and len(parts) % 2 == 1:
                 vals = [float(x) for x in parts]
                 poly = np.asarray(vals[1:], np.float32).reshape(-1, 2)
                 xy_min, xy_max = poly.min(0), poly.max(0)
@@ -120,12 +125,37 @@ class YOLODataset:
                 wh = xy_max - xy_min
                 rows.append([vals[0], cxy[0], cxy[1], wh[0], wh[1]])
                 polys.append(poly)
+            elif self.task == "obb" and len(parts) == 9:
+                vals = [float(x) for x in parts]
+                pts = np.asarray(vals[1:], np.float32).reshape(4, 2)
+                (cx, cy), (bw, bh), ang = cv2.minAreaRect(pts)
+                r = np.deg2rad(ang)
+                # canonicalize into the head's (-pi/4, 3pi/4) range
+                if bw < bh:
+                    bw, bh = bh, bw
+                    r += np.pi / 2
+                while r >= 3 * np.pi / 4:
+                    r -= np.pi
+                while r < -np.pi / 4:
+                    r += np.pi
+                rows.append([vals[0], cx, cy, bw, bh])
+                rbs.append(np.asarray([cx, cy, bw, bh, r], np.float32))
+            elif self.task == "pose" and len(parts) > 5 and (len(parts) - 5) % 3 == 0:
+                vals = [float(x) for x in parts]
+                rows.append(vals[:5])
+                kpts.append(np.asarray(vals[5:], np.float32).reshape(-1, 3))
             elif len(parts) >= 5:
                 rows.append([float(x) for x in parts[:5]])
                 polys.append(None)
+                kpts.append(None)
         if not rows:
             return empty
-        self.segments[i] = polys
+        if polys:
+            self.segments[i] = polys
+        if kpts and self.task == "pose":
+            self.keypoints[i] = kpts
+        if rbs:
+            self.rboxes[i] = rbs
         arr = np.asarray(rows, np.float32)
         cls = arr[:, 0] * (0 if self.single_cls else 1)
         return cls, np.clip(arr[:, 1:5], 0, 1)
@@ -162,6 +192,10 @@ class YOLODataset:
 
         if self.task == "segment":
             return self._get_segment_sample(i, rng)
+        if self.task == "pose":
+            return self._get_pose_sample(i, rng)
+        if self.task == "obb":
+            return self._get_obb_sample(i, rng)
         if self.augment:
             use_mosaic = mosaic and rng.random() < self.hyp.get("mosaic", 1.0)
             if use_mosaic:
@@ -197,6 +231,79 @@ class YOLODataset:
                 boxes[:, [1, 3]] += dh
         out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
         return {"img": out_img, "cls": out_cls, "bboxes": out_box, "mask": out_mask}
+
+    def _get_pose_sample(self, i: int, rng: np.random.Generator) -> Dict:
+        """Pose sample: letterbox (+hflip) with keypoints carried through;
+        keypoints stay normalized to the letterboxed frame."""
+        from bsyolo_tpu.data.augment import format_labels
+        from bsyolo_tpu.ops.letterbox import letterbox_image
+
+        im = self.load_image(i)
+        h, w = im.shape[:2]
+        cls, boxes = self.label_pixels(i, (h, w))
+        kpts_list = self.keypoints.get(i, [])
+        nkpt = max((len(k) for k in kpts_list if k is not None), default=1)
+        img, r, (dw, dh) = letterbox_image(im, (self.imgsz, self.imgsz), scaleup=self.augment)
+        if len(boxes):
+            boxes = boxes * r
+            boxes[:, [0, 2]] += dw
+            boxes[:, [1, 3]] += dh
+        flip = self.augment and rng.random() < self.hyp.get("fliplr", 0.5)
+        if flip:
+            img = np.ascontiguousarray(np.fliplr(img))
+            if len(boxes):
+                x1 = boxes[:, 0].copy()
+                boxes[:, 0] = self.imgsz - boxes[:, 2]
+                boxes[:, 2] = self.imgsz - x1
+        out_kpts = np.zeros((self.max_gt, nkpt, 3), np.float32)
+        for j, k in enumerate(kpts_list[: self.max_gt]):
+            if k is None:
+                continue
+            kk = k.copy()
+            kk[:, 0] = (kk[:, 0] * w * r + dw) / self.imgsz
+            kk[:, 1] = (kk[:, 1] * h * r + dh) / self.imgsz
+            if flip:
+                kk[:, 0] = np.where(kk[:, 2] > 0, 1.0 - kk[:, 0], kk[:, 0])
+            out_kpts[j, : len(kk)] = kk
+        out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
+        return {
+            "img": out_img,
+            "cls": out_cls,
+            "bboxes": out_box,
+            "mask": out_mask,
+            "keypoints": out_kpts,
+        }
+
+    def _get_obb_sample(self, i: int, rng: np.random.Generator) -> Dict:
+        """OBB sample: letterbox only; rboxes normalized xywhr of the frame."""
+        from bsyolo_tpu.data.augment import format_labels
+        from bsyolo_tpu.ops.letterbox import letterbox_image
+
+        im = self.load_image(i)
+        h, w = im.shape[:2]
+        cls, boxes = self.label_pixels(i, (h, w))
+        rb_list = self.rboxes.get(i, [])
+        img, r, (dw, dh) = letterbox_image(im, (self.imgsz, self.imgsz), scaleup=self.augment)
+        if len(boxes):
+            boxes = boxes * r
+            boxes[:, [0, 2]] += dw
+            boxes[:, [1, 3]] += dh
+        out_rb = np.zeros((self.max_gt, 5), np.float32)
+        for j, rb in enumerate(rb_list[: self.max_gt]):
+            # rb is (cx, cy, w, h, r) in normalized source coords
+            cx = (rb[0] * w * r + dw) / self.imgsz
+            cy = (rb[1] * h * r + dh) / self.imgsz
+            bw = rb[2] * w * r / self.imgsz
+            bh = rb[3] * h * r / self.imgsz
+            out_rb[j] = [cx, cy, bw, bh, rb[4]]
+        out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
+        return {
+            "img": out_img,
+            "cls": out_cls,
+            "bboxes": out_box,
+            "mask": out_mask,
+            "rboxes": out_rb,
+        }
 
     def _get_segment_sample(self, i: int, rng: np.random.Generator) -> Dict:
         """Segmentation sample: letterbox + flips only this round (polygon

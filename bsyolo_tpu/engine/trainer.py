@@ -179,6 +179,26 @@ class DetectionTrainer:
                 )
 
             item_names = ("box_loss", "seg_loss", "cls_loss", "dfl_loss")
+        elif task == "pose":
+            from bsyolo_tpu.losses.pose import pose_loss
+
+            kpt_shape = self.spec.kpt_shape
+
+            def criterion(outputs, batch, ls, lc):
+                return pose_loss(
+                    outputs, batch["cls"], batch["bboxes"], batch["mask"],
+                    batch["keypoints"], ls, lc, kpt_shape=kpt_shape,
+                    pose_gain=args.pose, kobj_gain=args.kobj,
+                )
+
+            item_names = ("box_loss", "pose_loss", "kobj_loss", "cls_loss", "dfl_loss")
+        elif task == "obb":
+            from bsyolo_tpu.losses.obb import obb_loss
+
+            def criterion(outputs, batch, ls, lc):
+                return obb_loss(
+                    outputs, batch["cls"], batch["rboxes"], batch["mask"], ls, lc
+                )
 
         self.train_step = make_train_step(
             self.model, self.step_cfg, criterion=criterion, item_names=item_names
@@ -239,8 +259,9 @@ class DetectionTrainer:
                 batch = shard_batch(batch, self.mesh)
                 self.state, m = self.train_step(self.state, batch)
                 n += 1
-                for k in ("loss", "box_loss", "cls_loss", "dfl_loss"):
-                    em[k] = em.get(k, 0.0) + float(m[k])
+                for k, v in m.items():
+                    if k.endswith("loss"):
+                        em[k] = em.get(k, 0.0) + float(v)
             em = {k: v / max(n, 1) for k, v in em.items()}
 
             self.callbacks.run("on_train_epoch_end", self)

@@ -203,6 +203,8 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
             if m == "Segment" and isinstance(args[2], int):
                 # args = [nc, nm, npr, in_ch]; npr gets width-scaled (tasks.py:1084)
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)
+            if m == "Pose" and len(args) >= 2 and isinstance(args[1], (list, tuple)):
+                kpt_shape = tuple(args[1])
             args.append(legacy)
             out_stride = 0
         elif m == "Index":

@@ -241,3 +241,135 @@ def test_extra_augmentations(rng):
     )
     assert len(cp_boxes) == 2  # original + mirrored copy
     assert cp_boxes[1][0] == 64 - 30 and cp_boxes[1][2] == 64 - 10
+
+
+@pytest.mark.slow
+def test_pose_training_run(tmp_path):
+    """Pose task end-to-end: keypoint labels -> losses decrease, keypoints
+    localize near the square's corners."""
+    import cv2
+
+    from bsyolo_tpu.engine.trainer import DetectionTrainer
+
+    rng = np.random.default_rng(3)
+    size = 96
+    for split, n in (("train", 32), ("val", 8)):
+        img_dir = tmp_path / "ds" / "images" / split
+        lbl_dir = tmp_path / "ds" / "labels" / split
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        for i in range(n):
+            img = rng.integers(30, 70, (size, size, 3)).astype(np.uint8)
+            w = int(rng.integers(28, 44))
+            x0 = int(rng.integers(2, size - w - 2))
+            y0 = int(rng.integers(2, size - w - 2))
+            img[y0 : y0 + w, x0 : x0 + w] = [225, 215, 205]
+            # 4 keypoints = the square's corners, all visible
+            corners = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + w), (x0, y0 + w)]
+            kp = " ".join(f"{x / size:.6f} {y / size:.6f} 2" for x, y in corners)
+            box = f"{(x0 + w / 2) / size:.6f} {(y0 + w / 2) / size:.6f} {w / size:.6f} {w / size:.6f}"
+            cv2.imwrite(str(img_dir / f"{i:04d}.jpg"), img)
+            (lbl_dir / f"{i:04d}.txt").write_text(f"0 {box} {kp}\n")
+    (tmp_path / "ds" / "data.yaml").write_text(
+        f"path: {tmp_path / 'ds'}\ntrain: images/train\nval: images/val\nnc: 1\nnames:\n  0: square\n"
+    )
+    trainer = DetectionTrainer(
+        overrides={
+            "model": str(Path(__file__).parent / "fixtures" / "tinypose.yaml"),
+            "data": str(tmp_path / "ds" / "data.yaml"),
+            "epochs": 56,
+            "batch": 8,
+            "imgsz": 96,
+            "optimizer": "SGD",
+            "lr0": 0.02,
+            "warmup_epochs": 1.0,
+            "project": str(tmp_path / "runs"),
+            "name": "p",
+            "max_gt": 8,
+            "amp": False,
+            "nbs": 8,
+            "close_mosaic": 0,
+        }
+    )
+    metrics = trainer.train()
+    assert metrics.box.map50 > 0.3, f"pose box mAP50 too low: {metrics.box.map50}"
+
+    # keypoints from predict must land near the square corners
+    from bsyolo_tpu.engine.predictor import DetectionPredictor
+
+    variables = {"params": trainer.state.ema_params, "batch_stats": trainer.state.batch_stats}
+    pred = DetectionPredictor(trainer.model, trainer.spec, variables, conf=0.2, imgsz=96)
+    img = np.full((size, size, 3), 50, np.uint8)
+    img[24:64, 30:70] = [225, 215, 205]
+    res = pred(img)[0]
+    assert len(res) >= 1 and res.keypoints is not None
+    kxy = res.keypoints.xy[0]  # (4, 2)
+    expected = np.asarray([[30, 24], [70, 24], [70, 64], [30, 64]], np.float32)
+    err = np.abs(kxy - expected).mean()
+    assert err < 14, f"keypoints too far from corners: mean err {err:.1f}px\n{kxy}"
+
+
+@pytest.mark.slow
+def test_obb_training_run(tmp_path):
+    """OBB task: rotated-box corner labels -> loss decreases; trained model
+    predicts rboxes overlapping the object with a sensible angle."""
+    import cv2
+
+    from bsyolo_tpu.engine.trainer import DetectionTrainer
+    from bsyolo_tpu.engine.predictor import DetectionPredictor
+
+    rng = np.random.default_rng(3)
+    size = 96
+
+    def rotated_scene(rng, ang_deg):
+        img = np.full((size, size, 3), 50, np.uint8)
+        cx, cy = float(rng.uniform(35, 61)), float(rng.uniform(35, 61))
+        w, h = 44.0, 16.0
+        rect = ((cx, cy), (w, h), ang_deg)
+        pts = cv2.boxPoints(rect).astype(np.int32)
+        cv2.fillPoly(img, [pts], (225, 215, 205))
+        return img, cv2.boxPoints(rect)
+
+    for split, n in (("train", 32), ("val", 8)):
+        img_dir = tmp_path / "ds" / "images" / split
+        lbl_dir = tmp_path / "ds" / "labels" / split
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        for i in range(n):
+            ang = float(rng.uniform(10, 40))
+            img, pts = rotated_scene(rng, ang)
+            coords = " ".join(f"{x / size:.6f} {y / size:.6f}" for x, y in pts)
+            cv2.imwrite(str(img_dir / f"{i:04d}.jpg"), img)
+            (lbl_dir / f"{i:04d}.txt").write_text(f"0 {coords}\n")
+    (tmp_path / "ds" / "data.yaml").write_text(
+        f"path: {tmp_path / 'ds'}\ntrain: images/train\nval: images/val\nnc: 1\nnames:\n  0: bar\n"
+    )
+    trainer = DetectionTrainer(
+        overrides={
+            "model": str(Path(__file__).parent / "fixtures" / "tinyobb.yaml"),
+            "data": str(tmp_path / "ds" / "data.yaml"),
+            "epochs": 28,
+            "batch": 8,
+            "imgsz": 96,
+            "optimizer": "SGD",
+            "lr0": 0.02,
+            "warmup_epochs": 1.0,
+            "project": str(tmp_path / "runs"),
+            "name": "o",
+            "max_gt": 8,
+            "amp": False,
+            "nbs": 8,
+            "close_mosaic": 0,
+            "val": False,  # axis-aligned val metrics don't apply; rotated val next round
+        }
+    )
+    trainer.train()
+
+    variables = {"params": trainer.state.ema_params, "batch_stats": trainer.state.batch_stats}
+    pred = DetectionPredictor(trainer.model, trainer.spec, variables, conf=0.2, imgsz=96)
+    img, pts = rotated_scene(np.random.default_rng(7), 25.0)
+    res = pred(img)[0]
+    assert res.obb is not None and len(res.obb) >= 1, "no rotated detections"
+    rb = res.obb.xywhr[0]
+    gt_c = pts.mean(0)
+    assert np.abs(rb[0] - gt_c[0]) < 10 and np.abs(rb[1] - gt_c[1]) < 10, f"center off: {rb[:2]} vs {gt_c}"
