@@ -206,7 +206,16 @@ class DetectionTrainer:
         self.state = init_train_state(variables)
         self.mesh = get_mesh()
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
-        self.validator = DetectionValidator(self.model, self.spec, names=data.get("names"))
+        if task == "segment":
+            from bsyolo_tpu.engine.validator import SegmentationValidator
+
+            self.validator = SegmentationValidator(self.model, self.spec, names=data.get("names"))
+        elif task == "obb":
+            from bsyolo_tpu.engine.validator import OBBValidator
+
+            self.validator = OBBValidator(self.model, self.spec, names=data.get("names"))
+        else:
+            self.validator = DetectionValidator(self.model, self.spec, names=data.get("names"))
         self.csv_path = self.save_dir / "results.csv"
 
         if self.args.resume:

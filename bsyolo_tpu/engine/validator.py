@@ -20,6 +20,191 @@ from bsyolo_tpu.ops.boxes import xywh2xyxy
 from bsyolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, _box_iou_np, match_predictions
 
 
+class OBBValidator:
+    """Rotated-box validation: probIoU matching at 10 thresholds
+    (reference models/yolo/obb/val.py)."""
+
+    def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.45, max_det: int = 300,
+                 names: Optional[Dict[int, str]] = None):
+        from bsyolo_tpu.nn.heads import decode_obb
+        from bsyolo_tpu.ops.obb import nms_rotated
+
+        self.spec = spec
+        self.names = names or {i: n for i, n in enumerate(spec.names)}
+        self.iouv = np.linspace(0.5, 0.95, 10)
+        nc, strides = spec.nc, spec.head_strides
+
+        def forward(variables, img):
+            preds = decode_obb(model.apply(variables, img, train=False), strides, nc)
+            return nms_rotated(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc)
+
+        self._forward = jax.jit(forward)
+
+    def __call__(self, variables, loader, verbose: bool = True) -> DetMetrics:
+        import jax.numpy as jnp2
+
+        from bsyolo_tpu.ops.obb import batch_probiou
+
+        stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        for batch in loader:
+            img = jnp.asarray(batch["img"])
+            dets = np.asarray(self._forward(variables, img))  # (B, max_det, 7)
+            h, w = img.shape[1], img.shape[2]
+            scale = np.asarray([w, h, w, h, 1.0], np.float32)
+            for i in range(img.shape[0]):
+                m = batch["mask"][i] > 0
+                gt_cls = np.asarray(batch["cls"][i])[m].astype(np.float32)
+                gt_rb = np.asarray(batch["rboxes"][i][m]) * scale
+                d = dets[i]
+                d = d[d[:, 4] > 0]
+                if len(d) == 0:
+                    if len(gt_cls):
+                        stats["tp"].append(np.zeros((0, 10), bool))
+                        stats["conf"].append(np.zeros(0))
+                        stats["pred_cls"].append(np.zeros(0))
+                        stats["target_cls"].append(gt_cls)
+                    continue
+                pd_rb = np.concatenate([d[:, :4], d[:, 6:7]], -1)
+                iou_m = np.asarray(batch_probiou(jnp2.asarray(gt_rb), jnp2.asarray(pd_rb)))
+                tp = match_predictions(d[:, 5], gt_cls, iou_m, self.iouv)
+                stats["tp"].append(tp)
+                stats["conf"].append(d[:, 4])
+                stats["pred_cls"].append(d[:, 5])
+                stats["target_cls"].append(gt_cls)
+        metrics = DetMetrics(names=self.names)
+        if stats["tp"]:
+            target_cls = np.concatenate(stats["target_cls"])
+            if len(target_cls):
+                metrics.process(
+                    np.concatenate(stats["tp"]),
+                    np.concatenate(stats["conf"]),
+                    np.concatenate(stats["pred_cls"]),
+                    target_cls,
+                )
+        return metrics
+
+
+class SegmentMetrics(DetMetrics):
+    """Box + mask mAP aggregation (reference metrics.py:982)."""
+
+    def __init__(self, names=None):
+        super().__init__(names)
+        from bsyolo_tpu.utils.metrics import Metric
+
+        self.seg = Metric()
+        self.seg.nc = len(self.names)
+
+    def process_seg(self, tp_m, conf, pred_cls, target_cls):
+        from bsyolo_tpu.utils.metrics import ap_per_class
+
+        self.seg.update(ap_per_class(tp_m, conf, pred_cls, target_cls))
+
+    @property
+    def fitness(self):
+        return self.box.fitness() + self.seg.fitness()
+
+    @property
+    def results_dict(self):
+        out = {
+            "metrics/precision(B)": self.box.mp,
+            "metrics/recall(B)": self.box.mr,
+            "metrics/mAP50(B)": self.box.map50,
+            "metrics/mAP50-95(B)": self.box.map,
+            "metrics/mAP50(M)": self.seg.map50,
+            "metrics/mAP50-95(M)": self.seg.map,
+            "fitness": self.fitness,
+        }
+        return out
+
+
+class SegmentationValidator:
+    """Box + mask mAP (reference models/yolo/segment/val.py): mask true
+    positives use flattened mask IoU against the overlap-encoded gt masks."""
+
+    def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 100,
+                 names: Optional[Dict[int, str]] = None):
+        from bsyolo_tpu.nn.heads import decode_extras
+        from bsyolo_tpu.ops.masks import process_mask
+
+        self.spec = spec
+        self.names = names or {i: n for i, n in enumerate(spec.names)}
+        self.iouv = np.linspace(0.5, 0.95, 10)
+        nc, strides = spec.nc, spec.head_strides
+
+        def forward(variables, img):
+            out = model.apply(variables, img, train=False)
+            feats, proto = out["feats"], out["proto"]
+            preds = decode_detections(feats, strides, nc)
+            dets, idx = non_max_suppression(
+                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc, return_idx=True
+            )
+            mc = decode_extras(feats, nc)
+            coeffs = jnp.take_along_axis(mc, jnp.maximum(idx, 0)[..., None], axis=1)
+            hm, wm = proto.shape[1], proto.shape[2]
+            # masks at proto resolution (upsample=False) for cheap IoU
+            masks = jax.vmap(
+                lambda p, c, b: process_mask(p, c, b, (img.shape[1], img.shape[2]), upsample=False)
+            )(proto, coeffs, dets[..., :4])
+            masks = (masks > 0.5) & (idx >= 0)[..., None, None]
+            return dets, masks
+
+        self._forward = jax.jit(forward)
+
+    def __call__(self, variables, loader, verbose: bool = True) -> SegmentMetrics:
+        from bsyolo_tpu.ops.boxes import xywh2xyxy as _xywh2xyxy
+
+        stats = {k: [] for k in ("tp", "tp_m", "conf", "pred_cls", "target_cls")}
+        for batch in loader:
+            img = jnp.asarray(batch["img"])
+            dets_d, masks_d = self._forward(variables, img)
+            dets, masks = np.asarray(dets_d), np.asarray(masks_d)
+            h, w = img.shape[1], img.shape[2]
+            scale = np.asarray([w, h, w, h], np.float32)
+            for i in range(img.shape[0]):
+                m = batch["mask"][i] > 0
+                gt_cls = np.asarray(batch["cls"][i])[m].astype(np.float32)
+                gt_xyxy = np.asarray(_xywh2xyxy(jnp.asarray(batch["bboxes"][i][m]))) * scale
+                gmask = np.asarray(batch["masks"][i])  # (hm, wm) overlap-encoded
+                d = dets[i]
+                keep = d[:, 4] > 0
+                d, pm = d[keep], masks[i][keep]
+                if len(d) == 0:
+                    if len(gt_cls):
+                        for k in ("tp", "tp_m"):
+                            stats[k].append(np.zeros((0, 10), bool))
+                        stats["conf"].append(np.zeros(0))
+                        stats["pred_cls"].append(np.zeros(0))
+                        stats["target_cls"].append(gt_cls)
+                    continue
+                iou_b = _box_iou_np(gt_xyxy, d[:, :4])
+                tp = match_predictions(d[:, 5], gt_cls, iou_b, self.iouv)
+                # mask IoU: gt instance g -> pixels == g+1 in the overlap mask
+                n_gt = len(gt_cls)
+                gms = np.stack([(gmask == g + 1) for g in range(n_gt)]) if n_gt else np.zeros(
+                    (0,) + gmask.shape, bool
+                )
+                g_flat = gms.reshape(n_gt, -1).astype(np.float32)
+                p_flat = pm.reshape(len(pm), -1).astype(np.float32)
+                inter = g_flat @ p_flat.T  # (n_gt, n_pd)
+                union = g_flat.sum(-1)[:, None] + p_flat.sum(-1)[None, :] - inter
+                iou_m = inter / (union + 1e-7)
+                tp_m = match_predictions(d[:, 5], gt_cls, iou_m, self.iouv)
+                stats["tp"].append(tp)
+                stats["tp_m"].append(tp_m)
+                stats["conf"].append(d[:, 4])
+                stats["pred_cls"].append(d[:, 5])
+                stats["target_cls"].append(gt_cls)
+        metrics = SegmentMetrics(names=self.names)
+        if stats["tp"]:
+            target_cls = np.concatenate(stats["target_cls"])
+            if len(target_cls):
+                conf = np.concatenate(stats["conf"])
+                pcls = np.concatenate(stats["pred_cls"])
+                metrics.process(np.concatenate(stats["tp"]), conf, pcls, target_cls)
+                metrics.process_seg(np.concatenate(stats["tp_m"]), conf, pcls, target_cls)
+        return metrics
+
+
 class DetectionValidator:
     def __init__(
         self,

@@ -202,6 +202,8 @@ def test_segment_training_run(tmp_path):
     assert trainer.args is not None
     metrics = trainer.train()
     assert metrics.box.map50 > 0.3, f"box mAP50 too low: {metrics.box.map50}"
+    assert hasattr(metrics, "seg"), "segment validator not used"
+    assert metrics.seg.map50 > 0.2, f"mask mAP50 too low: {metrics.seg.map50}"
 
     # predict with the trained weights through the facade-style path
     from bsyolo_tpu.engine.predictor import DetectionPredictor
@@ -360,10 +362,10 @@ def test_obb_training_run(tmp_path):
             "amp": False,
             "nbs": 8,
             "close_mosaic": 0,
-            "val": False,  # axis-aligned val metrics don't apply; rotated val next round
         }
     )
-    trainer.train()
+    metrics = trainer.train()
+    assert metrics.box.map50 > 0.3, f"rotated mAP50 too low: {metrics.box.map50}"
 
     variables = {"params": trainer.state.ema_params, "batch_stats": trainer.state.batch_stats}
     pred = DetectionPredictor(trainer.model, trainer.spec, variables, conf=0.2, imgsz=96)
