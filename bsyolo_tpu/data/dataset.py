@@ -78,7 +78,61 @@ class YOLODataset:
         self.hyp = dict(hyp or {})
         self.max_gt = max_gt
         self.single_cls = single_cls
-        self.labels = [self._load_label(i) for i in range(len(self.img_files))]
+        if not self._load_cache():
+            self.labels = [self._load_label(i) for i in range(len(self.img_files))]
+            self._save_cache()
+
+    # --- label cache (reference data/base.py *.cache semantics) -------------
+    def _cache_path(self) -> Path:
+        d = Path(self.label_files[0]).parent if self.label_files else Path(".")
+        return d.with_suffix(".cache.npz")
+
+    def _cache_hash(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(f"{self.task}:{self.single_cls}".encode())
+        for f in self.label_files:
+            try:
+                st = os.stat(f)
+                h.update(f"{f}:{st.st_mtime_ns}:{st.st_size}".encode())
+            except OSError:
+                h.update(f"{f}:missing".encode())
+        return h.hexdigest()
+
+    def _save_cache(self):
+        try:
+            def obj(x):
+                a = np.empty(1, dtype=object)
+                a[0] = x
+                return a
+
+            payload = {
+                "hash": self._cache_hash(),
+                "labels": obj(self.labels),
+                "segments": obj(getattr(self, "segments", {})),
+                "keypoints": obj(getattr(self, "keypoints", {})),
+                "rboxes": obj(getattr(self, "rboxes", {})),
+            }
+            np.savez(self._cache_path(), **payload, allow_pickle=True)
+        except OSError:
+            pass  # read-only label dirs are fine; caching is best-effort
+
+    def _load_cache(self) -> bool:
+        path = self._cache_path()
+        if not path.exists():
+            return False
+        try:
+            z = np.load(path, allow_pickle=True)
+            if str(z["hash"]) != self._cache_hash():
+                return False
+            self.labels = list(z["labels"][0])
+            self.segments = dict(z["segments"][0])
+            self.keypoints = dict(z["keypoints"][0])
+            self.rboxes = dict(z["rboxes"][0])
+            return True
+        except Exception:
+            return False
 
     @staticmethod
     def _list_images(img_path: str) -> List[str]:
@@ -109,9 +163,9 @@ class YOLODataset:
         lp = self.label_files[i]
         empty = (np.zeros((0,), np.float32), np.zeros((0, 4), np.float32))
         if not hasattr(self, "segments"):
-            self.segments: Dict[int, list] = {}
-            self.keypoints: Dict[int, list] = {}
-            self.rboxes: Dict[int, list] = {}
+            self.segments = {}
+            self.keypoints = {}
+            self.rboxes = {}
         if not os.path.exists(lp):
             return empty
         rows, polys, kpts, rbs = [], [], [], []

@@ -375,3 +375,23 @@ def test_obb_training_run(tmp_path):
     rb = res.obb.xywhr[0]
     gt_c = pts.mean(0)
     assert np.abs(rb[0] - gt_c[0]) < 10 and np.abs(rb[1] - gt_c[1]) < 10, f"center off: {rb[:2]} vs {gt_c}"
+
+
+def test_label_cache(tmp_path, rng):
+    from bsyolo_tpu.data import YOLODataset, load_dataset_yaml
+
+    data_yaml = make_synthetic_dataset(tmp_path / "ds", n_train=6, n_val=2)
+    data = load_dataset_yaml(data_yaml)
+    ds1 = YOLODataset(data["train"], imgsz=64, augment=False, max_gt=8)
+    cache = ds1._cache_path()
+    assert cache.exists(), "label cache not written"
+    # second construction loads from the cache with identical labels
+    ds2 = YOLODataset(data["train"], imgsz=64, augment=False, max_gt=8)
+    for (c1, b1), (c2, b2) in zip(ds1.labels, ds2.labels):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(b1, b2)
+    # touching a label invalidates the cache
+    lbl = Path(ds1.label_files[0])
+    lbl.write_text("1 0.5 0.5 0.2 0.2\n")
+    ds3 = YOLODataset(data["train"], imgsz=64, augment=False, max_gt=8)
+    assert int(ds3.labels[0][0][0]) == 1
