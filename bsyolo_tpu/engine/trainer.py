@@ -214,6 +214,10 @@ class DetectionTrainer:
             from bsyolo_tpu.engine.validator import OBBValidator
 
             self.validator = OBBValidator(self.model, self.spec, names=data.get("names"))
+        elif task == "pose":
+            from bsyolo_tpu.engine.validator import PoseValidator
+
+            self.validator = PoseValidator(self.model, self.spec, names=data.get("names"))
         else:
             self.validator = DetectionValidator(self.model, self.spec, names=data.get("names"))
         self.csv_path = self.save_dir / "results.csv"

@@ -205,6 +205,105 @@ class SegmentationValidator:
         return metrics
 
 
+class PoseMetrics(DetMetrics):
+    """Box + pose (OKS) AP aggregation (reference metrics.py:1122)."""
+
+    def __init__(self, names=None):
+        super().__init__(names)
+        from bsyolo_tpu.utils.metrics import Metric
+
+        self.pose = Metric()
+        self.pose.nc = len(self.names)
+
+    def process_pose(self, tp_p, conf, pred_cls, target_cls):
+        from bsyolo_tpu.utils.metrics import ap_per_class
+
+        self.pose.update(ap_per_class(tp_p, conf, pred_cls, target_cls))
+
+    @property
+    def fitness(self):
+        return self.box.fitness() + self.pose.fitness()
+
+
+class PoseValidator:
+    """Box mAP + OKS keypoint mAP (reference models/yolo/pose/val.py)."""
+
+    def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 300,
+                 names: Optional[Dict[int, str]] = None):
+        from bsyolo_tpu.losses.pose import OKS_SIGMA
+        from bsyolo_tpu.nn.heads import decode_extras, decode_keypoints
+
+        self.spec = spec
+        self.names = names or {i: n for i, n in enumerate(spec.names)}
+        self.iouv = np.linspace(0.5, 0.95, 10)
+        nkpt, nd = spec.kpt_shape
+        self.sigma = OKS_SIGMA if (nkpt == 17 and nd == 3) else np.ones(nkpt) / nkpt
+        nc, strides = spec.nc, spec.head_strides
+        kpt_shape = spec.kpt_shape
+
+        def forward(variables, img):
+            feats = model.apply(variables, img, train=False)
+            preds = decode_detections(feats, strides, nc)
+            dets, idx = non_max_suppression(
+                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc, return_idx=True
+            )
+            kflat = decode_extras(feats, nc)
+            kpts = decode_keypoints(kflat, feats, strides, kpt_shape)
+            sel = jnp.take_along_axis(kpts, jnp.maximum(idx, 0)[..., None, None], axis=1)
+            return dets, sel * (idx >= 0)[..., None, None]
+
+        self._forward = jax.jit(forward)
+
+    def __call__(self, variables, loader, verbose: bool = True) -> "PoseMetrics":
+        from bsyolo_tpu.ops.boxes import xywh2xyxy as _xywh2xyxy
+        from bsyolo_tpu.utils.metrics import kpt_iou_np
+
+        stats = {k: [] for k in ("tp", "tp_p", "conf", "pred_cls", "target_cls")}
+        for batch in loader:
+            img = jnp.asarray(batch["img"])
+            dets_d, kpts_d = self._forward(variables, img)
+            dets, kpts = np.asarray(dets_d), np.asarray(kpts_d)
+            h, w = img.shape[1], img.shape[2]
+            scale = np.asarray([w, h, w, h], np.float32)
+            for i in range(img.shape[0]):
+                m = batch["mask"][i] > 0
+                gt_cls = np.asarray(batch["cls"][i])[m].astype(np.float32)
+                gt_xyxy = np.asarray(_xywh2xyxy(jnp.asarray(batch["bboxes"][i][m]))) * scale
+                gt_kpts = np.asarray(batch["keypoints"][i])[m].copy()
+                gt_kpts[..., 0] *= w
+                gt_kpts[..., 1] *= h
+                d = dets[i]
+                keep = d[:, 4] > 0
+                d, pk = d[keep], kpts[i][keep]
+                if len(d) == 0:
+                    if len(gt_cls):
+                        for k in ("tp", "tp_p"):
+                            stats[k].append(np.zeros((0, 10), bool))
+                        stats["conf"].append(np.zeros(0))
+                        stats["pred_cls"].append(np.zeros(0))
+                        stats["target_cls"].append(gt_cls)
+                    continue
+                iou_b = _box_iou_np(gt_xyxy, d[:, :4])
+                tp = match_predictions(d[:, 5], gt_cls, iou_b, self.iouv)
+                area = (gt_xyxy[:, 2] - gt_xyxy[:, 0]) * (gt_xyxy[:, 3] - gt_xyxy[:, 1]) * 0.53
+                oks = kpt_iou_np(gt_kpts, pk, area, self.sigma)
+                tp_p = match_predictions(d[:, 5], gt_cls, oks, self.iouv)
+                stats["tp"].append(tp)
+                stats["tp_p"].append(tp_p)
+                stats["conf"].append(d[:, 4])
+                stats["pred_cls"].append(d[:, 5])
+                stats["target_cls"].append(gt_cls)
+        metrics = PoseMetrics(names=self.names)
+        if stats["tp"]:
+            target_cls = np.concatenate(stats["target_cls"])
+            if len(target_cls):
+                conf = np.concatenate(stats["conf"])
+                pcls = np.concatenate(stats["pred_cls"])
+                metrics.process(np.concatenate(stats["tp"]), conf, pcls, target_cls)
+                metrics.process_pose(np.concatenate(stats["tp_p"]), conf, pcls, target_cls)
+        return metrics
+
+
 class DetectionValidator:
     def __init__(
         self,

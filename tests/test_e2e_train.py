@@ -295,6 +295,8 @@ def test_pose_training_run(tmp_path):
     )
     metrics = trainer.train()
     assert metrics.box.map50 > 0.3, f"pose box mAP50 too low: {metrics.box.map50}"
+    assert hasattr(metrics, "pose"), "pose validator not used"
+    assert metrics.pose.map50 > 0.2, f"OKS mAP50 too low: {metrics.pose.map50}"
 
     # keypoints from predict must land near the square corners
     from bsyolo_tpu.engine.predictor import DetectionPredictor
