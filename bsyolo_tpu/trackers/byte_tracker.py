@@ -181,12 +181,13 @@ class BYTETracker:
             dists = matching.fuse_score(dists, detections)
         return dists
 
-    def update(self, xywh: np.ndarray, conf: np.ndarray, cls: np.ndarray) -> np.ndarray:
+    def update(self, xywh: np.ndarray, conf: np.ndarray, cls: np.ndarray, img=None) -> np.ndarray:
         """One tracking step.
 
         Args:
             xywh: (n, 4) detection boxes (cx, cy, w, h) in pixels.
             conf: (n,) confidences; cls: (n,) class indices.
+            img: optional frame (BGR) for camera-motion compensation.
 
         Returns:
             (m, 8) array: x1, y1, x2, y2, track_id, score, cls, det_idx.
@@ -210,6 +211,14 @@ class BYTETracker:
         # first association on high-confidence detections
         strack_pool = _joint(tracked, self.lost_stracks)
         STrack.multi_predict(strack_pool)
+        if getattr(self, "gmc", None) is not None and img is not None:
+            # BoT-SORT camera-motion compensation (reference bot_sort.py +
+            # byte_tracker.py:330-333 multi_gmc)
+            warp = self.gmc.apply(img)
+            from bsyolo_tpu.trackers.gmc import GMC as _GMC
+
+            _GMC.warp_track_means(strack_pool, warp)
+            _GMC.warp_track_means(unconfirmed, warp)
         dists = self.get_dists(strack_pool, detections)
         matches, u_track, u_det = matching.linear_assignment(dists, thresh=self.match_thresh)
         for it, idet in matches:

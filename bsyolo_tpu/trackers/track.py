@@ -27,8 +27,7 @@ def create_tracker(tracker: str = "bytetrack.yaml") -> BYTETracker:
     ttype = cfg.get("tracker_type", "bytetrack")
     if ttype not in ("bytetrack", "botsort"):
         raise ValueError(f"unsupported tracker_type: {ttype}")
-    # botsort currently runs as bytetrack without GMC/ReID (parity TODO)
-    return BYTETracker(
+    tracker = BYTETracker(
         track_high_thresh=cfg.get("track_high_thresh", 0.25),
         track_low_thresh=cfg.get("track_low_thresh", 0.1),
         new_track_thresh=cfg.get("new_track_thresh", 0.25),
@@ -36,15 +35,24 @@ def create_tracker(tracker: str = "bytetrack.yaml") -> BYTETracker:
         match_thresh=cfg.get("match_thresh", 0.8),
         fuse_score=cfg.get("fuse_score", True),
     )
+    tracker.gmc = None
+    if ttype == "botsort" and cfg.get("gmc_method", "sparseOptFlow") not in (None, "none", "None"):
+        from bsyolo_tpu.trackers.gmc import GMC
+
+        tracker.gmc = GMC(method=cfg.get("gmc_method", "sparseOptFlow"))
+        # ReID (with_reid) is not implemented yet; appearance-free BoT-SORT
+    return tracker
 
 
 def track_results(tracker: BYTETracker, result: Results) -> Results:
     """Update tracker with one frame's detections; return re-indexed Results."""
     if result.boxes is None or len(result.boxes) == 0:
-        tracker.update(np.zeros((0, 4), np.float32), np.zeros((0,)), np.zeros((0,)))
+        tracker.update(
+            np.zeros((0, 4), np.float32), np.zeros((0,)), np.zeros((0,)), img=result.orig_img
+        )
         return result
     xywh = result.boxes.xywh
-    tracks = tracker.update(xywh, result.boxes.conf, result.boxes.cls)
+    tracks = tracker.update(xywh, result.boxes.conf, result.boxes.cls, img=result.orig_img)
     if len(tracks) == 0:
         return result.new(boxes=np.zeros((0, 7), np.float32))
     idx = tracks[:, -1].astype(int)

@@ -92,3 +92,36 @@ class TestAutobatchModel:
         batch = ab.autobatch(lambda b: (b,), lambda b: None, fraction=0.6)
         # budget 9.6GB - 1GB base = 8.6 -> batch 8 (power of two)
         assert batch == 8
+
+
+class TestBoTSORT:
+    def test_botsort_with_gmc_keeps_identity_under_camera_pan(self):
+        """A static object under a panning camera: GMC compensates so the
+        track keeps its id (reference BoT-SORT behavior)."""
+        import cv2
+
+        from bsyolo_tpu.trackers import create_tracker
+
+        t = create_tracker(str(Path(__file__).resolve().parents[1] / "bsyolo_tpu/trackers/cfg/botsort.yaml"))
+        assert t.gmc is not None
+
+        rng = np.random.default_rng(0)
+        world = (rng.uniform(0, 255, (200, 320)) > 127).astype(np.uint8) * 255
+        world = cv2.GaussianBlur(world, (5, 5), 0)
+        world3 = np.stack([world] * 3, -1)
+        ids = []
+        for step in range(6):
+            # camera pans right: crop window moves right, object fixed in world
+            x_off = step * 8
+            frame = world3[40:160, x_off : x_off + 160].copy()
+            obj_x_world = 100.0
+            obj_x_frame = obj_x_world - x_off
+            out = t.update(
+                np.asarray([[obj_x_frame, 60, 24, 24]], np.float32),
+                np.asarray([0.9]),
+                np.asarray([0.0]),
+                img=frame,
+            )
+            if len(out):
+                ids.append(int(out[0, 4]))
+        assert len(set(ids)) == 1, f"identity switched under camera pan: {ids}"
