@@ -38,7 +38,7 @@ def main():
 
     img_size = int(os.environ.get("BENCH_IMGSZ", 640))
     scale = os.environ.get("BENCH_SCALE", "n")
-    bs = int(os.environ.get("BENCH_BATCH", 16))
+    bs = int(os.environ.get("BENCH_BATCH", 128))
     from bsyolo_tpu.nn.model import cast_inference_params
 
     d = load_model_yaml(model_yaml_path("yolo11.yaml"))
