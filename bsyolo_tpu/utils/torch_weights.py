@@ -22,7 +22,10 @@ import numpy as np
 
 def _translate_component(comp: str) -> Tuple[str, ...]:
     """Translate one flax path component to zero or more torch components."""
-    if comp == "dw":  # DWConvBN wrapper level — not present in torch
+    if comp in ("dw", "detect"):
+        # wrapper levels not present in torch: DWConvBN's inner ConvBN, and
+        # the Segment/Pose/OBB heads' nested Detect (torch heads inherit
+        # Detect, so cv2/cv3 live directly on the head module)
         return ()
     m = re.match(r"^m(\d+)$", comp)
     if m:

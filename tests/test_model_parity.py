@@ -128,3 +128,31 @@ class TestTaskGraphs:
         # reference counts include the fixed 16-entry DFL conv (absent for cls)
         dfl = 0 if spec.task == "classify" else 16
         assert got == want - dfl, f"{name}: {got} vs {want}"
+
+
+class TestSegmentWeightImport:
+    def test_seg_graph_forward_parity_after_conversion(self, rng):
+        """Segment-head torch weights convert and reproduce raw map numerics."""
+        import torch
+
+        from ref_torch_model import build_ref_model
+        from bsyolo_tpu.nn.model import build_model, make_forward
+        from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+        torch.manual_seed(0)
+        ref, spec = build_ref_model("bsyolo_tpu/cfg/models/11/yolo11-seg.yaml", scale="n")
+        ref.eval()
+        model, variables = build_model(spec, img_size=64)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables, report = convert_state_dict(sd, variables, strict=True)
+
+        x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        # reference Segment eval returns (decoded+coeffs, (feats, coeffs, proto))
+        proto_ref = y_ref[1][2] if isinstance(y_ref, tuple) else None
+        out = make_forward(model)(variables, jnp.asarray(x))
+        assert set(out.keys()) == {"feats", "proto"}
+        if proto_ref is not None:
+            got = np.asarray(out["proto"]).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(got, proto_ref.numpy(), rtol=1e-4, atol=2e-4)
