@@ -46,7 +46,11 @@ class TestNativeLetterbox:
 
 
 class TestNativeNMS:
-    def test_matches_numpy_oracle(self, native, rng):
+    def test_matches_numpy_oracle(self, native):
+        # local generator: the shared session rng's draw position depends on
+        # test order, and boxes whose IoU straddles the threshold within f32
+        # rounding make the comparison order-sensitive
+        rng = np.random.default_rng(42)
         n, nc = 120, 5
         cx = rng.uniform(50, 500, n)
         cy = rng.uniform(50, 500, n)
