@@ -109,30 +109,31 @@ def mosaic9(
     s = imgsz
     canvas = np.full((s * 3, s * 3, images[0].shape[2]), 114, dtype=np.uint8)
     out_cls, out_boxes = [], []
-    hp = wp = 0
-    prev_h = prev_w = 0
+    h0 = w0 = 0  # center image dims
+    hp = wp = 0  # previous image dims
     for i in range(9):
         img = images[i]
         h, w = img.shape[:2]
         if i == 0:  # center
+            h0, w0 = h, w
             c = (s, s, s + w, s + h)
         elif i == 1:  # top
             c = (s, s - h, s + w, s)
         elif i == 2:  # top right
-            c = (s + prev_w, s - h, s + prev_w + w, s)
+            c = (s + wp, s - h, s + wp + w, s)
         elif i == 3:  # right
-            c = (s + prev_w, s, s + prev_w + w, s + h)
+            c = (s + w0, s, s + w0 + w, s + h)
         elif i == 4:  # bottom right
-            c = (s + prev_w, s + prev_h, s + prev_w + w, s + prev_h + h)
+            c = (s + w0, s + hp, s + w0 + w, s + hp + h)
         elif i == 5:  # bottom
-            c = (s + prev_w - w, s + prev_h, s + prev_w, s + prev_h + h)
+            c = (s + w0 - w, s + h0, s + w0, s + h0 + h)
         elif i == 6:  # bottom left
-            c = (s + prev_w - prev_w - w, s + prev_h, s + prev_w - prev_w, s + prev_h + h)
+            c = (s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h)
         elif i == 7:  # left
-            c = (s - w, s + prev_h - h, s, s + prev_h)
+            c = (s - w, s + h0 - h, s, s + h0)
         else:  # top left
-            c = (s - w, s + prev_h - prev_h - h, s, s + prev_h - prev_h)
-        x1, y1, x2, y2 = (max(v, 0) for v in c)
+            c = (s - w, s + h0 - hp - h, s, s + h0 - hp)
+        x1, y1 = (max(v, 0) for v in c[:2])
         x2, y2 = min(c[2], 3 * s), min(c[3], 3 * s)
         if x2 > x1 and y2 > y1:
             canvas[y1:y2, x1:x2] = img[
@@ -145,7 +146,7 @@ def mosaic9(
                 b[:, [1, 3]] += c[1]
                 out_cls.append(cls)
                 out_boxes.append(b)
-        prev_h, prev_w = h, w
+        hp, wp = h, w
     # crop a 2s x 2s window at a random offset (must fit the 3s canvas)
     yc = int(rng.uniform(0, s))
     xc = int(rng.uniform(0, s))
@@ -185,7 +186,16 @@ def copy_paste(img, cls, boxes, rng: np.random.Generator, p: float = 0.5):
         mx1, mx2 = w - x2, w - x1
         if mx2 <= mx1 or x2 <= x1 or y2 <= y1:
             continue
-        # skip if the mirrored location overlaps an existing box heavily
+        # skip if the mirrored location overlaps an existing box heavily:
+        # IoA (intersection over existing-box area) must stay < 0.30 against
+        # ALL current boxes, matching reference augment.py:1715-1716.
+        cur = np.concatenate(new_boxes)
+        iw = np.minimum(cur[:, 2], mx2) - np.maximum(cur[:, 0], mx1)
+        ih = np.minimum(cur[:, 3], y2) - np.maximum(cur[:, 1], y1)
+        inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+        area = (cur[:, 2] - cur[:, 0]) * (cur[:, 3] - cur[:, 1]) + 1e-9
+        if (inter / area >= 0.30).any():
+            continue
         img[y1:y2, mx1:mx2] = np.fliplr(img[y1:y2, x1:x2])
         new_cls.append(cls[j : j + 1])
         new_boxes.append(np.asarray([[mx1, y1, mx2, y2]], np.float32))

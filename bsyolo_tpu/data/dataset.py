@@ -64,9 +64,14 @@ class YOLODataset:
         fraction: float = 1.0,
         task: str = "detect",
         mask_ratio: int = 4,
+        flip_idx: Optional[List[int]] = None,
     ):
         self.task = task
         self.mask_ratio = mask_ratio
+        # Left/right keypoint permutation applied on hflip (reference
+        # augment.py:1470); without it flipped pose samples carry side-swapped
+        # keypoint labels. None => hflip disabled for pose (augment.py:2321-2326).
+        self.flip_idx = None if flip_idx is None else np.asarray(flip_idx, np.int64)
         self.img_files = self._list_images(img_path)
         if fraction < 1.0:
             self.img_files = self.img_files[: max(1, round(len(self.img_files) * fraction))]
@@ -302,7 +307,10 @@ class YOLODataset:
             boxes = boxes * r
             boxes[:, [0, 2]] += dw
             boxes[:, [1, 3]] += dh
-        flip = self.augment and rng.random() < self.hyp.get("fliplr", 0.5)
+        # hflip requires flip_idx to reorder left/right keypoints; like the
+        # reference (augment.py:2321-2326) pose flipping is disabled without it.
+        can_flip = self.flip_idx is not None
+        flip = can_flip and self.augment and rng.random() < self.hyp.get("fliplr", 0.5)
         if flip:
             img = np.ascontiguousarray(np.fliplr(img))
             if len(boxes):
@@ -318,6 +326,8 @@ class YOLODataset:
             kk[:, 1] = (kk[:, 1] * h * r + dh) / self.imgsz
             if flip:
                 kk[:, 0] = np.where(kk[:, 2] > 0, 1.0 - kk[:, 0], kk[:, 0])
+                if len(kk) == len(self.flip_idx):
+                    kk = kk[self.flip_idx]
             out_kpts[j, : len(kk)] = kk
         out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
         return {

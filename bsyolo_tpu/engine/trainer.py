@@ -120,10 +120,12 @@ class DetectionTrainer:
             fraction=args.fraction,
             task=task,
             mask_ratio=args.mask_ratio,
+            flip_idx=data.get("flip_idx"),
         )
         val_ds = YOLODataset(
             data["val"], imgsz=args.imgsz, augment=False, max_gt=args.max_gt,
             single_cls=args.single_cls, task=task, mask_ratio=args.mask_ratio,
+            flip_idx=data.get("flip_idx"),
         )
         self.train_loader = DataLoader(train_ds, args.batch, shuffle=True, seed=args.seed)
         self.val_loader = DataLoader(val_ds, args.batch, shuffle=False, drop_last=False)

@@ -29,14 +29,19 @@ from bsyolo_tpu.ops.boxes import box_iou_pairwise, xywh2xyxy
 Array = jax.Array
 
 
-def _greedy_keep(iou: Array, valid: Array, iou_thres: float, max_iters: int = 128) -> Array:
+def _greedy_keep(iou: Array, valid: Array, iou_thres: float, max_iters: int | None = None) -> Array:
     """Exact greedy-NMS keep mask via fixed-point iteration.
 
     Args:
         iou: (k, k) IoU matrix of score-sorted candidates (desc).
         valid: (k,) candidate validity (score above threshold).
+        max_iters: iteration cap; defaults to k so even a length-k suppression
+            chain converges (the while_loop exits early at the fixed point, so
+            typical cost is a handful of iterations regardless).
     """
     k = iou.shape[0]
+    if max_iters is None:
+        max_iters = k
     # sup[i, j]: valid i earlier in score order would suppress j if i is kept
     upper = jnp.triu(jnp.ones((k, k), dtype=bool), k=1)  # i < j
     sup = (iou > iou_thres) & upper & valid[:, None]

@@ -143,7 +143,19 @@ def load_torch_checkpoint(path: str):
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Reference checkpoints pickle the whole nn.Module (nn/tasks.py:797),
+        # which weights_only rejects. Executing the pickle runs arbitrary code:
+        # only do so after an explicit warning, for files the user trusts.
+        from bsyolo_tpu.utils import LOGGER
+
+        LOGGER.warning(
+            f"{path}: weights_only load failed; falling back to full unpickle. "
+            "Only load checkpoints from sources you trust."
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     model = ckpt.get("ema") or ckpt.get("model") if isinstance(ckpt, dict) else ckpt
     if hasattr(model, "state_dict"):
         sd = model.state_dict()

@@ -397,3 +397,35 @@ def test_label_cache(tmp_path, rng):
     lbl.write_text("1 0.5 0.5 0.2 0.2\n")
     ds3 = YOLODataset(data["train"], imgsz=64, augment=False, max_gt=8)
     assert int(ds3.labels[0][0][0]) == 1
+
+
+def test_pose_flip_idx(tmp_path):
+    """hflip permutes left/right keypoints via flip_idx; without flip_idx the
+    flip is disabled entirely (reference augment.py:1470, 2321-2326)."""
+    from PIL import Image
+
+    from bsyolo_tpu.data import YOLODataset
+
+    root = tmp_path / "ds"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir()
+    img = np.random.default_rng(0).integers(0, 255, (96, 96, 3)).astype(np.uint8)
+    Image.fromarray(img).save(root / "images" / "a.jpg")
+    (root / "labels" / "a.txt").write_text(
+        "0 0.4 0.5 0.2 0.3 0.30 0.5 2 0.50 0.5 2 0.35 0.4 2\n"
+    )
+
+    # without flip_idx hflip must be disabled even at fliplr=1.0
+    ds = YOLODataset(
+        str(root / "images"), imgsz=64, augment=True, hyp={"fliplr": 1.0}, max_gt=4, task="pose"
+    )
+    k = ds.get_sample(0, np.random.default_rng(1))["keypoints"][0]
+    assert abs(k[0, 0] - 0.30) < 0.02 and abs(k[1, 0] - 0.50) < 0.02
+
+    # with flip_idx=[1,0,2] a flipped sample mirrors x AND swaps kpt 0<->1
+    ds2 = YOLODataset(
+        str(root / "images"), imgsz=64, augment=True, hyp={"fliplr": 1.0}, max_gt=4,
+        task="pose", flip_idx=[1, 0, 2],
+    )
+    k2 = ds2.get_sample(0, np.random.default_rng(1))["keypoints"][0]
+    assert abs(k2[0, 0] - 0.50) < 0.02 and abs(k2[1, 0] - 0.70) < 0.02, k2
