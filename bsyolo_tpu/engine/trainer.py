@@ -109,6 +109,9 @@ class DetectionTrainer:
             self.spec, img_size=args.imgsz, dtype=dtype, seed=args.seed
         )
 
+        if args.batch is not None and int(args.batch) < 1:
+            args.batch = self._autobatch(variables)
+
         task = self.spec.task
         train_ds = YOLODataset(
             data["train"],
@@ -226,6 +229,31 @@ class DetectionTrainer:
 
         if self.args.resume:
             self._resume()
+
+    def _autobatch(self, variables) -> int:
+        """Resolve batch=-1 via the compiler memory model (reference
+        trainer.py:476-484 check_train_batch_size). Probes fwd+bwd memory at
+        batch 1 and 2 and fits a linear model — no trial OOMs."""
+        import jax
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.utils.autobatch import autobatch
+
+        model, imgsz = self.model, self.args.imgsz
+
+        def probe(v, x):
+            def loss_fn(vv):
+                out = model.apply(vv, x, train=True, mutable=["batch_stats"])[0]
+                leaves = jax.tree_util.tree_leaves(out)
+                return sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+
+            return jax.value_and_grad(loss_fn)(v)[0]
+
+        batch = autobatch(
+            lambda b: (variables, jnp.zeros((b, imgsz, imgsz, 3), jnp.float32)), probe
+        )
+        LOGGER.info(f"autobatch: batch=-1 resolved to {batch} at imgsz={imgsz}")
+        return batch
 
     def _resume(self):
         """Restore a full TrainState from last.ckpt (reference trainer.py:723)."""

@@ -120,16 +120,51 @@ class YOLO:
         return self.metrics
 
     def val(self, data: Optional[str] = None, batch: int = 16, imgsz: Optional[int] = None, **kwargs):
-        from bsyolo_tpu.data import DataLoader, YOLODataset, load_dataset_yaml
-        from bsyolo_tpu.engine.validator import DetectionValidator
-
+        """Validate with the task-appropriate validator (mirrors reference
+        task_map dispatch, models/yolo/model.py:26): segment models get mask
+        mAP, pose OKS, OBB probIoU, classify top1/top5 — not box-only metrics."""
         assert self.model is not None, "no model loaded"
         data = data or self.overrides.get("data")
-        d = load_dataset_yaml(data)
         imgsz = imgsz or self._img_size
-        ds = YOLODataset(d["val"], imgsz=imgsz, augment=False, max_gt=kwargs.get("max_gt", 128))
+        task = self.spec.task
+
+        if task == "classify":
+            from pathlib import Path as _P
+
+            from bsyolo_tpu.data.classify import ClassificationDataset, ClassifyLoader
+            from bsyolo_tpu.engine.classify import ClassificationValidator
+
+            root = _P(data)
+            val_dir = root / ("val" if (root / "val").exists() else "test")
+            ds = ClassificationDataset(val_dir, imgsz=imgsz, augment=False)
+            loader = ClassifyLoader(ds, batch, shuffle=False, drop_last=False)
+            self.metrics = ClassificationValidator(self.model)(self.variables, loader)
+            return self.metrics
+
+        from bsyolo_tpu.data import DataLoader, YOLODataset, load_dataset_yaml
+        from bsyolo_tpu.engine.validator import (
+            DetectionValidator,
+            OBBValidator,
+            PoseValidator,
+            SegmentationValidator,
+        )
+
+        d = load_dataset_yaml(data)
+        ds = YOLODataset(
+            d["val"],
+            imgsz=imgsz,
+            augment=False,
+            max_gt=kwargs.get("max_gt", 128),
+            task=task,
+            flip_idx=d.get("flip_idx"),
+        )
         loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
-        validator = DetectionValidator(self.model, self.spec, names=d.get("names"))
+        validator_cls = {
+            "segment": SegmentationValidator,
+            "pose": PoseValidator,
+            "obb": OBBValidator,
+        }.get(task, DetectionValidator)
+        validator = validator_cls(self.model, self.spec, names=d.get("names"))
         self.metrics = validator(self.variables, loader)
         return self.metrics
 

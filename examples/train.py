@@ -12,7 +12,7 @@ if __name__ == "__main__":
         data="car.yaml",
         epochs=200,
         imgsz=640,
-        batch=16,  # or utils.autobatch for memory-fit batch selection
+        batch=16,  # batch=-1 auto-sizes from the compiler memory model
         optimizer="SGD",
         close_mosaic=20,
         project="runs/detect",

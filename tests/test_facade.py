@@ -154,3 +154,75 @@ class TestExportSave:
         preds = fn(x)
         # (B, A, 4+nc): A = (96/8)^2 + (96/16)^2 = 144+36
         assert preds.shape == (1, 180, 6)
+
+
+class TestTaskDispatch:
+    def _seg_dataset(self, tmp_path):
+        import cv2
+
+        rng = np.random.default_rng(3)
+        size = 96
+        for split, n in (("train", 4), ("val", 4)):
+            img_dir = tmp_path / "ds" / "images" / split
+            lbl_dir = tmp_path / "ds" / "labels" / split
+            img_dir.mkdir(parents=True)
+            lbl_dir.mkdir(parents=True)
+            for i in range(n):
+                img = rng.integers(30, 70, (size, size, 3)).astype(np.uint8)
+                img[20:60, 30:70] = [225, 215, 205]
+                poly = "0.3125 0.2083 0.7292 0.2083 0.7292 0.625 0.3125 0.625"
+                cv2.imwrite(str(img_dir / f"{i:04d}.jpg"), img)
+                (lbl_dir / f"{i:04d}.txt").write_text(f"0 {poly}\n")
+        (tmp_path / "ds" / "data.yaml").write_text(
+            f"path: {tmp_path / 'ds'}\ntrain: images/train\nval: images/val\nnc: 1\n"
+            "names:\n  0: square\n"
+        )
+        return str(tmp_path / "ds" / "data.yaml")
+
+    def test_val_routes_to_segment_validator(self, tmp_path):
+        """YOLO.val() on a segment model must return mask metrics, not
+        box-only (round-1 weakness: facade always used DetectionValidator)."""
+        from bsyolo_tpu import YOLO
+
+        data = self._seg_dataset(tmp_path)
+        m = YOLO(str(Path(__file__).parent / "fixtures" / "tinyseg.yaml"))
+        m._new(str(Path(__file__).parent / "fixtures" / "tinyseg.yaml"), img_size=96)
+        metrics = m.val(data=data, batch=4, imgsz=96)
+        assert hasattr(metrics, "seg"), "segment model val() must report mask mAP"
+
+
+def test_autobatch_wiring(tmp_path):
+    """batch=-1 resolves through utils.autobatch before dataloaders are built
+    (reference trainer.py:476-484)."""
+    import cv2
+
+    from bsyolo_tpu.engine.trainer import DetectionTrainer
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        img_dir = tmp_path / "ds" / "images" / split
+        lbl_dir = tmp_path / "ds" / "labels" / split
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        for i in range(2):
+            cv2.imwrite(
+                str(img_dir / f"{i}.jpg"), rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+            )
+            (lbl_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    (tmp_path / "ds" / "data.yaml").write_text(
+        f"path: {tmp_path / 'ds'}\ntrain: images/train\nval: images/val\nnc: 1\nnames:\n  0: a\n"
+    )
+    trainer = DetectionTrainer(
+        overrides={
+            "model": TINY,
+            "data": str(tmp_path / "ds" / "data.yaml"),
+            "epochs": 1,
+            "batch": -1,
+            "imgsz": 64,
+            "max_gt": 4,
+            "amp": False,
+            "project": str(tmp_path / "runs"),
+        }
+    )
+    trainer.setup()
+    assert int(trainer.args.batch) >= 1, "autobatch did not resolve batch=-1"
