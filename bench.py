@@ -1,7 +1,8 @@
-"""Benchmark: yolo11n-BS end-to-end inference throughput on one TPU chip.
+"""Benchmark: yolo11n-BS end-to-end inference on one TPU chip.
 
-Measures the full compiled predict path (forward + DFL decode + NMS) at
-640x640 in bf16.
+Measures the full compiled predict path (forward + fused Pallas DFL decode +
+logit-domain NMS, kernels/postprocess.py) at 640x640 in bf16, at the
+throughput batch size and at batch 1 (p50 latency).
 
 Methodology: the TPU here is reached through a relay where per-dispatch RTT
 is ~30-60 ms and `block_until_ready` does NOT reliably synchronize, so naive
@@ -10,10 +11,14 @@ timing is meaningless. Instead we run the model N times inside ONE compiled
 checksum (forces real execution), and difference two N values so dispatch RTT
 cancels:   per_iter = (t(N2) - t(N1)) / (N2 - N1).
 
-Baseline anchor (BASELINE.md): reference yolo11n at 1.5 ms on T4 TensorRT10
-batch 1 => ~667 img/s; vs_baseline = measured/667.
+Baseline anchor: the reference publishes only batch-1 T4 TensorRT10 latency
+(1.5 ms => ~667 img/s, BASELINE.md / README.md:134). vs_baseline is the
+batch-BENCH_BATCH TPU throughput over that batch-1 T4 number — an
+apples-to-oranges anchor kept because it is the only published speed for the
+reference; the extra fields report the honest per-batch-size picture,
+including our own batch-1 device latency.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -32,14 +37,13 @@ def main():
     import jax.numpy as jnp
 
     from bsyolo_tpu.cfg import model_yaml_path
+    from bsyolo_tpu.kernels.postprocess import detect_postprocess
     from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
-    from bsyolo_tpu.nn.heads import decode_detections
-    from bsyolo_tpu.ops.nms import non_max_suppression
+    from bsyolo_tpu.nn.model import cast_inference_params
 
     img_size = int(os.environ.get("BENCH_IMGSZ", 640))
     scale = os.environ.get("BENCH_SCALE", "n")
     bs = int(os.environ.get("BENCH_BATCH", 128))
-    from bsyolo_tpu.nn.model import cast_inference_params
 
     d = load_model_yaml(model_yaml_path("yolo11.yaml"))
     d["nc"] = 80
@@ -47,10 +51,15 @@ def main():
     model, variables = build_model(spec, img_size=img_size, dtype=jnp.bfloat16)
     variables = cast_inference_params(variables)
 
+    use_pallas = os.environ.get("BENCH_PALLAS")  # None=auto, "0"/"1" to force
+
     def predict(variables, x):
         feats = model.apply(variables, x, train=False)
-        preds = decode_detections(feats, spec.head_strides, spec.nc)
-        return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300, pre_k=512)
+        return detect_postprocess(
+            feats, spec.head_strides, spec.nc,
+            conf_thres=0.25, iou_thres=0.7, max_det=300, pre_k=512,
+            use_pallas=None if use_pallas is None else use_pallas == "1",
+        )
 
     @partial(jax.jit, static_argnames="n")
     def predict_loop(variables, x, n):
@@ -63,33 +72,44 @@ def main():
         (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), jnp.arange(n, dtype=jnp.float32))
         return acc
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (bs, img_size, img_size, 3)).astype(np.float32)).astype(
-        jnp.bfloat16
-    )
+    def scan_diff_time(batch, n1, n2, label):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.uniform(0, 1, (batch, img_size, img_size, 3)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        times = {}
+        for n in (n1, n2):
+            float(predict_loop(variables, x, n))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(predict_loop(variables, x, n))
+                best = min(best, time.perf_counter() - t0)
+            times[n] = best
+            print(f"# {label} scan n={n}: {best*1000:.1f} ms", file=sys.stderr)
+        return (times[n2] - times[n1]) / (n2 - n1)
 
-    n1, n2 = 2, 22
-    times = {}
-    for n in (n1, n2):
-        float(predict_loop(variables, x, n))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(predict_loop(variables, x, n))
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
-        print(f"# scan n={n}: {best*1000:.1f} ms", file=sys.stderr)
-
-    per_iter = (times[n2] - times[n1]) / (n2 - n1)
+    per_iter = scan_diff_time(bs, 2, 22, f"batch{bs}")
     ips = bs / per_iter
+
+    # batch-1 device latency (p50 analog of the reference's T4 1.5 ms number;
+    # scan-diff = pure device time per frame, relay RTT excluded)
+    lat_b1_ms = scan_diff_time(1, 4, 44, "batch1") * 1000
+
     baseline_ips = 1000.0 / 1.5  # reference yolo11n T4 TRT10 batch-1 (README.md:134)
     print(
         json.dumps(
             {
-                "metric": f"yolo11{scale}-BS e2e inference throughput @{img_size} (fwd+decode+NMS, bf16, batch={bs}, scan-diff timing)",
+                "metric": f"yolo11{scale}-BS e2e inference throughput @{img_size} "
+                f"(fwd+fused Pallas decode+NMS, bf16, batch={bs}, scan-diff timing)",
                 "value": round(ips, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / baseline_ips, 3),
+                "p50_batch1_latency_ms": round(lat_b1_ms, 3),
+                "batch1_vs_t4_trt10_1p5ms": round(1.5 / lat_b1_ms, 3),
+                "note": "vs_baseline compares batch-{} TPU throughput to the reference's "
+                "batch-1 T4 TRT10 latency anchor (its only published speed); "
+                "batch1_vs_t4_trt10_1p5ms is the like-for-like batch-1 ratio".format(bs),
             }
         )
     )

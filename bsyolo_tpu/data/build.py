@@ -1,21 +1,43 @@
-"""Batch loader with background prefetch.
+"""Batch loader with background prefetch, worker processes, and host sharding.
 
 Replaces the reference's InfiniteDataLoader/worker-process machinery
-(reference data/build.py:28-145): on TPU the host assembles padded static
-batches on a prefetch thread while the device runs the previous step.
-Deterministic per-epoch shuffling via a seeded Generator (reference
-seed_worker parity in spirit).
+(reference data/build.py:28-145): the host assembles padded static batches
+while the device runs the previous step. Three feeding modes:
+
+- ``workers=0`` (default): one background prefetch thread.
+- ``workers=N``: a fork-based process pool assembles batches in parallel
+  (the analog of torch DataLoader ``num_workers``, reference build.py:127);
+  augmentation randomness is derived per (seed, epoch, batch_index) so the
+  stream is identical regardless of worker count.
+- ``shard=(rank, world)``: multi-host data parallelism — every host shuffles
+  with the shared seed, then takes a strided slice of the epoch order (the
+  DistributedSampler analog, reference build.py:127-145). ``batch_size`` is
+  the per-host batch.
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
 from bsyolo_tpu.data.dataset import YOLODataset
+
+_WORKER_LOADER = None
+
+
+def _worker_init(loader):
+    global _WORKER_LOADER
+    _WORKER_LOADER = loader
+
+
+def _worker_assemble(args):
+    bi, idxs = args
+    ld = _WORKER_LOADER
+    return ld._assemble(idxs, np.random.default_rng([ld.seed, ld.epoch, bi]))
 
 
 class DataLoader:
@@ -28,6 +50,8 @@ class DataLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         mosaic: bool = True,
+        workers: int = 0,
+        shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -36,10 +60,25 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.mosaic = mosaic
+        self.workers = workers
+        self.shard = shard
         self.epoch = 0
 
-    def __len__(self):
+    def _epoch_order(self) -> np.ndarray:
         n = len(self.dataset)
+        rng = np.random.default_rng(self.seed + self.epoch * 1000003)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.shard is not None:
+            rank, world = self.shard
+            # pad by wrapping so every host sees the same number of batches
+            pad = (-n) % world
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+            order = order[rank::world]
+        return order
+
+    def __len__(self):
+        n = len(self._epoch_order()) if self.shard is not None else len(self.dataset)
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
 
     def set_epoch(self, epoch: int):
@@ -53,11 +92,10 @@ class DataLoader:
         samples = [self.dataset.get_sample(int(i), rng, mosaic=self.mosaic) for i in idxs]
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
-        rng = np.random.default_rng(self.seed + self.epoch * 1000003)
-        order = rng.permutation(n) if self.shuffle else np.arange(n)
-        nb = len(self)
+    def _batches(self) -> list:
+        order = self._epoch_order()
+        n = len(order)
+        nb = n // self.batch_size
         batches = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
         if not self.drop_last and n % self.batch_size:
             tail = order[nb * self.batch_size :]
@@ -65,10 +103,24 @@ class DataLoader:
                 # pad the tail batch by wrapping (keeps static shapes)
                 pad = order[: self.batch_size - len(tail)]
                 batches.append(np.concatenate([tail, pad]))
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+
+        if self.workers > 0:
+            ctx = multiprocessing.get_context("fork")
+            pool = ctx.Pool(self.workers, initializer=_worker_init, initargs=(self,))
+            try:
+                yield from pool.imap(_worker_assemble, list(enumerate(batches)), chunksize=1)
+            finally:
+                pool.terminate()
+                pool.join()
+            return
 
         if self.prefetch <= 0:
-            for idxs in batches:
-                yield self._assemble(idxs, rng)
+            for bi, idxs in enumerate(batches):
+                yield self._assemble(idxs, np.random.default_rng([self.seed, self.epoch, bi]))
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -76,8 +128,8 @@ class DataLoader:
 
         def worker():
             try:
-                for idxs in batches:
-                    q.put(self._assemble(idxs, rng))
+                for bi, idxs in enumerate(batches):
+                    q.put(self._assemble(idxs, np.random.default_rng([self.seed, self.epoch, bi])))
             finally:
                 q.put(stop)
 

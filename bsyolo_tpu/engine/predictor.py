@@ -1,14 +1,21 @@
 """Streaming predictor (maps reference engine/predictor.py BasePredictor).
 
 Source handling (image paths, dirs, globs, numpy arrays, video files, lists)
--> letterbox -> batched jitted forward+decode+NMS -> boxes scaled back to
-original frames -> Results stream. The compiled graph is cached per
-(batch, imgsz) so video streaming hits a single XLA program per shape.
+-> letterbox -> batched jitted forward+fused-decode+NMS -> boxes scaled back
+to original frames -> Results stream.
+
+Throughput design: frames are letterboxed on a background prefetch thread
+and accumulated into device batches of ``batch`` frames (the final partial
+batch is padded by repetition so one XLA program per (batch, imgsz) shape
+serves the whole stream); the detect decode runs through the fused Pallas
+postprocess (kernels/postprocess.py) where the backend supports it.
 """
 
 from __future__ import annotations
 
 import glob
+import queue
+import threading
 import time
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Union
@@ -18,9 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bsyolo_tpu.engine.results import Results
-from bsyolo_tpu.nn.heads import decode_detections
+from bsyolo_tpu.kernels.postprocess import detect_postprocess
 from bsyolo_tpu.ops.letterbox import letterbox_image
-from bsyolo_tpu.ops.nms import non_max_suppression
 from bsyolo_tpu.ops.boxes import scale_boxes
 from bsyolo_tpu.utils import LOGGER
 
@@ -86,6 +92,7 @@ class DetectionPredictor:
         classes: Optional[List[int]] = None,
         agnostic_nms: bool = False,
         names: Optional[Dict[int, str]] = None,
+        batch: int = 1,
     ):
         self.model = model
         self.spec = spec
@@ -94,6 +101,7 @@ class DetectionPredictor:
         self.iou = iou
         self.max_det = max_det
         self.imgsz = imgsz
+        self.batch = max(int(batch), 1)
         self.classes = classes
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.task = spec.task
@@ -113,9 +121,8 @@ class DetectionPredictor:
             def forward(variables, x):
                 out = model.apply(variables, x, train=False)
                 feats, proto = out["feats"], out["proto"]
-                preds = decode_detections(feats, strides, nc)
-                dets, idx = non_max_suppression(
-                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc,
+                dets, idx = detect_postprocess(
+                    feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det,
                     agnostic=agnostic_nms, return_idx=True,
                 )
                 mc = decode_extras(feats, nc)  # (B, A, nm)
@@ -134,9 +141,8 @@ class DetectionPredictor:
 
             def forward(variables, x):
                 feats = model.apply(variables, x, train=False)
-                preds = decode_detections(feats, strides, nc)
-                dets, idx = non_max_suppression(
-                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc,
+                dets, idx = detect_postprocess(
+                    feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det,
                     agnostic=agnostic_nms, return_idx=True,
                 )
                 kflat = decode_extras(feats, nc)  # (B, A, nk) raw
@@ -160,107 +166,144 @@ class DetectionPredictor:
 
             def forward(variables, x):
                 feats = model.apply(variables, x, train=False)
-                preds = decode_detections(feats, strides, nc)
-                return non_max_suppression(
-                    preds,
+                return detect_postprocess(
+                    feats,
+                    strides,
+                    nc,
                     conf_thres=conf,
                     iou_thres=iou,
                     max_det=max_det,
-                    nc=nc,
                     agnostic=agnostic_nms,
                 )
 
         self._forward = jax.jit(forward)
 
+    def _batched_inputs(self, source, vid_stride: int):
+        """Background-prefetched letterboxed batches.
+
+        A worker thread reads + letterboxes frames while the device runs the
+        previous batch; partial final batches are padded by repeating the
+        last frame so a single compiled program serves every batch.
+        """
+        q: queue.Queue = queue.Queue(maxsize=4)
+        stop = object()
+        err: list = []
+
+        def producer():
+            frames, paths, lbs = [], [], []
+            t_pre = 0.0
+            try:
+                for frame, path, _ in iter_source(source, vid_stride):
+                    t0 = time.perf_counter()
+                    lb, _, _ = letterbox_image(frame, (self.imgsz, self.imgsz))
+                    t_pre += time.perf_counter() - t0
+                    frames.append(frame)
+                    paths.append(path)
+                    lbs.append(lb[..., ::-1])
+                    if len(frames) == self.batch:
+                        t0 = time.perf_counter()
+                        x = np.stack(lbs).astype(np.float32) / 255.0
+                        t_pre += time.perf_counter() - t0
+                        q.put((frames, paths, x, t_pre))
+                        frames, paths, lbs, t_pre = [], [], [], 0.0
+                if frames:
+                    n = len(frames)
+                    t0 = time.perf_counter()
+                    lbs = lbs + [lbs[-1]] * (self.batch - n)  # pad by repetition
+                    x = np.stack(lbs).astype(np.float32) / 255.0
+                    t_pre += time.perf_counter() - t0
+                    q.put((frames, paths, x, t_pre))
+            except Exception as e:  # surface reader errors to the consumer
+                err.append(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            frames, paths, x, t_pre = item
+            yield frames, paths, jnp.asarray(x), t_pre
+        if err:
+            raise err[0]
+
     def stream(self, source, vid_stride: int = 1, verbose: bool = False) -> Iterator[Results]:
-        """Per-frame streaming inference (reference stream_inference:220)."""
-        for frame, path, _ in iter_source(source, vid_stride):
-            t0 = time.perf_counter()
-            lb, r, (dw, dh) = letterbox_image(frame, (self.imgsz, self.imgsz))
-            x = jnp.asarray(lb[None, ..., ::-1].astype(np.float32) / 255.0)
+        """Batched streaming inference (reference stream_inference:220)."""
+        for frames, paths, x, t_pre in self._batched_inputs(source, vid_stride):
+            n = len(frames)
+            pre_ms = t_pre * 1000 / n
             t1 = time.perf_counter()
-            if self.task == "classify":
-                probs = np.asarray(self._forward(self.variables, x))[0]
-                t2 = time.perf_counter()
-                res = Results(frame, path, self.names, probs=probs)
-                res.speed = {
-                    "preprocess": (t1 - t0) * 1000,
-                    "inference": (t2 - t1) * 1000,
-                    "postprocess": 0.0,
-                }
-                yield res
-                continue
-            if self.task == "pose":
-                dets_d, kpts_d = self._forward(self.variables, x)
-                dets = np.asarray(dets_d)[0]
-                kpts = np.asarray(kpts_d)[0]
-                t2 = time.perf_counter()
-                keep = dets[:, 4] > 0
-                d, k = dets[keep], kpts[keep]
-                h0, w0 = frame.shape[:2]
-                gain = min(self.imgsz / h0, self.imgsz / w0)
-                pw = round((self.imgsz - w0 * gain) / 2 - 0.1)
-                ph = round((self.imgsz - h0 * gain) / 2 - 0.1)
-                if len(d):
-                    boxes = np.asarray(
-                        scale_boxes((self.imgsz, self.imgsz), jnp.asarray(d[:, :4]), frame.shape[:2])
-                    )
-                    d = np.concatenate([boxes, d[:, 4:6]], -1)
-                    k = k.copy()
-                    k[..., 0] = (k[..., 0] - pw) / gain
-                    k[..., 1] = (k[..., 1] - ph) / gain
-                else:
-                    d = np.zeros((0, 6), np.float32)
-                    k = np.zeros((0,) + kpts.shape[1:], np.float32)
-                res = Results(frame, path, self.names, boxes=d, keypoints=k)
-                res.speed = {"preprocess": (t1 - t0) * 1000, "inference": (t2 - t1) * 1000,
-                             "postprocess": (time.perf_counter() - t2) * 1000}
-                yield res
-                continue
-            if self.task == "obb":
-                dets = np.asarray(self._forward(self.variables, x))[0]
-                t2 = time.perf_counter()
-                d = dets[dets[:, 4] > 0]
-                h0, w0 = frame.shape[:2]
-                gain = min(self.imgsz / h0, self.imgsz / w0)
-                pw = round((self.imgsz - w0 * gain) / 2 - 0.1)
-                ph = round((self.imgsz - h0 * gain) / 2 - 0.1)
-                if len(d):
-                    d = d.copy()
-                    d[:, 0] = (d[:, 0] - pw) / gain
-                    d[:, 1] = (d[:, 1] - ph) / gain
-                    d[:, 2:4] /= gain
-                res = Results(frame, path, self.names, obb=d)
-                res.speed = {"preprocess": (t1 - t0) * 1000, "inference": (t2 - t1) * 1000,
-                             "postprocess": (time.perf_counter() - t2) * 1000}
-                yield res
-                continue
-            if self.task == "segment":
-                dets_d, masks_d = self._forward(self.variables, x)
-                dets = np.asarray(dets_d)[0]
-                masks = np.asarray(masks_d)[0]
-                t2 = time.perf_counter()
-                res = self._to_results(dets, frame, path, masks=masks)
-                res.speed = {
-                    "preprocess": (t1 - t0) * 1000,
-                    "inference": (t2 - t1) * 1000,
-                    "postprocess": (time.perf_counter() - t2) * 1000,
-                }
-                if verbose:
-                    LOGGER.info(f"{path}: {res.verbose_line}")
-                yield res
-                continue
-            dets = np.asarray(self._forward(self.variables, x))[0]
-            t2 = time.perf_counter()
-            res = self._to_results(dets, frame, path)
-            res.speed = {
-                "preprocess": (t1 - t0) * 1000,
-                "inference": (t2 - t1) * 1000,
+            outs = self._forward(self.variables, x)
+            outs = jax.tree_util.tree_map(np.asarray, outs)  # one D2H per batch
+            inf_ms = (time.perf_counter() - t1) * 1000 / n
+            for i in range(n):
+                yield self._emit(outs, i, frames[i], paths[i], pre_ms, inf_ms, verbose)
+
+    def _emit(self, outs, i, frame, path, pre_ms, inf_ms, verbose) -> Results:
+        """Host-side per-frame postprocess of batch outputs."""
+        t2 = time.perf_counter()
+
+        def _speed():
+            return {
+                "preprocess": pre_ms,
+                "inference": inf_ms,
                 "postprocess": (time.perf_counter() - t2) * 1000,
             }
+
+        if self.task == "classify":
+            res = Results(frame, path, self.names, probs=outs[i])
+            res.speed = _speed()
+            return res
+        if self.task == "pose":
+            dets, kpts = outs[0][i], outs[1][i]
+            keep = dets[:, 4] > 0
+            d, k = dets[keep], kpts[keep]
+            h0, w0 = frame.shape[:2]
+            gain = min(self.imgsz / h0, self.imgsz / w0)
+            pw = round((self.imgsz - w0 * gain) / 2 - 0.1)
+            ph = round((self.imgsz - h0 * gain) / 2 - 0.1)
+            if len(d):
+                boxes = np.asarray(
+                    scale_boxes((self.imgsz, self.imgsz), jnp.asarray(d[:, :4]), frame.shape[:2])
+                )
+                d = np.concatenate([boxes, d[:, 4:6]], -1)
+                k = k.copy()
+                k[..., 0] = (k[..., 0] - pw) / gain
+                k[..., 1] = (k[..., 1] - ph) / gain
+            else:
+                d = np.zeros((0, 6), np.float32)
+                k = np.zeros((0,) + kpts.shape[1:], np.float32)
+            res = Results(frame, path, self.names, boxes=d, keypoints=k)
+            res.speed = _speed()
+            return res
+        if self.task == "obb":
+            dets = outs[i]
+            d = dets[dets[:, 4] > 0]
+            h0, w0 = frame.shape[:2]
+            gain = min(self.imgsz / h0, self.imgsz / w0)
+            pw = round((self.imgsz - w0 * gain) / 2 - 0.1)
+            ph = round((self.imgsz - h0 * gain) / 2 - 0.1)
+            if len(d):
+                d = d.copy()
+                d[:, 0] = (d[:, 0] - pw) / gain
+                d[:, 1] = (d[:, 1] - ph) / gain
+                d[:, 2:4] /= gain
+            res = Results(frame, path, self.names, obb=d)
+            res.speed = _speed()
+            return res
+        if self.task == "segment":
+            res = self._to_results(outs[0][i], frame, path, masks=outs[1][i])
+            res.speed = _speed()
             if verbose:
-                LOGGER.info(f"{path}: {res.verbose_line} ({res.speed['inference']:.1f} ms)")
-            yield res
+                LOGGER.info(f"{path}: {res.verbose_line}")
+            return res
+        res = self._to_results(outs[i], frame, path)
+        res.speed = _speed()
+        if verbose:
+            LOGGER.info(f"{path}: {res.verbose_line} ({res.speed['inference']:.1f} ms)")
+        return res
 
     def _to_results(
         self, dets: np.ndarray, frame: np.ndarray, path: str, masks: Optional[np.ndarray] = None

@@ -26,6 +26,7 @@ from bsyolo_tpu.engine.validator import DetectionValidator
 from bsyolo_tpu.losses import DetectionLossConfig
 from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
 from bsyolo_tpu.parallel import get_mesh, replicated_sharding, shard_batch
+from bsyolo_tpu.parallel import dist as pdist
 from bsyolo_tpu.utils import LOGGER
 from bsyolo_tpu.utils.callbacks import EarlyStopping, default_callbacks
 
@@ -94,6 +95,9 @@ class DetectionTrainer:
 
     def setup(self):
         args = self.args
+        pdist.initialize()  # no-op single-process (reference _setup_ddp analog)
+        self.world = pdist.process_count()
+        self.rank = pdist.process_index()
         data = load_dataset_yaml(args.data)
         self.data = data
         yaml_path = model_yaml_path(str(args.model))
@@ -130,8 +134,20 @@ class DetectionTrainer:
             single_cls=args.single_cls, task=task, mask_ratio=args.mask_ratio,
             flip_idx=data.get("flip_idx"),
         )
-        self.train_loader = DataLoader(train_ds, args.batch, shuffle=True, seed=args.seed)
-        self.val_loader = DataLoader(val_ds, args.batch, shuffle=False, drop_last=False)
+        # multi-host: args.batch is the GLOBAL batch; each host loads its shard
+        local_batch = pdist.local_batch_size(args.batch) if self.world > 1 else args.batch
+        shard = (self.rank, self.world) if self.world > 1 else None
+        # cap workers at cores-1: forked assemblers beyond that only thrash
+        import os as _os
+
+        workers = min(int(getattr(args, "workers", 0) or 0), max((_os.cpu_count() or 1) - 1, 0))
+        self.train_loader = DataLoader(
+            train_ds, local_batch, shuffle=True, seed=args.seed, workers=workers, shard=shard
+        )
+        # validation runs the FULL val set on every host (params are
+        # replicated so each host evaluates identically — same fitness, same
+        # early-stop decision, no rank-0 broadcast needed)
+        self.val_loader = DataLoader(val_ds, local_batch, shuffle=False, drop_last=False)
         nb = max(len(self.train_loader), 1)
         self.nb = nb
 
@@ -299,7 +315,10 @@ class DetectionTrainer:
             em = {}
             n = 0
             for batch in self.train_loader:
-                batch = shard_batch(batch, self.mesh)
+                if self.world > 1:
+                    batch = pdist.host_local_batch_to_global(batch, self.mesh)
+                else:
+                    batch = shard_batch(batch, self.mesh)
                 self.state, m = self.train_step(self.state, batch)
                 n += 1
                 for k, v in m.items():
@@ -311,9 +330,15 @@ class DetectionTrainer:
             fitness = 0.0
             if args.val:
                 variables = {"params": self.state.ema_params, "batch_stats": self.state.batch_stats}
+                if self.world > 1:
+                    # fetch replicated params to host so validation runs as a
+                    # process-local computation (a rank-gated jit on global
+                    # arrays would deadlock the other hosts)
+                    variables = jax.tree_util.tree_map(np.asarray, variables)
                 self.metrics = self.validator(variables, self.val_loader)
                 fitness = self.metrics.fitness
-            self._log_epoch(epoch, em, fitness)
+            if self.rank == 0:
+                self._log_epoch(epoch, em, fitness)
             self.epoch_metrics = {"train/" + k: v for k, v in em.items()}
             self.epoch_metrics["fitness"] = fitness
             if self.metrics is not None:
@@ -322,7 +347,7 @@ class DetectionTrainer:
                 )
             self.callbacks.run("on_fit_epoch_end", self)
 
-            if args.save:
+            if args.save and self.rank == 0:
                 if fitness >= self.best_fitness:
                     self.best_fitness = fitness
                 meta = {
@@ -342,9 +367,15 @@ class DetectionTrainer:
                 )
                 stop_epoch = epoch + 1
                 break
-            if args.time and (time.time() - t_start) / 3600 > args.time:
-                stop_epoch = epoch + 1
-                break
+            if args.time:
+                # wall clocks differ per host: rank 0 decides, all hosts agree
+                # (the reference's broadcast_object_list stop flag, trainer.py:399)
+                over = float((time.time() - t_start) / 3600 > args.time)
+                if self.world > 1:
+                    over = pdist.broadcast_scalar(over, self.mesh)
+                if over:
+                    stop_epoch = epoch + 1
+                    break
         self.callbacks.run("on_train_end", self)
         if args.plots and self.csv_path.exists():
             from bsyolo_tpu.utils.plotting import plot_results

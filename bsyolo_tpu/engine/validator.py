@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bsyolo_tpu.kernels.postprocess import detect_postprocess
 from bsyolo_tpu.nn.heads import decode_detections
 from bsyolo_tpu.ops.nms import non_max_suppression
 from bsyolo_tpu.ops.boxes import xywh2xyxy
@@ -134,9 +135,9 @@ class SegmentationValidator:
         def forward(variables, img):
             out = model.apply(variables, img, train=False)
             feats, proto = out["feats"], out["proto"]
-            preds = decode_detections(feats, strides, nc)
-            dets, idx = non_max_suppression(
-                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc, return_idx=True
+            dets, idx = detect_postprocess(
+                feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                return_idx=True,
             )
             mc = decode_extras(feats, nc)
             coeffs = jnp.take_along_axis(mc, jnp.maximum(idx, 0)[..., None], axis=1)
@@ -243,9 +244,9 @@ class PoseValidator:
 
         def forward(variables, img):
             feats = model.apply(variables, img, train=False)
-            preds = decode_detections(feats, strides, nc)
-            dets, idx = non_max_suppression(
-                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc, return_idx=True
+            dets, idx = detect_postprocess(
+                feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                return_idx=True,
             )
             kflat = decode_extras(feats, nc)
             kpts = decode_keypoints(kflat, feats, strides, kpt_shape)
@@ -330,9 +331,8 @@ class DetectionValidator:
         def forward(variables, img):
             out = model.apply(variables, img, train=False)
             feats = out["feats"] if isinstance(out, dict) else out
-            preds = decode_detections(feats, strides, nc)
-            return non_max_suppression(
-                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_k=pre_k, nc=nc
+            return detect_postprocess(
+                feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_k=pre_k
             )
 
         self._forward = jax.jit(forward)

@@ -1,0 +1,88 @@
+"""Fused detect postprocess: raw head maps -> final (B, max_det, 6) boxes.
+
+The product fast path (reference Detect._inference + non_max_suppression,
+head.py:100-131 / utils/ops.py:167) as one compiled pipeline:
+
+    [Pallas] DFL box decode -> xyxy pixels, fused with per-anchor
+             max-class-logit (the NMS score pre-pass)
+    [XLA]    top-k candidate selection on RAW logits (sigmoid is monotonic),
+             sigmoid on the pre_k survivors only, greedy fixed-point NMS
+
+Compared to the naive decode_detections + non_max_suppression composition
+this never materializes the (B, A, nc) sigmoid score tensor and never
+re-reads the decoded boxes from HBM between decode and NMS candidate gather.
+On backends without Pallas (CPU tests) the same dataflow runs as plain XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from bsyolo_tpu.kernels.decode import fused_box_best_pallas
+from bsyolo_tpu.ops.anchors import dist2bbox, make_anchors
+from bsyolo_tpu.ops.nms import nms_from_logits
+
+REG_MAX = 16
+
+
+def detect_postprocess(
+    feats: Sequence[jax.Array],
+    strides: Sequence[int],
+    nc: int,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.7,
+    max_det: int = 300,
+    pre_k: int = 1024,
+    multi_label: bool = True,
+    agnostic: bool = False,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+    return_idx: bool = False,
+):
+    """Raw per-level Detect maps -> (B, max_det, 6) xyxy/conf/cls (+ idx).
+
+    Drop-in replacement for decode_detections + non_max_suppression; the
+    decode half can run as a Pallas kernel (use_pallas=True).
+
+    Default is the XLA dataflow: measured on a v5e chip (yolo11n @640 bf16,
+    batch 128) the XLA-fused path reaches 3442 img/s vs 2852 img/s with the
+    Pallas decode kernel — the kernel itself is MXU-efficient but the
+    slice/pad copies feeding it and the per-tile dispatch cost more than it
+    saves, because XLA already fuses the DFL decode into neighboring ops.
+    The throughput win over the naive composition comes from the
+    logit-domain NMS (deferred sigmoid, no dense (B, A, nc) score tensor),
+    which both paths share. See bench.py (BENCH_PALLAS=0/1) to reproduce.
+    """
+    if use_pallas is None:
+        use_pallas = False
+
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+    b = feats[0].shape[0]
+    flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in feats], axis=1)
+    cls_logits = flat[..., 4 * REG_MAX : 4 * REG_MAX + nc]
+
+    if use_pallas:
+        boxes, best = fused_box_best_pallas(flat, anchors, stride_t, nc=nc, interpret=interpret)
+    else:
+        from bsyolo_tpu.nn.modules import dfl_decode
+
+        dist = dfl_decode(flat[..., : 4 * REG_MAX], REG_MAX)  # (B, A, 4)
+        boxes = dist2bbox(dist, anchors[None], xywh=False, axis=-1) * stride_t[None]
+        best = jnp.max(cls_logits.astype(jnp.float32), axis=-1)
+
+    return nms_from_logits(
+        boxes,
+        cls_logits,
+        best,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        pre_k=pre_k,
+        multi_label=multi_label,
+        agnostic=agnostic,
+        return_idx=return_idx,
+    )

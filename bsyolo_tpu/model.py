@@ -175,7 +175,8 @@ class YOLO:
         conf = kwargs.get("conf")
         conf = 0.25 if conf is None else conf  # 0.0 is a valid threshold
         imgsz = kwargs.get("imgsz") or self._img_size
-        key = (conf, kwargs.get("iou", 0.7), imgsz, tuple(kwargs.get("classes") or ()))
+        batch = int(kwargs.get("batch", 1) or 1)
+        key = (conf, kwargs.get("iou", 0.7), imgsz, tuple(kwargs.get("classes") or ()), batch)
         if self._predictor is None or self._predictor_key != key:
             self._predictor = DetectionPredictor(
                 self.model,
@@ -188,6 +189,7 @@ class YOLO:
                 classes=kwargs.get("classes"),
                 agnostic_nms=kwargs.get("agnostic_nms", False),
                 names=self.names,
+                batch=batch,
             )
             self._predictor_key = key
         else:

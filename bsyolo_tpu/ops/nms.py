@@ -128,6 +128,107 @@ def _nms_single(
     return out, sel_anchor
 
 
+def _nms_single_logits(
+    boxes: Array,  # (A, 4) xyxy pixels, already decoded
+    cls_logits: Array,  # (A, nc) RAW class logits (pre-sigmoid)
+    best_logit: Array,  # (A,) max class logit per anchor
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int,
+    pre_k: int,
+    multi_label: bool,
+    agnostic: bool,
+    max_wh: float,
+):
+    """Logit-domain NMS for one image: sigmoid is monotonic, so candidate
+    top-k ranks raw logits identically to sigmoided scores — only the
+    selected ``pre_k`` candidates are ever sigmoided, and the dense
+    (A, nc) score tensor is never materialized."""
+    num_anchors, nc = cls_logits.shape
+    ka = min(pre_k, num_anchors)
+    _, top_anchors = jax.lax.top_k(best_logit, ka)
+    sub = cls_logits[top_anchors].astype(jnp.float32)  # (ka, nc)
+    if multi_label and nc > 1:
+        k = min(pre_k, ka * nc)
+        cand_logits, flat_idx = jax.lax.top_k(sub.reshape(-1), k)
+        rel = flat_idx // nc
+        cls_idx = (flat_idx % nc).astype(jnp.float32)
+    else:
+        k = ka
+        cand_logits = jnp.max(sub, axis=-1)
+        rel = jnp.arange(ka)
+        cls_idx = jnp.argmax(sub, axis=-1).astype(jnp.float32)
+    cand_scores = jax.nn.sigmoid(cand_logits)
+    anchor_idx = top_anchors[rel]
+    cand_boxes = boxes[anchor_idx]
+
+    valid = cand_scores > conf_thres
+    offset = jnp.zeros((k, 1), dtype=cand_boxes.dtype) if agnostic else cls_idx[:, None] * max_wh
+    iou = box_iou_pairwise(cand_boxes + offset, cand_boxes + offset)
+    keep = _greedy_keep(iou, valid, iou_thres)
+
+    keep_scores = jnp.where(keep, cand_scores, -1.0)
+    out_scores, out_idx = jax.lax.top_k(keep_scores, min(max_det, k))
+    sel_boxes = cand_boxes[out_idx]
+    sel_cls = cls_idx[out_idx]
+    sel_anchor = anchor_idx[out_idx]
+    ok = out_scores > 0
+    out = jnp.concatenate(
+        [
+            jnp.where(ok[:, None], sel_boxes, 0.0),
+            jnp.where(ok, out_scores, 0.0)[:, None],
+            jnp.where(ok, sel_cls, -1.0)[:, None],
+        ],
+        axis=-1,
+    )
+    sel_anchor = jnp.where(ok, sel_anchor, -1)
+    if max_det > k:
+        pad = jnp.zeros((max_det - k, 6), dtype=out.dtype)
+        pad = pad.at[:, 5].set(-1.0)
+        out = jnp.concatenate([out, pad], axis=0)
+        sel_anchor = jnp.concatenate([sel_anchor, jnp.full((max_det - k,), -1, sel_anchor.dtype)])
+    return out, sel_anchor
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres",
+        "iou_thres",
+        "max_det",
+        "pre_k",
+        "multi_label",
+        "agnostic",
+        "max_wh",
+        "return_idx",
+    ),
+)
+def nms_from_logits(
+    boxes: Array,  # (B, A, 4) xyxy pixels
+    cls_logits: Array,  # (B, A, nc) raw class logits
+    best_logit: Array,  # (B, A)
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.7,
+    max_det: int = 300,
+    pre_k: int = 1024,
+    multi_label: bool = True,
+    agnostic: bool = False,
+    max_wh: float = 7680.0,
+    return_idx: bool = False,
+):
+    """Batched logit-domain NMS (fused fast path; see _nms_single_logits).
+
+    Same contract as :func:`non_max_suppression` — (B, max_det, 6) xyxy,
+    conf, cls with zero-score padding — but consumes decoded xyxy boxes and
+    raw logits so decode+threshold+top-k can fuse with the Pallas decode
+    kernel upstream (kernels/decode.py fused_box_best_pallas)."""
+    fn = lambda b, c, m: _nms_single_logits(
+        b, c, m, conf_thres, iou_thres, max_det, pre_k, multi_label, agnostic, max_wh
+    )
+    out, idx = jax.vmap(fn)(boxes.astype(jnp.float32), cls_logits, best_logit)
+    return (out, idx) if return_idx else out
+
+
 @partial(
     jax.jit,
     static_argnames=(

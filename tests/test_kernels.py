@@ -40,3 +40,55 @@ class TestFusedDecode:
         dist = dfl_decode(flat[..., :64], 16)
         ref_box = np.asarray(dist2bbox(dist, anchors[None], xywh=True) * strides[None])
         np.testing.assert_allclose(got[..., :4], ref_box, rtol=1e-5, atol=1e-4)
+
+
+class TestDetectPostprocess:
+    """Fused postprocess path == decode_detections + non_max_suppression."""
+
+    def _feats(self, rng, nc=12, b=2, img=64):
+        sizes = [(img // s, img // s) for s in (8, 16, 32)]
+        strides = (8, 16, 32)
+        no = 64 + nc
+        feats = [
+            jnp.asarray(rng.normal(0, 1.5, (b, h, w, no)).astype(np.float32)) for h, w in sizes
+        ]
+        return feats, strides, nc
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_matches_reference_composition(self, rng, use_pallas):
+        from bsyolo_tpu.kernels.postprocess import detect_postprocess
+        from bsyolo_tpu.nn.heads import decode_detections
+        from bsyolo_tpu.ops.nms import non_max_suppression
+
+        feats, strides, nc = self._feats(rng)
+        preds = decode_detections(feats, strides, nc)
+        ref, ref_idx = non_max_suppression(
+            preds, conf_thres=0.25, iou_thres=0.7, max_det=50, pre_k=256, nc=nc, return_idx=True
+        )
+        got, got_idx = detect_postprocess(
+            feats, strides, nc, conf_thres=0.25, iou_thres=0.7, max_det=50, pre_k=256,
+            use_pallas=use_pallas, interpret=use_pallas, return_idx=True,
+        )
+        ref, got = np.asarray(ref), np.asarray(got)
+        # same kept anchors, same classes, same scores; boxes in xyxy
+        np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(got_idx))
+        np.testing.assert_array_equal(ref[..., 5], got[..., 5])
+        np.testing.assert_allclose(ref[..., 4], got[..., 4], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ref[..., :4], got[..., :4], rtol=1e-4, atol=1e-3)
+
+    def test_single_label_path(self, rng):
+        from bsyolo_tpu.kernels.postprocess import detect_postprocess
+        from bsyolo_tpu.nn.heads import decode_detections
+        from bsyolo_tpu.ops.nms import non_max_suppression
+
+        feats, strides, nc = self._feats(rng, nc=5, b=1)
+        preds = decode_detections(feats, strides, nc)
+        ref = non_max_suppression(
+            preds, conf_thres=0.1, iou_thres=0.5, max_det=20, pre_k=128, nc=nc, multi_label=False
+        )
+        got = detect_postprocess(
+            feats, strides, nc, conf_thres=0.1, iou_thres=0.5, max_det=20, pre_k=128,
+            multi_label=False, use_pallas=False,
+        )
+        np.testing.assert_allclose(np.asarray(ref)[..., 4:], np.asarray(got)[..., 4:], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref)[..., :4], np.asarray(got)[..., :4], rtol=1e-4, atol=1e-3)

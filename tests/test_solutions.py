@@ -117,3 +117,117 @@ class TestTunerMutation:
             for k, (lo, hi, _) in DEFAULT_SPACE.items():
                 assert lo <= hyp[k] <= hi
         assert any(t._mutate(parent) != t._mutate(parent) for _ in range(3))
+
+
+class StubPoseModel:
+    """One person (id=1) whose elbow angle alternates straight/bent every
+    3 frames — two full push-up cycles in 12 frames."""
+
+    names = {0: "person"}
+
+    def __init__(self):
+        self.t = 0
+
+    def track(self, frame, **kw):
+        from bsyolo_tpu.engine.results import Results
+
+        bent = (self.t // 3) % 2 == 1
+        self.t += 1
+        # kpts 6 (shoulder), 8 (elbow), 10 (wrist)
+        k = np.zeros((1, 17, 3), np.float32)
+        k[0, 6] = (100, 100, 1)
+        k[0, 8] = (100, 140, 1)
+        k[0, 10] = (140, 130, 1) if bent else (100, 180, 1)  # ~76 vs 180 deg
+        boxes = np.asarray([[80, 80, 160, 200, 1.0, 0.9, 0.0]], np.float32)
+        return [Results(frame, "f", self.names, boxes=boxes, keypoints=k)]
+
+
+class TestNewSolutions:
+    def test_parking_management(self, tmp_path):
+        from bsyolo_tpu.solutions import ParkingManagement, save_regions_json
+
+        jf = tmp_path / "slots.json"
+        # slot A around the static track (150,150); slot B empty
+        save_regions_json(
+            [
+                [[130, 130], [170, 130], [170, 170], [130, 170]],
+                [[10, 130], [40, 130], [40, 170], [10, 170]],
+            ],
+            str(jf),
+        )
+        pm = ParkingManagement(StubModel(), json_file=str(jf))
+        info = pm.process(frame(), annotate=True)
+        assert info == {"Occupancy": 1, "Available": 1}
+
+    def test_queue_manager(self):
+        from bsyolo_tpu.solutions import QueueManager
+
+        region = [(120, 120), (180, 120), (180, 180), (120, 180)]
+        qm = QueueManager(StubModel(), region=region)
+        assert qm.process_queue(frame()) == 0  # no history yet
+        assert qm.process_queue(frame()) == 1  # static track now queued
+
+    def test_region_counter(self):
+        from bsyolo_tpu.solutions import RegionCounter
+
+        rc = RegionCounter(
+            StubModel(),
+            regions={
+                "A": [(120, 120), (180, 120), (180, 180), (120, 180)],
+                "B": [(0, 0), (60, 0), (60, 80), (0, 80)],
+            },
+        )
+        counts = rc.count(frame())  # moving track at (20,50) in B, static in A
+        assert counts == {"A": 1, "B": 1}
+        counts = rc.count(frame())  # moving track at (40,50) still in B
+        assert counts == {"A": 1, "B": 1}
+
+    def test_trackzone_masks_outside(self):
+        from bsyolo_tpu.solutions import TrackZone
+
+        tz = TrackZone(StubModel(), region=[(120, 120), (180, 120), (180, 180), (120, 180)])
+        boxes, ids, clss, confs = tz.trackzone(frame())
+        assert boxes.shape[1] == 4  # stub ignores pixels, but API contract holds
+
+    def test_distance_calculation(self):
+        from bsyolo_tpu.solutions import DistanceCalculation
+
+        dc = DistanceCalculation(StubModel())
+        dc.select(1)
+        dc.select(2)
+        d = dc.calculate(frame())  # id1 at (20,50), id2 at (150,150)
+        assert d == pytest.approx(np.hypot(130, 100), rel=1e-6)
+
+    def test_security_alarm_fires_once(self):
+        from bsyolo_tpu.solutions import SecurityAlarm
+
+        sent = []
+
+        class FakeServer:
+            def send_message(self, msg):
+                sent.append(msg)
+
+        alarm = SecurityAlarm(StubModel(), records=2)
+        alarm.authenticate("a@x", "pw", "b@x", server=FakeServer())
+        alarm.monitor(frame())
+        alarm.monitor(frame())
+        assert len(sent) == 1  # threshold met both frames but one email per episode
+
+    def test_ai_gym_counts_reps(self):
+        from bsyolo_tpu.solutions import AIGym
+
+        gym = AIGym(StubPoseModel(), kpts=(6, 8, 10))
+        counts = {}
+        for _ in range(13):
+            counts = gym.monitor(frame())
+        assert counts.get(1, 0) == 2  # two bend/straighten cycles
+
+    def test_analytics_charts(self):
+        from bsyolo_tpu.solutions import Analytics
+
+        for kind in ("line", "bar", "pie", "area"):
+            an = Analytics(StubModel(), analytics_type=kind)
+            an.update(frame())
+            img = an.process_data(frame())
+            assert img.ndim == 3 and img.shape[-1] == 3 and img.size > 0
+        assert an.clswise[-1] == {"car": 2}
