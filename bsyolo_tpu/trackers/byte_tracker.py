@@ -102,10 +102,15 @@ class STrack:
         for i, t in enumerate(tracks):
             t.mean, t.covariance = means[i], covs[i]
 
+    def convert_coords(self, tlwh):
+        """Measurement-space conversion; XYAH here, XYWH in BOTrack
+        (reference byte_tracker.py STrack.convert_coords)."""
+        return self.tlwh_to_xyah(tlwh)
+
     def activate(self, kalman_filter, frame_id):
         self.kalman_filter = kalman_filter
         self.track_id = self.next_id()
-        self.mean, self.covariance = self.kalman_filter.initiate(self.tlwh_to_xyah(self._tlwh))
+        self.mean, self.covariance = self.kalman_filter.initiate(self.convert_coords(self._tlwh))
         self.tracklet_len = 0
         self.state = TrackState.Tracked
         if frame_id == 1:
@@ -115,7 +120,7 @@ class STrack:
 
     def re_activate(self, new_track: "STrack", frame_id, new_id=False):
         self.mean, self.covariance = self.kalman_filter.update(
-            self.mean, self.covariance, self.tlwh_to_xyah(new_track.tlwh)
+            self.mean, self.covariance, self.convert_coords(new_track.tlwh)
         )
         self.tracklet_len = 0
         self.state = TrackState.Tracked
@@ -131,7 +136,7 @@ class STrack:
         self.frame_id = frame_id
         self.tracklet_len += 1
         self.mean, self.covariance = self.kalman_filter.update(
-            self.mean, self.covariance, self.tlwh_to_xyah(new_track.tlwh)
+            self.mean, self.covariance, self.convert_coords(new_track.tlwh)
         )
         self.state = TrackState.Tracked
         self.is_activated = True
@@ -175,6 +180,13 @@ class BYTETracker:
         self.frame_id = 0
         STrack.reset_id()
 
+    def init_track(self, boxes, scores, cls, img=None):
+        """Detection -> track-candidate construction (BOTSORT adds ReID feats)."""
+        return [STrack(b, s, c) for b, s, c in zip(boxes, scores, cls)]
+
+    def multi_predict(self, tracks):
+        STrack.multi_predict(tracks)
+
     def get_dists(self, tracks, detections):
         dists = matching.iou_distance(tracks, detections)
         if self.fuse_score:
@@ -200,17 +212,17 @@ class BYTETracker:
         conf = np.asarray(conf)
         first = conf >= self.track_high_thresh
         second = (conf > self.track_low_thresh) & (conf < self.track_high_thresh)
-        detections = [STrack(b, s, c) for b, s, c in zip(boxes[first], conf[first], np.asarray(cls)[first])]
-        detections_second = [
-            STrack(b, s, c) for b, s, c in zip(boxes[second], conf[second], np.asarray(cls)[second])
-        ]
+        detections = self.init_track(boxes[first], conf[first], np.asarray(cls)[first], img)
+        detections_second = self.init_track(
+            boxes[second], conf[second], np.asarray(cls)[second], img
+        )
 
         unconfirmed = [t for t in self.tracked_stracks if not t.is_activated]
         tracked = [t for t in self.tracked_stracks if t.is_activated]
 
         # first association on high-confidence detections
         strack_pool = _joint(tracked, self.lost_stracks)
-        STrack.multi_predict(strack_pool)
+        self.multi_predict(strack_pool)
         if getattr(self, "gmc", None) is not None and img is not None:
             # BoT-SORT camera-motion compensation (reference bot_sort.py +
             # byte_tracker.py:330-333 multi_gmc)

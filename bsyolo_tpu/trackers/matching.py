@@ -43,3 +43,21 @@ def fuse_score(cost_matrix: np.ndarray, detections: List) -> np.ndarray:
     det_scores = np.asarray([d.score for d in detections])
     fuse_sim = iou_sim * det_scores[None, :]
     return 1.0 - fuse_sim
+
+
+def embedding_distance(tracks: List, detections: List, metric: str = "cosine") -> np.ndarray:
+    """Appearance cost between track smooth features and detection features
+    (reference trackers/utils/matching.py:104)."""
+    cost = np.zeros((len(tracks), len(detections)), dtype=np.float32)
+    if cost.size == 0:
+        return cost
+    det = np.asarray([d.curr_feat for d in detections], dtype=np.float32)
+    trk = np.asarray([t.smooth_feat for t in tracks], dtype=np.float32)
+    if metric == "cosine":
+        # features are L2-normalized; cosine distance = 1 - dot
+        cost = 1.0 - trk @ det.T
+    else:
+        from scipy.spatial.distance import cdist
+
+        cost = cdist(trk, det, metric).astype(np.float32)
+    return np.maximum(0.0, cost)

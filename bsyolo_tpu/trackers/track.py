@@ -27,7 +27,7 @@ def create_tracker(tracker: str = "bytetrack.yaml") -> BYTETracker:
     ttype = cfg.get("tracker_type", "bytetrack")
     if ttype not in ("bytetrack", "botsort"):
         raise ValueError(f"unsupported tracker_type: {ttype}")
-    tracker = BYTETracker(
+    common = dict(
         track_high_thresh=cfg.get("track_high_thresh", 0.25),
         track_low_thresh=cfg.get("track_low_thresh", 0.1),
         new_track_thresh=cfg.get("new_track_thresh", 0.25),
@@ -35,12 +35,18 @@ def create_tracker(tracker: str = "bytetrack.yaml") -> BYTETracker:
         match_thresh=cfg.get("match_thresh", 0.8),
         fuse_score=cfg.get("fuse_score", True),
     )
-    tracker.gmc = None
-    if ttype == "botsort" and cfg.get("gmc_method", "sparseOptFlow") not in (None, "none", "None"):
-        from bsyolo_tpu.trackers.gmc import GMC
+    if ttype == "botsort":
+        from bsyolo_tpu.trackers.bot_sort import BOTSORT
 
-        tracker.gmc = GMC(method=cfg.get("gmc_method", "sparseOptFlow"))
-        # ReID (with_reid) is not implemented yet; appearance-free BoT-SORT
+        return BOTSORT(
+            proximity_thresh=cfg.get("proximity_thresh", 0.5),
+            appearance_thresh=cfg.get("appearance_thresh", 0.25),
+            with_reid=cfg.get("with_reid", False),
+            gmc_method=cfg.get("gmc_method", "sparseOptFlow"),
+            **common,
+        )
+    tracker = BYTETracker(**common)
+    tracker.gmc = None
     return tracker
 
 
