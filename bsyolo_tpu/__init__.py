@@ -17,7 +17,7 @@ ultralytics/engine/model.py).
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "__version__"]
+__all__ = ["YOLO", "YOLOWorld", "__version__"]
 
 
 def __getattr__(name):  # lazy: keep `import bsyolo_tpu.ops` cheap (no engine deps)
@@ -25,4 +25,8 @@ def __getattr__(name):  # lazy: keep `import bsyolo_tpu.ops` cheap (no engine de
         from bsyolo_tpu.model import YOLO
 
         return YOLO
+    if name == "YOLOWorld":
+        from bsyolo_tpu.model import YOLOWorld
+
+        return YOLOWorld
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

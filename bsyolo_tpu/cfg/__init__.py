@@ -170,8 +170,20 @@ def model_yaml_path(name: str) -> Path:
     p = Path(name)
     if p.exists():
         return p
+    import re as _re
+
+    names = [p.name]
+    # scale-suffixed names: yolov10n.yaml / yolov8s-world.yaml also match
+    # their unified file (the loader re-applies the scale from the filename)
+    m = _re.match(r"(.*yolov?\d+)([nslmx])(.*)$", p.stem)
+    if m:
+        names.append(m.group(1) + m.group(3) + p.suffix)
     for cand in sorted(CFG_ROOT.glob("models/**/*.yaml")):
-        if cand.name == p.name:
+        if cand.name == names[0]:
             return cand
-    # scale-suffixed names (yolo11n.yaml -> yolo11.yaml handled by loader)
+    if len(names) > 1:
+        for cand in sorted(CFG_ROOT.glob("models/**/*.yaml")):
+            if cand.name == names[1]:
+                # keep the scale-suffixed name so the loader infers the scale
+                return cand.with_name(p.name)
     return CFG_ROOT / "models" / "11" / p.name

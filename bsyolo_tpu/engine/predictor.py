@@ -162,6 +162,24 @@ class DetectionPredictor:
                     preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc
                 )
 
+        elif getattr(spec.head, "module", "") == "v10Detect":
+            from bsyolo_tpu.nn.heads import decode_detections, postprocess_e2e
+
+            def forward(variables, x):
+                out = model.apply(variables, x, train=False)
+                preds = decode_detections(out["one2one"], strides, nc)
+                dets = postprocess_e2e(preds, max_det=max_det, nc=nc)
+                # apply the conf threshold in the shared zero-padding convention
+                ok = dets[..., 4] > conf
+                return jnp.concatenate(
+                    [
+                        jnp.where(ok[..., None], dets[..., :4], 0.0),
+                        jnp.where(ok, dets[..., 4], 0.0)[..., None],
+                        jnp.where(ok, dets[..., 5], -1.0)[..., None],
+                    ],
+                    axis=-1,
+                )
+
         else:  # detect
 
             def forward(variables, x):

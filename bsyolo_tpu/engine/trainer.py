@@ -221,6 +221,23 @@ class DetectionTrainer:
                     outputs, batch["cls"], batch["rboxes"], batch["mask"], ls, lc
                 )
 
+        if self.spec.head.module == "v10Detect":
+            from bsyolo_tpu.losses.detect import detection_loss
+
+            def criterion(outputs, batch, ls, lc):
+                """E2EDetectLoss (reference loss.py:852): one2many topk-10 +
+                one2one topk-1. The EMA-slide state is carried from the
+                one2many branch and read by one2one (the reference keeps two
+                independent EMA states; only the sliding BCE weight differs)."""
+                t1, i1, new_ls = detection_loss(
+                    outputs["one2many"], batch["cls"], batch["bboxes"], batch["mask"], ls, lc
+                )
+                t2, i2, _ = detection_loss(
+                    outputs["one2one"], batch["cls"], batch["bboxes"], batch["mask"],
+                    ls, lc._replace(tal_topk=1),
+                )
+                return t1 + t2, i1 + i2, new_ls
+
         self.train_step = make_train_step(
             self.model, self.step_cfg, criterion=criterion, item_names=item_names
         )

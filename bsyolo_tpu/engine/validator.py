@@ -330,6 +330,11 @@ class DetectionValidator:
 
         def forward(variables, img):
             out = model.apply(variables, img, train=False)
+            if isinstance(out, dict) and "one2one" in out:  # v10 NMS-free path
+                from bsyolo_tpu.nn.heads import decode_detections, postprocess_e2e
+
+                preds = decode_detections(out["one2one"], strides, nc)
+                return postprocess_e2e(preds, max_det=max_det, nc=nc)
             feats = out["feats"] if isinstance(out, dict) else out
             return detect_postprocess(
                 feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_k=pre_k

@@ -245,3 +245,70 @@ class YOLO:
         n = count_params(self.variables["params"]) if self.variables else 0
         LOGGER.info(f"{self.model_path}: {len(self.spec.layers)} layers, {n:,} parameters")
         return {"layers": len(self.spec.layers), "parameters": n}
+
+
+class _TextConditioned:
+    """Wraps the graph so .apply always passes the text features
+    (predictor/validator call model.apply(variables, x, train=...))."""
+
+    def __init__(self, model, text):
+        self.model = model
+        self.text = text
+
+    def apply(self, variables, x, train=False, **kw):
+        return self.model.apply(variables, x, train=train, text=self.text, **kw)
+
+
+class YOLOWorld(YOLO):
+    """Open-vocabulary YOLO-World facade (reference models/yolo/model.py:62).
+
+    Classes are set by text embeddings rather than a fixed head:
+
+        m = YOLOWorld("yolov8s-world.yaml")
+        m.set_classes(["person", "bus"], embeddings=E)   # E: (2, 512) array
+
+    The reference computes E with CLIP ViT-B/32; CLIP is not bundled in this
+    offline image, so pass precomputed embeddings (any (K, 512) float array,
+    L2-normalized rows). Without set_classes the model runs with the
+    deterministic placeholder text buffer, matching the reference's untrained
+    WorldModel.txt_feats (tasks.py:608).
+    """
+
+    def __init__(self, model: Union[str, Path] = "yolov8s-world.yaml", task: Optional[str] = None):
+        super().__init__(model, task or "detect")
+        self.txt_feats = None
+
+    def set_classes(self, names: List[str], embeddings=None):
+        """Bind class names to text embeddings ((K, 512); CLIP where available)."""
+        import jax.numpy as jnp
+
+        if embeddings is None:
+            try:
+                import clip  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "CLIP is not available in this environment; pass precomputed "
+                    "embeddings=<(K, 512) array> to set_classes"
+                ) from e
+            raise NotImplementedError("wire your CLIP encoder output in via embeddings=")
+        emb = np.asarray(embeddings, np.float32)
+        if emb.ndim != 2 or emb.shape[0] != len(names):
+            raise ValueError(f"embeddings must be ({len(names)}, embed); got {emb.shape}")
+        emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
+        self.txt_feats = jnp.asarray(emb[None])  # (1, K, 512)
+        self.overrides["names"] = {i: n for i, n in enumerate(names)}
+        # rebuild the spec's class count so decode/NMS use K classes
+        import dataclasses
+
+        self.spec = dataclasses.replace(self.spec, nc=len(names), names=tuple(names))
+        self._predictor = None  # force predictor rebuild with the new text
+
+    def predict(self, source, stream: bool = False, **kwargs):
+        if self.txt_feats is not None:
+            real_model = self.model
+            self.model = _TextConditioned(real_model, self.txt_feats)
+            try:
+                return super().predict(source, stream=stream, **kwargs)
+            finally:
+                self.model = real_model
+        return super().predict(source, stream=stream, **kwargs)

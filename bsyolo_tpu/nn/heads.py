@@ -285,3 +285,121 @@ def decode_detections(
     dist = dfl_decode(box_logits, reg_max)  # (B, A, 4)
     dbox = dist2bbox(dist, anchors[None], xywh=True, axis=-1) * stride_t[None]
     return jnp.concatenate([dbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32))], axis=-1)
+
+
+class v10Detect(nn.Module):
+    """End-to-end (NMS-free) dual detect head from YOLOv10 (reference
+    head.py v10Detect + Detect.forward_end2end:76).
+
+    Two full head copies over the same neck features:
+    - one2many (names cv2_*/cv3_*): trained with topk-10 TAL like Detect.
+    - one2one (names one2one_cv2_*/one2one_cv3_*): trained with topk-1 TAL
+      on stop-gradient features; drives NMS-free inference.
+    Both use v10's light cls branch (DW 3x3 -> 1x1, twice, then 1x1 to nc).
+    """
+
+    nc: int
+    ch: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    reg_max: int = 16
+    legacy: bool = False  # unused; kept for head-arg uniformity
+    max_det: int = 300
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array], train: bool = False):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+
+        def branch(prefix: str, xs):
+            outs = []
+            for i, x in enumerate(xs):
+                stride = self.strides[i]
+                b = ConvBN(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_0")(x, train)
+                b = ConvBN(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_1")(b, train)
+                b = nn.Conv(
+                    4 * self.reg_max, (1, 1), use_bias=True, bias_init=_bias_const(1.0),
+                    dtype=self.dtype, name=f"{prefix}cv2_{i}_2",
+                )(b)
+                c = ConvBN(x.shape[-1], 3, g=x.shape[-1], dtype=self.dtype,
+                           name=f"{prefix}cv3_{i}_0_0")(x, train)
+                c = ConvBN(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_0_1")(c, train)
+                c = ConvBN(c3, 3, g=c3, dtype=self.dtype, name=f"{prefix}cv3_{i}_1_0")(c, train)
+                c = ConvBN(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_1_1")(c, train)
+                cls_bias = math.log(5 / self.nc / (640 / stride) ** 2)
+                c = nn.Conv(
+                    self.nc, (1, 1), use_bias=True, bias_init=_bias_const(cls_bias),
+                    dtype=self.dtype, name=f"{prefix}cv3_{i}_2",
+                )(c)
+                outs.append(jnp.concatenate([b, c], axis=-1))
+            return outs
+
+        one2many = branch("", feats)
+        one2one = branch("one2one_", [jax.lax.stop_gradient(f) for f in feats])
+        return {"one2many": one2many, "one2one": one2one}
+
+
+def postprocess_e2e(preds: Array, max_det: int = 300, nc: int = 0) -> Array:
+    """NMS-free selection from decoded one2one preds (reference
+    Detect.postprocess head.py:151): per-anchor max class score top-k, then
+    flat (anchor, class) top-k.
+
+    preds: (B, A, 4+nc) xywh pixels + sigmoid scores -> (B, max_det, 6)
+    xyxy/conf/cls in the same output convention as non_max_suppression
+    (zero-score rows padded, cls -1).
+    """
+    from bsyolo_tpu.ops.boxes import xywh2xyxy
+
+    b, a, _ = preds.shape
+    if nc <= 0:
+        nc = preds.shape[-1] - 4
+    boxes = xywh2xyxy(preds[..., :4])
+    scores = preds[..., 4:]
+    k = min(max_det, a)
+    best = jnp.max(scores, axis=-1)  # (B, A)
+    _, idx = jax.lax.top_k(best, k)  # (B, k)
+    boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)  # (B, k, 4)
+    sub = jnp.take_along_axis(scores, idx[..., None], axis=1)  # (B, k, nc)
+    conf, flat_idx = jax.lax.top_k(sub.reshape(b, -1), k)  # (B, k)
+    anchor_rel = flat_idx // nc
+    cls = (flat_idx % nc).astype(jnp.float32)
+    out_boxes = jnp.take_along_axis(boxes, anchor_rel[..., None], axis=1)
+    return jnp.concatenate([out_boxes, conf[..., None], cls[..., None]], axis=-1)
+
+
+class WorldDetect(nn.Module):
+    """Open-vocabulary detect head (reference head.py:307): Detect box branch
+    + an embed branch scored against text features by a contrastive head.
+    Class count at runtime = text.shape[1]."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    embed: int = 512
+    with_bn: bool = False
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array], text: Array, train: bool = False) -> List[Array]:
+        from bsyolo_tpu.nn.modules import BNContrastiveHead, ContrastiveHead, ConvBN
+
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(feats):
+            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
+            b = nn.Conv(
+                4 * self.reg_max, (1, 1), use_bias=True, bias_init=_bias_const(1.0),
+                dtype=self.dtype, name=f"cv2_{i}_2",
+            )(b)
+            e = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            e = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(e, train)
+            e = nn.Conv(self.embed, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv3_{i}_2")(e)
+            if self.with_bn:
+                cls = BNContrastiveHead(self.embed, dtype=self.dtype, name=f"cv4_{i}")(e, text, train)
+            else:
+                cls = ContrastiveHead(dtype=self.dtype, name=f"cv4_{i}")(e, text, train)
+            outs.append(jnp.concatenate([b, cls.astype(b.dtype)], axis=-1))
+        return outs

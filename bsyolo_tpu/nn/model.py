@@ -51,6 +51,11 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[nn.Module]:
         shortcut = a[2] if len(a) > 2 else False
         g = a[3] if len(a) > 3 else 1
         return M.C2f(c2, n, shortcut, g, dtype=dtype, name=name)
+    if m == "C2fCIB":
+        c2, n = a[0], a[1]
+        shortcut = a[2] if len(a) > 2 else False
+        lk = a[3] if len(a) > 3 else False
+        return M.C2fCIB(c2, n, shortcut, lk=lk, dtype=dtype, name=name)
     if m == "C3":
         c2, n = a[0], a[1]
         shortcut = a[2] if len(a) > 2 else True
@@ -85,13 +90,47 @@ class DetectionGraph(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False):
+    def __call__(self, x: Array, train: bool = False, text: Array = None):
         spec = self.spec
         saved: Dict[int, Array] = {}
         prev: Array = x
+        txt = ori_txt = None
+        if any(l.module in ("C2fAttn", "ImagePoolingAttn", "WorldDetect") for l in spec.layers):
+            if text is None:
+                # untrained placeholder text features, the analog of reference
+                # WorldModel.txt_feats = randn(1, nc, 512) (tasks.py:608): a
+                # deterministic buffer, NOT a parameter — set_classes swaps it
+                import numpy as _np
+
+                text = jnp.asarray(
+                    _np.random.default_rng(0).normal(size=(1, spec.nc, 512)).astype(_np.float32)
+                )
+            if text.shape[0] != x.shape[0]:
+                text = jnp.broadcast_to(text, (x.shape[0],) + text.shape[1:])
+            txt = ori_txt = text.astype(self.dtype)
         for layer in spec.layers:
             m = layer.module
-            if m in ("Detect", "Segment", "Pose", "OBB"):
+            if m == "C2fAttn":
+                src = saved[layer.f[0]] if layer.f[0] != -1 else prev
+                a = layer.args
+                prev = M.C2fAttn(
+                    a[0], a[1], a[2], a[3], dtype=self.dtype, name=f"m{layer.i}"
+                )(src, txt, train)
+            elif m == "ImagePoolingAttn":
+                feats = [saved[j] if j != -1 else prev for j in layer.f]
+                a = layer.args
+                txt = M.ImagePoolingAttn(
+                    a[0], tuple(a[1]), dtype=self.dtype, name=f"m{layer.i}"
+                )(feats, txt, train)
+                prev = txt  # recorded in save-list slots, never used spatially
+            elif m == "WorldDetect":
+                feats = [saved[j] if j != -1 else prev for j in layer.f]
+                a = layer.args
+                prev = H.WorldDetect(
+                    a[0], a[3], spec.head_strides, a[1], a[2], dtype=self.dtype,
+                    name=f"m{layer.i}",
+                )(feats, ori_txt, train)
+            elif m in ("Detect", "Segment", "Pose", "OBB", "v10Detect"):
                 feats = [saved[j] if j != -1 else prev for j in layer.f]
                 prev = self._head(layer, feats, train)
             elif m == "Concat":
@@ -134,6 +173,9 @@ class DetectionGraph(nn.Module):
         if layer.module == "OBB":
             nc, ne, ch = a[0], a[1], a[2]
             return H.OBB(nc, ch, strides, ne, legacy=legacy, dtype=self.dtype, name=name)(feats, train)
+        if layer.module == "v10Detect":
+            nc, ch = a[0], a[1]
+            return H.v10Detect(nc, ch, strides, dtype=self.dtype, name=name)(feats, train)
         raise NotImplementedError(layer.module)
 
 

@@ -335,7 +335,13 @@ class PSA(nn.Module):
         c = int(self.c2 * self.e)
         y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         a, b = jnp.split(y, 2, axis=-1)
-        b = PSABlock(c, 0.5, max(1, c // 64), dtype=self.dtype, name="m_0")(b, train)
+        # reference PSA holds attn/ffn directly on the module (block.py PSA),
+        # unlike C2PSA's m.<i> PSABlock list — names must match for .pt import
+        att = Attention(c, max(1, c // 64), 0.5, dtype=self.dtype, name="attn")(b, train)
+        b = b + att
+        f = ConvBN(c * 2, 1, dtype=self.dtype, name="ffn_0")(b, train)
+        f = ConvBN(c, 1, act=False, dtype=self.dtype, name="ffn_1")(f, train)
+        b = b + f
         return ConvBN(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], axis=-1), train)
 
 
@@ -530,3 +536,200 @@ def dfl_decode(dist_logits: Array, reg_max: int = 16) -> Array:
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     proj = jnp.arange(reg_max, dtype=jnp.float32)
     return probs @ proj
+
+
+class RepVGGDW(nn.Module):
+    """Re-parameterizable depthwise block (reference block.py:3818): a 7x7
+    and a 3x3 depthwise conv summed, SiLU. (Deploy-time branch fusion is a
+    pure weight transform; XLA fuses the parallel convs' epilogues anyway.)"""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        ed = x.shape[-1]
+        a = ConvBN(ed, 7, 1, p=3, g=ed, act=False, dtype=self.dtype, name="conv")(x, train)
+        b = ConvBN(ed, 3, 1, p=1, g=ed, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return nn.silu(a + b)
+
+
+class CIB(nn.Module):
+    """Conditional identity block from YOLOv10 (reference block.py:4176)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c1, 3, g=c1, dtype=self.dtype, name="cv1_0")(x, train)
+        y = ConvBN(2 * c_, 1, dtype=self.dtype, name="cv1_1")(y, train)
+        if self.lk:
+            y = RepVGGDW(dtype=self.dtype, name="cv1_2")(y, train)
+        else:
+            y = ConvBN(2 * c_, 3, g=2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
+        y = ConvBN(self.c2, 1, dtype=self.dtype, name="cv1_3")(y, train)
+        y = ConvBN(self.c2, 3, g=self.c2, dtype=self.dtype, name="cv1_4")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class C2fCIB(C2f):
+    """C2f with CIB inner blocks (reference block.py:4215)."""
+
+    lk: bool = False
+
+    def inner_block(self, c: int, i: int):
+        return CIB(c, self.shortcut, e=1.0, lk=self.lk, dtype=self.dtype, name=f"m_{i}")
+
+
+def adaptive_max_pool2d(x: Array, k: int) -> Array:
+    """torch AdaptiveMaxPool2d((k, k)) for NHWC with static shapes:
+    region i spans [floor(i*S/k), ceil((i+1)*S/k))."""
+    B, H, W, C = x.shape
+    rows = []
+    for i in range(k):
+        h0, h1 = (i * H) // k, -(-((i + 1) * H) // k)
+        cols = []
+        for j in range(k):
+            w0, w1 = (j * W) // k, -(-((j + 1) * W) // k)
+            cols.append(jnp.max(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # (B, k, k, C)
+
+
+class MaxSigmoidAttnBlock(nn.Module):
+    """Text-guided max-sigmoid attention (reference block.py:3483)."""
+
+    c2: int
+    nh: int = 1
+    ec: int = 128
+    gc: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, guide: Array, train: bool = False) -> Array:
+        B, H, W, c1 = x.shape
+        hc = self.c2 // self.nh
+        embed = (
+            ConvBN(self.ec, 1, act=False, dtype=self.dtype, name="ec")(x, train)
+            if c1 != self.ec
+            else x
+        )
+        g = nn.Dense(self.ec, dtype=self.dtype, name="gl")(guide)  # (B, K, ec)
+        g = g.reshape(B, -1, self.nh, self.ec // self.nh)
+        e = embed.reshape(B, H, W, self.nh, self.ec // self.nh)
+        aw = jnp.einsum("bhwmc,bnmc->bmhwn", e, g, preferred_element_type=jnp.float32)
+        aw = jnp.max(aw, axis=-1) / (hc**0.5)
+        bias = self.param("bias", nn.initializers.zeros, (self.nh,))
+        aw = jax.nn.sigmoid(aw + bias[None, :, None, None]).astype(x.dtype)  # (B, nh, H, W)
+        y = ConvBN(self.c2, 3, act=False, dtype=self.dtype, name="proj_conv")(x, train)
+        y = y.reshape(B, H, W, self.nh, hc) * aw.transpose(0, 2, 3, 1)[..., None]
+        return y.reshape(B, H, W, self.c2)
+
+
+class C2fAttn(nn.Module):
+    """C2f with a trailing text-guided attention branch (reference block.py:3518)."""
+
+    c2: int
+    n: int = 1
+    ec: int = 128
+    nh: int = 1
+    gc: int = 512
+    shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, guide: Array, train: bool = False) -> Array:
+        c = int(self.c2 * 0.5)
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c, self.shortcut, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(
+                    ys[-1], train
+                )
+            )
+        ys.append(
+            MaxSigmoidAttnBlock(c, self.nh, self.ec, self.gc, dtype=self.dtype, name="attn")(
+                ys[-1], guide, train
+            )
+        )
+        return ConvBN(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class ImagePoolingAttn(nn.Module):
+    """Text features attend over pooled image features (reference block.py:3545)."""
+
+    ec: int = 256
+    ch: Tuple[int, ...] = ()
+    ct: int = 512
+    nh: int = 8
+    k: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array], text: Array, train: bool = False) -> Array:
+        B = feats[0].shape[0]
+        hc = self.ec // self.nh
+        pooled = []
+        for i, f in enumerate(feats):
+            p = nn.Conv(self.ec, (1, 1), use_bias=True, dtype=self.dtype, name=f"projections_{i}")(f)
+            pooled.append(adaptive_max_pool2d(p, self.k).reshape(B, self.k * self.k, self.ec))
+        img = jnp.concatenate(pooled, axis=1)  # (B, nf*k*k, ec)
+
+        q = nn.LayerNorm(dtype=self.dtype, name="query_0")(text)
+        q = nn.Dense(self.ec, dtype=self.dtype, name="query_1")(q)
+        kk = nn.LayerNorm(dtype=self.dtype, name="key_0")(img)
+        kk = nn.Dense(self.ec, dtype=self.dtype, name="key_1")(kk)
+        v = nn.LayerNorm(dtype=self.dtype, name="value_0")(img)
+        v = nn.Dense(self.ec, dtype=self.dtype, name="value_1")(v)
+
+        q = q.reshape(B, -1, self.nh, hc)
+        kk = kk.reshape(B, -1, self.nh, hc)
+        v = v.reshape(B, -1, self.nh, hc)
+        aw = jnp.einsum("bnmc,bkmc->bmnk", q, kk, preferred_element_type=jnp.float32) / (hc**0.5)
+        aw = jax.nn.softmax(aw, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bmnk,bkmc->bnmc", aw, v).reshape(B, -1, self.ec)
+        out = nn.Dense(self.ct, dtype=self.dtype, name="proj")(out)
+        return out + text  # reference scale=False -> scale == 1.0? (it is 1.0 when scale=False)
+
+
+class ContrastiveHead(nn.Module):
+    """Region-text similarity logits (reference block.py:3591)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, w: Array, train: bool = False) -> Array:
+        bias = self.param("bias", nn.initializers.constant(-10.0), (1,))
+        logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(math.log(1 / 0.07)), ()
+        )
+        x = x / (jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12)
+        w = w / (jnp.linalg.norm(w.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12)
+        sim = jnp.einsum("bhwc,bkc->bhwk", x, w, preferred_element_type=jnp.float32)
+        return sim * jnp.exp(logit_scale) + bias
+
+
+class BNContrastiveHead(nn.Module):
+    """ContrastiveHead with BatchNorm instead of image-side L2 norm
+    (reference block.py:3609)."""
+
+    embed_dims: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, w: Array, train: bool = False) -> Array:
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=self.dtype, name="norm",
+        )(x)
+        bias = self.param("bias", nn.initializers.constant(-10.0), (1,))
+        logit_scale = self.param("logit_scale", nn.initializers.constant(-1.0), ())
+        w = w / (jnp.linalg.norm(w.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12)
+        sim = jnp.einsum("bhwc,bkc->bhwk", x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+        return sim * jnp.exp(logit_scale) + bias

@@ -83,12 +83,13 @@ _CONVLIKE = {
     "C3k2_gai",
     "PSA",
     "SCDown",
+    "C2fCIB",
     "Focus",
     "GhostConv",
 }
 # Modules that additionally get the repeat count inserted at args[2]
-_REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA"}
-_HEADS = {"Detect", "Segment", "Pose", "OBB"}
+_REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA", "C2fCIB"}
+_HEADS = {"Detect", "Segment", "Pose", "OBB", "v10Detect"}
 
 
 def load_model_yaml(path) -> dict:
@@ -100,7 +101,7 @@ def load_model_yaml(path) -> dict:
     scale = ""
     if not path.exists():
         # yolo11n.yaml -> yolo11.yaml with scale "n" (reference tasks.py:1108)
-        m2 = re.match(r"(.*yolo\d+)([nslmx])(.*)$", stem)
+        m2 = re.match(r"(.*yolov?\d+)([nslmx])(.*)$", stem)
         if m2:
             scale = m2.group(2)
             unified = path.with_name(m2.group(1) + m2.group(3) + path.suffix)
@@ -175,6 +176,24 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
             elif m == "Focus":
                 s = 2
             out_stride = in_stride * s
+        elif m == "C2fAttn":
+            # (c2, ec, nh) in YAML -> (c2, n, ec, nh); ec/nh scale per
+            # reference tasks.py:1017-1021
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            ec = make_divisible(min(args[1], max_channels // 2) * width, 8)
+            nh = int(max(round(min(args[2], max_channels // 2 // 32)) * width, 1)) if args[2] > 1 else args[2]
+            args = [c2, n_rep, ec, nh]
+            n_rep = 1
+        elif m == "ImagePoolingAttn":
+            # output is the updated TEXT features; spatial channels unchanged
+            args = [args[0] if args else 256, tuple(channels[x] for x in fl)]
+            c2 = c1
+        elif m == "WorldDetect":
+            in_ch = tuple(channels[x] for x in fl)
+            args = [*args, in_ch, legacy]
+            c2 = 0
+            task = "detect"
+            out_stride = 0
         elif m == "MSCAAttention":
             c2 = c1
             args = [c1, *args]
@@ -199,7 +218,7 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
             in_ch = tuple(channels[x] for x in fl)
             args = [*args, in_ch]
             c2 = 0  # heads have no single channel count
-            task = {"Detect": "detect", "Segment": "segment", "Pose": "pose", "OBB": "obb"}[m]
+            task = {"Detect": "detect", "Segment": "segment", "Pose": "pose", "OBB": "obb", "v10Detect": "detect"}[m]
             if m == "Segment" and isinstance(args[2], int):
                 # args = [nc, nm, npr, in_ch]; npr gets width-scaled (tasks.py:1084)
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)

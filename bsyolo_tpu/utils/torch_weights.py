@@ -35,6 +35,9 @@ def _translate_component(comp: str) -> Tuple[str, ...]:
         return (f"SE{m.group(1)}", "conv", "0")
     if comp == "ch_conv":
         return ("ch_att", "2")
+    m = re.match(r"^(one2one_cv[23])((?:_\d+)+)$", comp)
+    if m:  # v10Detect one2one branch: digit-embedded prefix, split the rest
+        return (m.group(1), *m.group(2).strip("_").split("_"))
     # generic: split trailing _<int> groups off alphabetic prefixes (m_0 -> m.0,
     # cv2_1_2 -> cv2.1.2, ffn_0 -> ffn.0) but keep digit-embedded names like
     # conv0_1 (MSCA strip convs) intact

@@ -81,6 +81,14 @@ def _ns():
             "PSA",
             "C2PSA",
             "SCDown",
+            "RepVGGDW",
+            "CIB",
+            "C2fCIB",
+            "MaxSigmoidAttnBlock",
+            "C2fAttn",
+            "ImagePoolingAttn",
+            "ContrastiveHead",
+            "BNContrastiveHead",
             "PMSFA",
             "Bottleneck_gai",
             "C3k_gai",
@@ -90,7 +98,7 @@ def _ns():
     )
     pull("nn/Addmodules/MSCA.py", ["oneConv", "MSCAAttention"])
     pull("nn/Addmodules/ELA.py", ["ELA"])
-    pull("nn/modules/head.py", ["Detect", "Segment", "Pose", "OBB", "Classify"])
+    pull("nn/modules/head.py", ["Detect", "Segment", "Pose", "OBB", "Classify", "v10Detect", "WorldDetect"])
     return ns
 
 
@@ -105,7 +113,7 @@ class RefGraph(nn.Module):
         for L in spec.layers:
             m, a = L.module, list(L.args)
             if m in ("Conv", "DWConv", "SCDown", "SPPF", "C2PSA", "PSA", "C2f", "C3",
-                     "C3k2", "C3k2_gai", "Bottleneck", "Pinwheel_shapedConv"):
+                     "C3k2", "C3k2_gai", "C2fCIB", "Bottleneck", "Pinwheel_shapedConv"):
                 mod = ns[m](L.c1, *a)
             elif m == "MSCAAttention":
                 mod = ns[m](a[0])
@@ -115,9 +123,18 @@ class RefGraph(nn.Module):
                 mod = nn.Upsample(None, a[1], a[2])
             elif m == "Concat":
                 mod = ns["Concat"](1)
-            elif m in ("Detect", "Segment", "Pose", "OBB"):
+            elif m == "C2fAttn":
+                mod = ns[m](L.c1, a[0], a[1], a[2], a[3])  # (c1, c2, n, ec, nh)
+            elif m == "ImagePoolingAttn":
+                mod = ns[m](a[0], tuple(a[1]))
+            elif m == "WorldDetect":
+                mod = ns[m](a[0], a[1], a[2], list(a[3]))
+                mod.stride = torch.tensor([float(s) for s in spec.head_strides])
+            elif m in ("Detect", "Segment", "Pose", "OBB", "v10Detect"):
                 ns["Detect"].legacy = a[-1]
-                if m == "Detect":
+                if m == "v10Detect":
+                    mod = ns[m](a[0], list(a[1]))
+                elif m == "Detect":
                     mod = ns[m](a[0], list(a[1]))
                 elif m == "Segment":
                     mod = ns[m](a[0], a[1], a[2], list(a[3]))
@@ -140,18 +157,28 @@ class RefGraph(nn.Module):
             head.bias_init()
         self.eval()
 
-    def forward(self, x):
+    def forward(self, x, txt=None):
+        """txt: (B, K, 512) text features for world graphs (the walk follows
+        reference WorldModel.predict, tasks.py:630-664)."""
         y = {}
         out = x
+        ori_txt = txt
         for mod in self.model:
             f = mod.f
-            if len(f) == 1 and f[0] == -1:
-                inp = out
-            elif isinstance(mod, _ns()["Concat"]) or mod.__class__.__name__ == "Concat":
+            name = mod.__class__.__name__
+            if len(f) == 1:
+                inp = out if f[0] == -1 else y[f[0]]
+            else:
                 inp = [y[j] if j != -1 else out for j in f]
-            else:  # Detect
-                inp = [y[j] if j != -1 else out for j in f]
-            out = mod(inp)
+            if name == "C2fAttn":
+                out = mod(inp, txt)
+            elif name == "ImagePoolingAttn":
+                txt = mod(inp, txt)
+                out = txt
+            elif name == "WorldDetect":
+                out = mod(inp, ori_txt)
+            else:
+                out = mod(inp)
             if mod.i in self.save:
                 y[mod.i] = out
         return out

@@ -1,0 +1,74 @@
+"""YOLO-World open-vocabulary model: parity + facade tests."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax.numpy as jnp
+
+YAML = "bsyolo_tpu/cfg/models/v8/yolov8-world.yaml"
+
+
+@pytest.fixture(scope="module", params=["yolov8-world.yaml", "yolov8-worldv2.yaml"])
+def pair(request):
+    import torch
+
+    from ref_torch_model import build_ref_model
+    from bsyolo_tpu.nn.model import build_model
+    from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+    torch.manual_seed(0)
+    yaml = f"bsyolo_tpu/cfg/models/v8/{request.param}"
+    ref, spec = build_ref_model(yaml, scale="n")
+    ref.eval()
+    model, variables = build_model(spec, img_size=128)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables, report = convert_state_dict(sd, variables, strict=True)
+    return ref, spec, model, variables
+
+
+class TestWorldParity:
+    def test_param_count(self, pair):
+        ref, spec, model, variables = pair
+        from bsyolo_tpu.nn.model import count_params
+
+        assert count_params(variables["params"]) == ref.num_params() - 16
+
+    def test_forward_parity_with_text(self, pair, rng):
+        import torch
+
+        ref, spec, model, variables = pair
+        txt = rng.normal(0, 1, (1, spec.nc, 512)).astype(np.float32)
+        txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+        x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+        with torch.no_grad():
+            # eval-mode WorldDetect returns (decoded, raw per-level maps)
+            _, feats_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(txt))
+        import jax
+
+        feats = jax.jit(lambda v, xx, tt: model.apply(v, xx, train=False, text=tt))(
+            variables, jnp.asarray(x), jnp.asarray(txt)
+        )
+        assert len(feats) == 3
+        for f_jax, f_t in zip(feats, feats_ref):
+            got = np.asarray(f_jax).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(got, f_t.numpy(), rtol=2e-4, atol=5e-4)
+
+
+class TestWorldFacade:
+    def test_set_classes_and_predict(self):
+        from bsyolo_tpu import YOLOWorld
+
+        m = YOLOWorld("yolov8-world.yaml")
+        emb = np.random.default_rng(0).normal(0, 1, (3, 512)).astype(np.float32)
+        m.set_classes(["person", "bus", "dog"], embeddings=emb)
+        assert m.spec.nc == 3
+        img = np.random.default_rng(1).integers(0, 255, (96, 128, 3), np.uint8)
+        res = m.predict(img, conf=0.0001, imgsz=96)
+        assert len(res) == 1
+        if res[0].boxes is not None and len(res[0].boxes):
+            assert res[0].boxes.cls.max() < 3
