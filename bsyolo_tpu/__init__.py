@@ -17,16 +17,12 @@ ultralytics/engine/model.py).
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "YOLOWorld", "__version__"]
+__all__ = ["YOLO", "YOLOWorld", "RTDETR", "__version__"]
 
 
 def __getattr__(name):  # lazy: keep `import bsyolo_tpu.ops` cheap (no engine deps)
-    if name == "YOLO":
-        from bsyolo_tpu.model import YOLO
+    if name in ("YOLO", "YOLOWorld", "RTDETR"):
+        import bsyolo_tpu.model as _m
 
-        return YOLO
-    if name == "YOLOWorld":
-        from bsyolo_tpu.model import YOLOWorld
-
-        return YOLOWorld
+        return getattr(_m, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -162,6 +162,15 @@ class DetectionPredictor:
                     preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc
                 )
 
+        elif getattr(spec.head, "module", "") == "RTDETRDecoder":
+            from bsyolo_tpu.nn.transformer import decode_rtdetr
+
+            def forward(variables, x):
+                out = model.apply(variables, x, train=False)
+                return decode_rtdetr(
+                    out, (x.shape[1], x.shape[2]), conf_thres=conf, max_det=max_det
+                )
+
         elif getattr(spec.head, "module", "") == "v10Detect":
             from bsyolo_tpu.nn.heads import decode_detections, postprocess_e2e
 

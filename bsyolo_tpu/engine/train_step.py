@@ -47,6 +47,7 @@ class StepConfig(NamedTuple):
     use_adamw: bool
     weight_decay: float  # already scaled by batch*accumulate/nbs
     max_grad_norm: float = 10.0
+    pass_targets: bool = False  # feed gt into model.apply (RT-DETR CDN)
 
 
 def init_train_state(variables) -> TrainState:
@@ -89,11 +90,19 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
         grp = O.param_groups(state.params)
 
         def loss_fn(params):
+            apply_kw = {}
+            if cfg.pass_targets:
+                # RT-DETR CDN: gt targets + a per-step denoising rng
+                apply_kw["targets"] = {
+                    k: batch[k] for k in ("cls", "bboxes", "mask") if k in batch
+                }
+                apply_kw["rngs"] = {"dn": jax.random.fold_in(jax.random.PRNGKey(3), state.step)}
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["img"],
                 train=True,
                 mutable=["batch_stats"],
+                **apply_kw,
             )
             total, items, new_ls = criterion(outputs, batch, state.loss_state, cfg.loss)
             return total, (items, new_ls, mutated["batch_stats"])

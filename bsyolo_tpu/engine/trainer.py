@@ -221,6 +221,16 @@ class DetectionTrainer:
                     outputs, batch["cls"], batch["rboxes"], batch["mask"], ls, lc
                 )
 
+        if self.spec.head.module == "RTDETRDecoder":
+            from bsyolo_tpu.losses.detr import rtdetr_loss
+
+            self.step_cfg = self.step_cfg._replace(pass_targets=True)
+
+            def criterion(outputs, batch, ls, lc):
+                total, items = rtdetr_loss(outputs, batch["cls"], batch["bboxes"], batch["mask"])
+                return total, items, ls
+
+            item_names = ("cls_loss", "bbox_loss", "giou_loss")
         if self.spec.head.module == "v10Detect":
             from bsyolo_tpu.losses.detect import detection_loss
 

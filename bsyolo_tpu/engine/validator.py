@@ -330,6 +330,10 @@ class DetectionValidator:
 
         def forward(variables, img):
             out = model.apply(variables, img, train=False)
+            if isinstance(out, dict) and "dec_bboxes" in out:  # RT-DETR path
+                from bsyolo_tpu.nn.transformer import decode_rtdetr
+
+                return decode_rtdetr(out, (img.shape[1], img.shape[2]), conf_thres=conf, max_det=max_det)
             if isinstance(out, dict) and "one2one" in out:  # v10 NMS-free path
                 from bsyolo_tpu.nn.heads import decode_detections, postprocess_e2e
 

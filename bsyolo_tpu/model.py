@@ -312,3 +312,20 @@ class YOLOWorld(YOLO):
             finally:
                 self.model = real_model
         return super().predict(source, stream=stream, **kwargs)
+
+
+class RTDETR(YOLO):
+    """Baidu RT-DETR facade (reference models/rtdetr/model.py:18).
+
+    Real-time detection transformer: HGNetv2 backbone, AIFI hybrid encoder,
+    deformable-attention decoder with 300 queries — NMS-free end to end.
+    Training uses the Hungarian-matched DETR loss with contrastive denoising
+    (losses/detr.py); predict/val decode straight from the query outputs.
+
+        m = RTDETR("rtdetr-l.yaml")
+        m.train(data="coco8.yaml", epochs=10)
+        m.predict("image.jpg")
+    """
+
+    def __init__(self, model: Union[str, Path] = "rtdetr-l.yaml", task: Optional[str] = None):
+        super().__init__(model, task or "detect")

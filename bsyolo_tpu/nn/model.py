@@ -31,11 +31,15 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[nn.Module]:
         c2, k, s = a[0], a[1] if len(a) > 1 else 1, a[2] if len(a) > 2 else 1
         p = a[3] if len(a) > 3 else None
         g = a[4] if len(a) > 4 else 1
-        return M.ConvBN(c2, k, s, p=p, g=g, dtype=dtype, name=name)
+        d = a[5] if len(a) > 5 else 1
+        act = a[6] if len(a) > 6 else True
+        return M.ConvBN(c2, k, s, p=p, g=g, d=d, act=act, dtype=dtype, name=name)
     if m == "DWConv":
         c2, k = a[0], a[1] if len(a) > 1 else 1
         s = a[2] if len(a) > 2 else 1
-        return M.DWConvBN(c2, k, s, dtype=dtype, name=name)
+        d = a[3] if len(a) > 3 else 1
+        act = a[4] if len(a) > 4 else True
+        return M.DWConvBN(c2, k, s, d=d, act=act, dtype=dtype, name=name)
     if m == "Pinwheel_shapedConv":
         return M.PinwheelConv(a[0], a[1], a[2], dtype=dtype, name=name)
     if m in ("C3k2", "C3k2_gai"):
@@ -64,6 +68,19 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[nn.Module]:
         c2 = a[0]
         shortcut = a[1] if len(a) > 1 else True
         return M.Bottleneck(c2, shortcut, dtype=dtype, name=name)
+    if m == "HGStem":
+        return M.HGStem(a[0], a[1], dtype=dtype, name=name)
+    if m == "HGBlock":
+        cm, c2, k, n = a[0], a[1], a[2], a[3]
+        light = a[4] if len(a) > 4 else False
+        shortcut = a[5] if len(a) > 5 else False
+        return M.HGBlock(cm, c2, k, n, light, shortcut, dtype=dtype, name=name)
+    if m == "RepC3":
+        return M.RepC3(a[0], a[1], dtype=dtype, name=name)
+    if m == "AIFI":
+        from bsyolo_tpu.nn import transformer as T
+
+        return T.AIFI(a[0], a[1] if len(a) > 1 else 8, dtype=dtype, name=name)
     if m == "SPPF":
         return M.SPPF(a[0], a[1] if len(a) > 1 else 5, dtype=dtype, name=name)
     if m == "C2PSA":
@@ -90,7 +107,7 @@ class DetectionGraph(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False, text: Array = None):
+    def __call__(self, x: Array, train: bool = False, text: Array = None, targets=None):
         spec = self.spec
         saved: Dict[int, Array] = {}
         prev: Array = x
@@ -130,6 +147,14 @@ class DetectionGraph(nn.Module):
                     a[0], a[3], spec.head_strides, a[1], a[2], dtype=self.dtype,
                     name=f"m{layer.i}",
                 )(feats, ori_txt, train)
+            elif m == "RTDETRDecoder":
+                from bsyolo_tpu.nn import transformer as T
+
+                feats = [saved[j] if j != -1 else prev for j in layer.f]
+                a = layer.args
+                prev = T.RTDETRDecoder(
+                    a[0], tuple(a[1]), dtype=self.dtype, name=f"m{layer.i}"
+                )(feats, train=train, targets=targets)
             elif m in ("Detect", "Segment", "Pose", "OBB", "v10Detect"):
                 feats = [saved[j] if j != -1 else prev for j in layer.f]
                 prev = self._head(layer, feats, train)

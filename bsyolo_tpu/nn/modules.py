@@ -733,3 +733,108 @@ class BNContrastiveHead(nn.Module):
         w = w / (jnp.linalg.norm(w.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12)
         sim = jnp.einsum("bhwc,bkc->bhwk", x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
         return sim * jnp.exp(logit_scale) + bias
+
+
+class LightConv(nn.Module):
+    """1x1 conv + depthwise kxk, ReLU on the DW only (reference conv.py:206)."""
+
+    c2: int
+    k: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = ConvBN(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBN(self.c2, self.k, g=self.c2, act=False, dtype=self.dtype, name="conv2")(x, train)
+        return nn.relu(x)
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem: 5 ReLU convs + stride-1 maxpool branch
+    (reference block.py:100)."""
+
+    cm: int
+    c2: int
+    dtype: Any = jnp.float32
+
+    def _conv(self, c, k, s, p, name):
+        return ConvBN(c, k, s, p=p, act=False, dtype=self.dtype, name=name)
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        cm = self.cm
+        x = nn.relu(self._conv(cm, 3, 2, None, "stem1")(x, train))
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))  # F.pad [0,1,0,1]
+        x2 = nn.relu(self._conv(cm // 2, 2, 1, 0, "stem2a")(x, train))
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = nn.relu(self._conv(cm, 2, 1, 0, "stem2b")(x2, train))
+        # MaxPool2d(2, stride=1, ceil_mode=True) on the padded map: with the
+        # extra pad row/col the ceil and floor shapes coincide
+        x1 = nn.max_pool(x, (2, 2), strides=(1, 1))
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = nn.relu(self._conv(cm, 3, 2, None, "stem3")(x, train))
+        return nn.relu(self._conv(self.c2, 1, 1, None, "stem4")(x, train))
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 HG block: n chained (Light)Convs + squeeze/excite 1x1s
+    (reference block.py:131)."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c1 = x.shape[-1]
+        ys = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+            else:
+                y = ConvBN(self.cm, self.k, act=False, dtype=self.dtype, name=f"m_{i}")(ys[-1], train)
+                ys.append(nn.relu(y))
+        y = jnp.concatenate(ys, axis=-1)
+        y = nn.relu(ConvBN(self.c2 // 2, 1, act=False, dtype=self.dtype, name="sc")(y, train))
+        y = nn.relu(ConvBN(self.c2, 1, act=False, dtype=self.dtype, name="ec")(y, train))
+        return y + x if self.shortcut and c1 == self.c2 else y
+
+
+class RepConv(nn.Module):
+    """RepVGG-style 3x3 + 1x1 parallel convs, SiLU (reference conv.py:296;
+    deploy-time fusion is a pure weight transform left to the exporter)."""
+
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        a = ConvBN(self.c2, 3, 1, p=1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        b = ConvBN(self.c2, 1, 1, p=0, act=False, dtype=self.dtype, name="conv2")(x, train)
+        return nn.silu(a + b)
+
+
+class RepC3(nn.Module):
+    """CSP block with RepConv stack (reference block.py:3347); used by the
+    RT-DETR neck."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = RepConv(c_, dtype=self.dtype, name=f"m_{i}")(a, train)
+        y = a + b
+        if c_ != self.c2:
+            y = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+        return y

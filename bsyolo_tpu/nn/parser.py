@@ -84,11 +84,12 @@ _CONVLIKE = {
     "PSA",
     "SCDown",
     "C2fCIB",
+    "RepC3",
     "Focus",
     "GhostConv",
 }
 # Modules that additionally get the repeat count inserted at args[2]
-_REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA", "C2fCIB"}
+_REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA", "C2fCIB", "RepC3"}
 _HEADS = {"Detect", "Segment", "Pose", "OBB", "v10Detect"}
 
 
@@ -152,6 +153,9 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
         n_rep = max(round(n * depth), 1) if n > 1 else n
 
         fl = [f] if isinstance(f, int) else list(f)
+        # resolve negative froms other than -1 to absolute layer indices
+        # (-2 in the RT-DETR neck); -1 stays relative = "previous output"
+        fl = [x if x == -1 else x % i for x in fl]
         c1 = channels[fl[0]] if fl[0] != -1 else channels[-1]
         in_stride = strides[fl[0]] if fl[0] != -1 else strides[-1]
         out_stride = in_stride
@@ -176,6 +180,24 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
             elif m == "Focus":
                 s = 2
             out_stride = in_stride * s
+        elif m == "HGStem":
+            # (cm, c2) unscaled (reference tasks.py:1060); stem downsamples 4x
+            c2 = args[1]
+            out_stride = in_stride * 4
+        elif m == "HGBlock":
+            # (cm, c2, k, light, shortcut) -> insert repeats after k
+            c2 = args[1]
+            args = [args[0], args[1], args[2] if len(args) > 2 else 3, n_rep, *args[3:]]
+            n_rep = 1
+        elif m == "AIFI":
+            c2 = c1
+            # args stay (cm, num_heads)
+        elif m == "RTDETRDecoder":
+            in_ch = tuple(channels[x] for x in fl)
+            args = [args[0], in_ch, *args[1:]]
+            c2 = 0
+            task = "detect"
+            out_stride = 0
         elif m == "C2fAttn":
             # (c2, ec, nh) in YAML -> (c2, n, ec, nh); ec/nh scale per
             # reference tasks.py:1017-1021

@@ -38,10 +38,13 @@ def _translate_component(comp: str) -> Tuple[str, ...]:
     m = re.match(r"^(one2one_cv[23])((?:_\d+)+)$", comp)
     if m:  # v10Detect one2one branch: digit-embedded prefix, split the rest
         return (m.group(1), *m.group(2).strip("_").split("_"))
-    # generic: split trailing _<int> groups off alphabetic prefixes (m_0 -> m.0,
-    # cv2_1_2 -> cv2.1.2, ffn_0 -> ffn.0) but keep digit-embedded names like
-    # conv0_1 (MSCA strip convs) intact
-    m = re.match(r"^([a-zA-Z]+\d*)((?:_\d+)+)$", comp)
+    m = re.match(r"^decoder_layers((?:_\d+)+)$", comp)
+    if m:  # RTDETRDecoder's cloned layers nest as decoder.layers.<i> in torch
+        return ("decoder", "layers", *m.group(1).strip("_").split("_"))
+    # generic: split trailing _<int> groups off snake-case prefixes (m_0 ->
+    # m.0, cv2_1_2 -> cv2.1.2, input_proj_0_1 -> input_proj.0.1) but keep
+    # digit-embedded names like conv0_1 (MSCA strip convs) intact
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9_]*?)((?:_\d+)+)$", comp)
     if m and not re.match(r"^conv\d$", m.group(1)):
         return (m.group(1), *m.group(2).strip("_").split("_"))
     return (comp,)
@@ -65,6 +68,8 @@ def flax_path_to_torch_key(collection: str, path: Tuple[str, ...]) -> str:
     tleaf = _LEAF_MAP.get((collection, leaf), leaf)
     if leaf in ("ch_weight", "sp_weight", "res_weight"):
         return ".".join(comps + [leaf])
+    if leaf == "denoising_class_embed":  # raw param here, nn.Embedding there
+        return ".".join(comps + [leaf, "weight"])
     return ".".join(comps + [tleaf])
 
 

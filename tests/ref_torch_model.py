@@ -36,9 +36,20 @@ def _ns():
         "__name__": "ref_torch_model",
     }
 
+    class _StripRelativeImports(ast.NodeTransformer):
+        """Runtime relative imports inside extracted defs (e.g. AIFI's
+        `from ...utils.torch_utils import TORCH_1_9`) can't resolve without
+        the package; drop them — the imported names are predefined in ns."""
+
+        def visit_ImportFrom(self, node):
+            if node.level and node.level > 0:
+                return ast.copy_location(ast.Pass(), node)
+            return node
+
     def pull(relpath: str, names):
         src = (REF / relpath).read_text()
         tree = ast.parse(src)
+        tree = ast.fix_missing_locations(_StripRelativeImports().visit(tree))
         pending = [
             node
             for node in tree.body
@@ -65,7 +76,19 @@ def _ns():
 
     pull("utils/tal.py", ["make_anchors", "dist2bbox", "dist2rbox"])
     ns["TORCH_1_10"] = True
-    pull("nn/modules/conv.py", ["autopad", "Conv", "DWConv", "Concat", "Pinwheel_shapedConv"])
+    ns["TORCH_1_9"] = True
+    from torch.nn.init import constant_, uniform_, xavier_uniform_
+
+    ns["constant_"] = constant_
+    ns["uniform_"] = uniform_
+    ns["xavier_uniform_"] = xavier_uniform_
+    pull(
+        "nn/modules/utils.py",
+        ["_get_clones", "bias_init_with_prob", "linear_init", "inverse_sigmoid",
+         "multi_scale_deformable_attn_pytorch"],
+    )
+    pull("nn/modules/conv.py", ["autopad", "Conv", "DWConv", "Concat", "Pinwheel_shapedConv",
+                                "LightConv", "RepConv"])
     pull(
         "nn/modules/block.py",
         [
@@ -82,6 +105,9 @@ def _ns():
             "C2PSA",
             "SCDown",
             "RepVGGDW",
+            "HGStem",
+            "HGBlock",
+            "RepC3",
             "CIB",
             "C2fCIB",
             "MaxSigmoidAttnBlock",
@@ -98,7 +124,55 @@ def _ns():
     )
     pull("nn/Addmodules/MSCA.py", ["oneConv", "MSCAAttention"])
     pull("nn/Addmodules/ELA.py", ["ELA"])
-    pull("nn/modules/head.py", ["Detect", "Segment", "Pose", "OBB", "Classify", "v10Detect", "WorldDetect"])
+    pull(
+        "nn/modules/transformer.py",
+        ["TransformerEncoderLayer", "AIFI", "MLP", "MSDeformAttn",
+         "DeformableTransformerDecoderLayer", "DeformableTransformerDecoder"],
+    )
+    pull("nn/modules/head.py", ["Detect", "Segment", "Pose", "OBB", "Classify", "v10Detect", "WorldDetect", "RTDETRDecoder"])
+    # RTDETRDecoder.forward does `from ultralytics.models.utils.ops import
+    # get_cdn_group` at call time; provide it via a stub module tree
+    import sys as _sys
+    import types as _types
+
+    _ops_ns = _extract_into(
+        "models/utils/ops.py", ["get_cdn_group"],
+        extra={"torch": torch, "nn": nn, "np": ns["np"], "math": math},
+    )
+    for name, mod in [
+        ("ultralytics", _types.ModuleType("ultralytics")),
+        ("ultralytics.models", _types.ModuleType("ultralytics.models")),
+        ("ultralytics.models.utils", _types.ModuleType("ultralytics.models.utils")),
+        ("ultralytics.models.utils.ops", _types.ModuleType("ultralytics.models.utils.ops")),
+    ]:
+        _sys.modules.setdefault(name, mod)
+    _sys.modules["ultralytics.models.utils.ops"].get_cdn_group = _ops_ns["get_cdn_group"]
+    return ns
+
+
+def _extract_into(relpath, names, extra=None):
+    """Standalone AST-extraction into a fresh namespace (for stub modules)."""
+    import torch.nn.functional as F
+
+    ns = dict(extra or {})
+    ns.setdefault("F", F)
+    ns["__name__"] = f"ref_extract.{relpath}"
+
+    def pull(rel, wanted_names):
+        src = (REF / rel).read_text()
+        tree = ast.parse(src)
+        wanted = [
+            node
+            for node in tree.body
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)) and node.name in wanted_names
+        ]
+        for node in wanted:
+            mod = ast.Module(body=[node], type_ignores=[])
+            exec(compile(mod, f"{rel}:{node.name}", "exec"), ns)
+
+    # get_cdn_group's box-space helpers live in utils/ops.py
+    pull("utils/ops.py", ["xywh2xyxy", "xyxy2xywh", "empty_like"])
+    pull(relpath, names)
     return ns
 
 
@@ -123,6 +197,16 @@ class RefGraph(nn.Module):
                 mod = nn.Upsample(None, a[1], a[2])
             elif m == "Concat":
                 mod = ns["Concat"](1)
+            elif m == "HGStem":
+                mod = ns[m](L.c1, a[0], a[1])
+            elif m == "HGBlock":
+                mod = ns[m](L.c1, a[0], a[1], a[2], a[3], *(a[4:]))
+            elif m == "RepC3":
+                mod = ns[m](L.c1, a[0], a[1])
+            elif m == "AIFI":
+                mod = ns[m](L.c1, a[0], a[1] if len(a) > 1 else 8)
+            elif m == "RTDETRDecoder":
+                mod = ns[m](a[0], tuple(a[1]))
             elif m == "C2fAttn":
                 mod = ns[m](L.c1, a[0], a[1], a[2], a[3])  # (c1, c2, n, ec, nh)
             elif m == "ImagePoolingAttn":
@@ -170,7 +254,9 @@ class RefGraph(nn.Module):
                 inp = out if f[0] == -1 else y[f[0]]
             else:
                 inp = [y[j] if j != -1 else out for j in f]
-            if name == "C2fAttn":
+            if name == "RTDETRDecoder":
+                out = mod(inp)
+            elif name == "C2fAttn":
                 out = mod(inp, txt)
             elif name == "ImagePoolingAttn":
                 txt = mod(inp, txt)
