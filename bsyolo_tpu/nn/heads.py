@@ -93,9 +93,12 @@ class Proto(nn.Module):
         from bsyolo_tpu.nn.modules import upsample2x_nearest
 
         x = ConvBN(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
-        # reference uses ConvTranspose2d(c_, c_, 2, 2, 0) with bias
+        # reference uses ConvTranspose2d(c_, c_, 2, 2, 0) with bias;
+        # transpose_kernel=True matches torch's transposed-conv orientation
+        # (kernel (k, k, out, in) = torch (in, out, k, k).transpose(2, 3, 1, 0))
         x = nn.ConvTranspose(
-            self.c_, (2, 2), strides=(2, 2), use_bias=True, dtype=self.dtype, name="upsample"
+            self.c_, (2, 2), strides=(2, 2), use_bias=True, transpose_kernel=True,
+            dtype=self.dtype, name="upsample",
         )(x)
         x = ConvBN(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
         return ConvBN(self.c2, 1, dtype=self.dtype, name="cv3")(x, train)

@@ -22,11 +22,14 @@ import numpy as np
 
 def _translate_component(comp: str) -> Tuple[str, ...]:
     """Translate one flax path component to zero or more torch components."""
-    if comp in ("dw", "detect"):
-        # wrapper levels not present in torch: DWConvBN's inner ConvBN, and
-        # the Segment/Pose/OBB heads' nested Detect (torch heads inherit
-        # Detect, so cv2/cv3 live directly on the head module)
+    if comp in ("dw", "detect", "ln"):
+        # wrapper levels not present in torch: DWConvBN's inner ConvBN, the
+        # Segment/Pose/OBB heads' nested Detect (torch heads inherit Detect,
+        # so cv2/cv3 live directly on the head module), and LayerNorm2d's
+        # inner flax LayerNorm
         return ()
+    if comp == "patch_embed_proj":  # SAM ViT stem (PatchEmbed.proj)
+        return ("patch_embed", "proj")
     m = re.match(r"^m(\d+)$", comp)
     if m:
         return ("model", m.group(1))
@@ -41,6 +44,12 @@ def _translate_component(comp: str) -> Tuple[str, ...]:
     m = re.match(r"^decoder_layers((?:_\d+)+)$", comp)
     if m:  # RTDETRDecoder's cloned layers nest as decoder.layers.<i> in torch
         return ("decoder", "layers", *m.group(1).strip("_").split("_"))
+    m = re.match(r"^layers_(\d+)_blocks_(\d+)$", comp)
+    if m:  # TinyViT stage blocks: layers.<i>.blocks.<j>
+        return ("layers", m.group(1), "blocks", m.group(2))
+    m = re.match(r"^layers_(\d+)_downsample$", comp)
+    if m:  # TinyViT patch merging: layers.<i>.downsample
+        return ("layers", m.group(1), "downsample")
     # generic: split trailing _<int> groups off snake-case prefixes (m_0 ->
     # m.0, cv2_1_2 -> cv2.1.2, input_proj_0_1 -> input_proj.0.1) but keep
     # digit-embedded names like conv0_1 (MSCA strip convs) intact
@@ -68,8 +77,15 @@ def flax_path_to_torch_key(collection: str, path: Tuple[str, ...]) -> str:
     tleaf = _LEAF_MAP.get((collection, leaf), leaf)
     if leaf in ("ch_weight", "sp_weight", "res_weight"):
         return ".".join(comps + [leaf])
-    if leaf == "denoising_class_embed":  # raw param here, nn.Embedding there
+    # raw flax params that are nn.Embedding modules in torch (leaf.weight)
+    if leaf in ("denoising_class_embed", "tgt_embed", "iou_token", "mask_tokens",
+                "not_a_point_embed", "no_mask_embed"):
         return ".".join(comps + [leaf, "weight"])
+    m = re.match(r"^point_embeddings_(\d+)$", leaf)  # SAM PromptEncoder ModuleList
+    if m:
+        return ".".join(comps + ["point_embeddings", m.group(1), "weight"])
+    if leaf == "pe_layer_positional_encoding_gaussian_matrix":  # buffer on pe_layer
+        return ".".join(comps + ["pe_layer", "positional_encoding_gaussian_matrix"])
     return ".".join(comps + [tleaf])
 
 
@@ -79,14 +95,12 @@ def _to_flax_tensor(torch_arr: np.ndarray, target_shape: Tuple[int, ...], path) 
     leaf = path[-1]
     if leaf == "kernel":
         if a.ndim == 4:
-            if "upsample" in path:  # ConvTranspose2d: (I, O, kh, kw) -> (kh, kw, O, I)? see below
-                # torch ConvTranspose2d weight: (in, out/groups, kH, kW)
-                # flax ConvTranspose kernel: (kH, kW, in, out)
-                cand = a.transpose(2, 3, 0, 1)
-            else:
-                # torch Conv2d weight: (out, in/groups, kH, kW)
-                # flax Conv kernel: (kH, kW, in/groups, out)
-                cand = a.transpose(2, 3, 1, 0)
+            # torch Conv2d weight: (out, in/groups, kH, kW)
+            # flax Conv kernel: (kH, kW, in/groups, out)
+            # ConvTranspose2d (in, out, kH, kW) uses the SAME perm: all flax
+            # ConvTranspose modules here set transpose_kernel=True, whose
+            # kernel layout is (kH, kW, out, in)
+            cand = a.transpose(2, 3, 1, 0)
         elif a.ndim == 3:
             # torch Conv1d (out, in/groups, k) -> flax (k, in/groups, out)
             cand = a.transpose(2, 1, 0)

@@ -1,0 +1,204 @@
+"""Torch-side golden SAM modules, AST-extracted from /root/reference.
+
+Same oracle approach as ref_torch_model.py: pull the real reference class
+bodies (ImageEncoderViT, PromptEncoder, MaskDecoder, TwoWayTransformer,
+TinyViT, ...) into a fresh namespace so they run without importing the
+(un-importable) reference package.
+"""
+
+from __future__ import annotations
+
+import ast
+import functools
+import itertools
+import math
+from pathlib import Path
+
+import torch
+import torch.nn as nn
+
+REF = Path("/root/reference/ultralytics")
+
+
+class _StripRelativeImports(ast.NodeTransformer):
+    def visit_ImportFrom(self, node):
+        if node.level and node.level > 0:
+            return ast.copy_location(ast.Pass(), node)
+        return node
+
+
+def _pull(ns, relpath, names):
+    src = (REF / relpath).read_text()
+    tree = ast.parse(src)
+    tree = ast.fix_missing_locations(_StripRelativeImports().visit(tree))
+    pending = [
+        n for n in tree.body if isinstance(n, (ast.FunctionDef, ast.ClassDef)) and n.name in names
+    ]
+    missing = set(names) - {n.name for n in pending}
+    if missing:
+        raise KeyError(f"{relpath}: {missing}")
+    while pending:
+        progress = False
+        errors = []
+        for node in list(pending):
+            try:
+                mod = ast.Module(body=[node], type_ignores=[])
+                exec(compile(mod, f"{relpath}:{node.name}", "exec"), ns)
+                pending.remove(node)
+                progress = True
+            except NameError as e:
+                errors.append((node.name, e))
+        if not progress:
+            raise NameError(f"{relpath}: unresolved {errors}")
+
+
+@functools.lru_cache(maxsize=None)
+def sam_ns():
+    import copy
+
+    import numpy as np
+    import torch.nn.functional as F
+    import torch.utils.checkpoint as checkpoint
+    from functools import partial
+    from typing import Any, Callable, List, Optional, Sequence, Tuple, Type, Union
+
+    from torch import Tensor
+    from torch.nn.init import constant_, uniform_, xavier_uniform_
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    ns = {
+        "torch": torch, "nn": nn, "F": F, "np": np, "math": math, "copy": copy,
+        "itertools": itertools, "checkpoint": checkpoint, "partial": partial,
+        "Tensor": Tensor, "Any": Any, "Callable": Callable, "List": List,
+        "Optional": Optional, "Sequence": Sequence, "Tuple": Tuple, "Type": Type,
+        "Union": Union, "to_2tuple": to_2tuple, "constant_": constant_,
+        "uniform_": uniform_, "xavier_uniform_": xavier_uniform_,
+        "__name__": "ref_sam_model",
+    }
+    _pull(ns, "nn/modules/transformer.py", ["MLPBlock", "MLP", "LayerNorm2d"])
+    _pull(
+        ns, "models/sam/modules/utils.py",
+        ["window_partition", "window_unpartition", "get_rel_pos", "add_decomposed_rel_pos"],
+    )
+    _pull(
+        ns, "models/sam/modules/transformer.py",
+        ["Attention", "TwoWayAttentionBlock", "TwoWayTransformer"],
+    )
+    _pull(
+        ns, "models/sam/modules/blocks.py",
+        ["PatchEmbed", "PositionEmbeddingRandom", "Block", "REAttention"],
+    )
+    _pull(ns, "models/sam/modules/encoders.py", ["ImageEncoderViT", "PromptEncoder"])
+    _pull(ns, "models/sam/modules/decoders.py", ["MaskDecoder"])
+    _pull(
+        ns, "models/sam/modules/tiny_encoder.py",
+        ["Conv2d_BN", "PatchEmbed", "MBConv", "PatchMerging", "ConvLayer", "Mlp",
+         "Attention", "TinyViTBlock", "BasicLayer", "TinyViT"],
+    )
+    # NOTE: tiny_encoder defines its own PatchEmbed/Attention, overwriting the
+    # SAM-ViT ones pulled above — grab the ViT versions before this last pull
+    # via vit_ns() if both are needed simultaneously.
+    return ns
+
+
+@functools.lru_cache(maxsize=None)
+def vit_ns():
+    """Namespace with the SAM-ViT (non-Tiny) PatchEmbed/Attention versions."""
+    import copy
+
+    import numpy as np
+    import torch.nn.functional as F
+    from functools import partial
+    from typing import Any, Callable, List, Optional, Sequence, Tuple, Type, Union
+
+    from torch import Tensor
+
+    ns = {
+        "torch": torch, "nn": nn, "F": F, "np": np, "math": math, "copy": copy,
+        "partial": partial, "Tensor": Tensor, "Any": Any, "Callable": Callable,
+        "List": List, "Optional": Optional, "Sequence": Sequence, "Tuple": Tuple,
+        "Type": Type, "Union": Union, "__name__": "ref_sam_model.vit",
+    }
+    ns["itertools"] = itertools
+    _pull(ns, "nn/modules/transformer.py", ["MLPBlock", "MLP", "LayerNorm2d"])
+    _pull(
+        ns, "models/sam/modules/utils.py",
+        ["window_partition", "window_unpartition", "get_rel_pos", "add_decomposed_rel_pos"],
+    )
+    _pull(
+        ns, "models/sam/modules/transformer.py",
+        ["Attention", "TwoWayAttentionBlock", "TwoWayTransformer"],
+    )
+    _pull(
+        ns, "models/sam/modules/blocks.py",
+        ["PatchEmbed", "PositionEmbeddingRandom", "Block", "REAttention"],
+    )
+    _pull(ns, "models/sam/modules/encoders.py", ["ImageEncoderViT", "PromptEncoder"])
+    _pull(ns, "models/sam/modules/decoders.py", ["MaskDecoder"])
+    return ns
+
+
+def build_ref_sam(img_size=128, embed_dim=64, depth=2, num_heads=2,
+                  global_attn_indexes=(1,), prompt_dim=32, window_size=4):
+    """Small torch SAM (encoder+prompt+decoder) for parity tests."""
+    ns = vit_ns()
+    torch.manual_seed(0)
+    enc = ns["ImageEncoderViT"](
+        img_size=img_size, patch_size=16, embed_dim=embed_dim, depth=depth,
+        num_heads=num_heads, mlp_ratio=4, out_chans=prompt_dim, qkv_bias=True,
+        norm_layer=__import__("functools").partial(torch.nn.LayerNorm, eps=1e-6),
+        use_rel_pos=True, global_attn_indexes=global_attn_indexes,
+        window_size=window_size,
+    )
+    grid = img_size // 16
+    pe = ns["PromptEncoder"](
+        embed_dim=prompt_dim, image_embedding_size=(grid, grid),
+        input_image_size=(img_size, img_size), mask_in_chans=16,
+    )
+    dec = ns["MaskDecoder"](
+        num_multimask_outputs=3,
+        transformer=ns["TwoWayTransformer"](depth=2, embedding_dim=prompt_dim, mlp_dim=64, num_heads=2),
+        transformer_dim=prompt_dim, iou_head_depth=3, iou_head_hidden_dim=32,
+    )
+
+    class RefSAM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.image_encoder = enc
+            self.prompt_encoder = pe
+            self.mask_decoder = dec
+
+        @torch.no_grad()
+        def forward(self, x, points=None, boxes=None, multimask_output=True):
+            emb = self.image_encoder(x)
+            sparse, dense = self.prompt_encoder(points=points, boxes=boxes, masks=None)
+            masks, iou = self.mask_decoder(
+                image_embeddings=emb,
+                image_pe=self.prompt_encoder.get_dense_pe(),
+                sparse_prompt_embeddings=sparse,
+                dense_prompt_embeddings=dense,
+                multimask_output=multimask_output,
+            )
+            return masks, iou
+
+    m = RefSAM()
+    m.eval()
+    return m
+
+
+def build_ref_tinyvit(img_size=128, embed_dims=(8, 12, 16, 20), depths=(1, 1, 2, 1),
+                      num_heads=(1, 2, 2, 2), window_sizes=(4, 4, 7, 4)):
+    """Small torch TinyViT for parity tests (MobileSAM encoder shape)."""
+    ns = sam_ns()
+    torch.manual_seed(0)
+    m = ns["TinyViT"](
+        img_size=img_size, in_chans=3, num_classes=1000,
+        embed_dims=list(embed_dims), depths=list(depths), num_heads=list(num_heads),
+        window_sizes=list(window_sizes), mlp_ratio=4.0, drop_rate=0.0,
+        drop_path_rate=0.0, use_checkpoint=False, mbconv_expand_ratio=4.0,
+        local_conv_size=3, layer_lr_decay=1.0,
+    )
+    m.eval()
+    return m
