@@ -72,7 +72,7 @@ def export_model(
     if format == "params":
         return yolo.save(str(out.with_suffix(".ckpt")))
 
-    if format in ("saved_model", "tflite"):
+    if format in ("saved_model", "tflite", "tflite-fp16", "tflite-int8"):
         try:
             import tensorflow as tf
             from jax.experimental import jax2tf
@@ -86,17 +86,46 @@ def export_model(
         module = tf.Module()
         module.f = tf_fn
         if format == "saved_model":
-            tf.saved_model.save(module, str(out))
+            # export with a serving signature so C/C++ clients can bind the
+            # graph I/O by name (examples/cpp_client runs this via TF C API)
+            tf.saved_model.save(
+                module, str(out), signatures={"serving_default": tf_fn.get_concrete_function()}
+            )
+            meta = {
+                "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
+                "nms": nms, "input": "NHWC float32 [0,1] RGB",
+            }
+            (Path(str(out)) / "bsyolo_meta.json").write_text(json.dumps(meta, indent=2))
             return str(out)
         converter = tf.lite.TFLiteConverter.from_concrete_functions(
             [tf_fn.get_concrete_function()], module
         )
+        if format == "tflite-fp16":
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.target_spec.supported_types = [tf.float16]
+        elif format == "tflite-int8":
+            # full-int8 with a calibration sweep (reference exporter int8 path,
+            # engine/exporter.py TFLite int8); inputs/outputs stay float for
+            # drop-in parity with the fp32 artifact
+            import numpy as _np
+
+            rng = _np.random.default_rng(0)
+
+            def representative():
+                for _ in range(16):
+                    yield [rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(_np.float32)]
+
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.representative_dataset = representative
         blob = converter.convert()
-        out = out.with_suffix(".tflite")
+        out = Path(str(out.with_suffix("")) + format.replace("tflite", "").replace("-", "_")).with_suffix(".tflite")
         out.write_bytes(blob)
         return str(out)
 
-    raise ValueError(f"unsupported export format: {format} (available: stablehlo, params, saved_model, tflite)")
+    raise ValueError(
+        f"unsupported export format: {format} "
+        "(available: stablehlo, params, saved_model, tflite, tflite-fp16, tflite-int8)"
+    )
 
 
 def load_stablehlo(path: str):
