@@ -302,6 +302,11 @@ def train_transform(
     )
     if hyp.get("copy_paste", 0.0) > 0 and rng.random() < hyp.get("copy_paste", 0.0):
         img, cls, boxes = copy_paste(img, cls, boxes, rng)
+    from bsyolo_tpu.data.photometric import photometric_suite
+
+    # Albumentations-analog photometric suite (reference augment.py:1735;
+    # applied before HSV like the reference v8_transforms ordering)
+    img = photometric_suite(img, rng, p=hyp.get("albumentations", 1.0))
     img = random_hsv(
         img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
     )

@@ -33,14 +33,20 @@ class ClassificationDataset:
     def get_sample(self, i: int, rng: np.random.Generator):
         import cv2
 
+        from bsyolo_tpu.data.photometric import classify_eval_transform, classify_train_transform
+
         path, cls = self.samples[i]
         im = cv2.imread(path)
         if im is None:
             raise FileNotFoundError(path)
-        im = cv2.resize(im, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
-        if self.augment and self.fliplr and rng.random() < self.fliplr:
-            im = np.fliplr(im)
-        img = np.ascontiguousarray(im[..., ::-1]).astype(np.float32) / 255.0  # BGR->RGB
+        im = np.ascontiguousarray(im[..., ::-1])  # BGR->RGB
+        if self.augment:
+            # RandomResizedCrop + flips + HSV (reference classify_augmentations,
+            # augment.py:2400)
+            img = classify_train_transform(im, rng, size=self.imgsz, hflip=self.fliplr)
+        else:
+            # shortest-edge resize + center crop (reference classify_transforms)
+            img = classify_eval_transform(im, size=self.imgsz)
         return img, np.int32(cls)
 
 

@@ -107,7 +107,8 @@ class DetectionGraph(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False, text: Array = None, targets=None):
+    def __call__(self, x: Array, train: bool = False, text: Array = None, targets=None,
+                 perturb: bool = False):
         spec = self.spec
         saved: Dict[int, Array] = {}
         prev: Array = x
@@ -172,6 +173,12 @@ class DetectionGraph(nn.Module):
                 src = saved[layer.f[0]] if layer.f[0] != -1 else prev
                 mod = _build_module(layer, self.dtype)
                 prev = mod(src, train)
+            if perturb and getattr(prev, "ndim", 0) == 4:  # head outputs are lists/dicts — skip
+                # zero-valued additive hooks: grads w.r.t. the 'perturbations'
+                # collection ARE grads w.r.t. each layer activation — the
+                # GradCAM tap (utils/visualize.grad_cam; the TPU answer to
+                # reference sys/heatmap.py:22 ActivationsAndGradients)
+                prev = self.perturb(f"l{layer.i}", prev)
             if layer.i in spec.save:
                 saved[layer.i] = prev
         return prev

@@ -68,6 +68,11 @@ def default_callbacks() -> CallbackRegistry:
         _add_tensorboard(reg)
     except Exception:
         pass
+    # the other sinks (W&B/MLflow/Comet/ClearML/DVC/Neptune/RayTune + JSONL),
+    # each self-gated on its package (reference add_integration_callbacks)
+    from bsyolo_tpu.utils.loggers import add_integration_callbacks
+
+    add_integration_callbacks(reg)
     return reg
 
 

@@ -66,3 +66,88 @@ def feature_visualization(
     fig.savefig(save_path, dpi=110)
     plt.close(fig)
     return save_path
+
+
+def grad_cam(
+    model,
+    variables,
+    img: np.ndarray,
+    layer: int,
+    class_id: Optional[int] = None,
+    conf_thres: float = 0.25,
+    strides=None,
+    nc: Optional[int] = None,
+    imgsz: int = 640,
+):
+    """Grad-CAM heatmap for a detection model (the TPU-native equivalent of
+    reference sys/heatmap.py:22 ActivationsAndGradients + yolov8_heatmap).
+
+    ``layer`` is the graph index (0-based, the YAML row). The score is the
+    summed top-class confidence over anchors above ``conf_thres`` (optionally
+    restricted to ``class_id``); its gradient is taken w.r.t. the layer's
+    activation via the graph's zero-valued perturbation taps
+    (nn/model.DetectionGraph ``perturb=True``), then GAP-weighted and ReLU'd.
+
+    Returns (cam (h, w) float in [0, 1] at the feature resolution, overlay
+    uint8 (H, W, 3) resized onto the input image).
+    """
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from bsyolo_tpu.nn.heads import decode_detections
+    from bsyolo_tpu.ops import letterbox_image
+
+    spec = getattr(model, "spec", None)
+    if strides is None and spec is not None:
+        strides = spec.head_strides
+    if nc is None and spec is not None:
+        nc = spec.nc
+
+    size = imgsz
+    lb, r, (dw, dh) = letterbox_image(img, (size, size))
+    x = jnp.asarray(lb[None].astype(np.float32) / 255.0)
+
+    # 1. collect the zero perturbation tree (and the activations)
+    _, mut = model.apply(
+        variables, x, train=False, perturb=True, mutable=["perturbations"]
+    )
+    zeros = mut["perturbations"]
+    key = f"l{layer}"
+    if key not in zeros:
+        raise KeyError(f"layer {layer} has no spatial activation tap; available: {list(zeros)}")
+
+    def score_fn(pert):
+        feats = model.apply(
+            {**variables, "perturbations": pert}, x, train=False, perturb=True
+        )
+        preds = decode_detections(feats, strides, nc)  # (1, A, 4+nc)
+        cls_scores = preds[..., 4:]
+        if class_id is not None:
+            sc = cls_scores[..., class_id]
+        else:
+            sc = jnp.max(cls_scores, axis=-1)
+        return jnp.sum(jnp.where(sc > conf_thres, sc, 0.0)), feats
+
+    grads, _ = jax.grad(score_fn, has_aux=True)(zeros)
+    g = np.asarray(grads[key][0], np.float32)  # (h, w, c)
+
+    acts = capture_features(model, variables, x, layer_names=[f"m{layer}"])
+    act = next((v for k, v in acts.items() if k == f"m{layer}" or k.endswith(f"/m{layer}")), None)
+    if act is None:  # fall back to any prefix match
+        act = next(v for k, v in acts.items() if f"m{layer}" in k)
+    a = act[0].astype(np.float32)
+
+    w = g.mean(axis=(0, 1))  # GAP over space -> per-channel weight
+    cam = np.maximum((a * w).sum(-1), 0.0)
+    if cam.max() > 0:
+        cam = cam / cam.max()
+
+    heat = cv2.applyColorMap((cam * 255).astype(np.uint8), cv2.COLORMAP_JET)[..., ::-1]
+    heat = cv2.resize(heat, (size, size), interpolation=cv2.INTER_LINEAR)
+    # crop letterbox pad, resize onto the original image
+    hs, ws = int(round(img.shape[0] * r)), int(round(img.shape[1] * r))
+    heat = heat[int(dh) : int(dh) + hs, int(dw) : int(dw) + ws]
+    heat = cv2.resize(heat, (img.shape[1], img.shape[0]), interpolation=cv2.INTER_LINEAR)
+    overlay = (0.5 * img.astype(np.float32) + 0.5 * heat.astype(np.float32)).astype(np.uint8)
+    return cam, overlay

@@ -1,0 +1,194 @@
+"""Photometric suite, classify transforms, DOTA splitter, auto-annotator."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+class TestPhotometric:
+    def setup_method(self):
+        self.img = np.random.default_rng(0).integers(0, 255, (64, 48, 3), np.uint8)
+
+    def test_ops_preserve_shape_dtype(self):
+        from bsyolo_tpu.data import photometric as P
+
+        for fn in (lambda i: P.blur(i, 5), lambda i: P.median_blur(i, 5), P.to_gray,
+                   P.clahe, lambda i: P.brightness_contrast(i, 0.1, 0.2),
+                   lambda i: P.gamma(i, 1.4), lambda i: P.jpeg_compression(i, 80)):
+            out = fn(self.img)
+            assert out.shape == self.img.shape and out.dtype == np.uint8
+
+    def test_gray_has_equal_channels(self):
+        from bsyolo_tpu.data.photometric import to_gray
+
+        g = to_gray(self.img)
+        assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
+
+    def test_suite_deterministic(self):
+        from bsyolo_tpu.data.photometric import photometric_suite
+
+        a = photometric_suite(self.img, np.random.default_rng(7))
+        b = photometric_suite(self.img, np.random.default_rng(7))
+        np.testing.assert_array_equal(a, b)
+
+    def test_classify_eval_center_crop(self):
+        from bsyolo_tpu.data.photometric import classify_eval_transform
+
+        out = classify_eval_transform(self.img, size=32)
+        assert out.shape == (32, 32, 3) and out.dtype == np.float32
+        assert 0.0 <= out.min() and out.max() <= 1.0
+
+    def test_classify_train_shape_and_determinism(self):
+        from bsyolo_tpu.data.photometric import classify_train_transform
+
+        a = classify_train_transform(self.img, np.random.default_rng(3), size=32)
+        b = classify_train_transform(self.img, np.random.default_rng(3), size=32)
+        assert a.shape == (32, 32, 3)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestDotaSplit:
+    def test_windows_cover_image(self):
+        from bsyolo_tpu.data.split_dota import get_windows
+
+        win = get_windows((1500, 2200), crop_sizes=(1024,), gaps=(200,))
+        assert (win[:, 2] - win[:, 0] == 1024).all()
+        # windows must cover every image pixel
+        assert win[:, 0].min() == 0 and win[:, 1].min() == 0
+        assert win[:, 2].max() >= 2200 - 1 and win[:, 3].max() >= 1500 - 1
+
+    def test_iof_exact_for_inside_poly(self):
+        from bsyolo_tpu.data.split_dota import bbox_iof
+
+        poly = np.asarray([[10, 10, 30, 10, 30, 30, 10, 30]], np.float32)
+        boxes = np.asarray([[0, 0, 40, 40], [0, 0, 20, 40], [100, 100, 140, 140]], np.float32)
+        iof = bbox_iof(poly, boxes)
+        np.testing.assert_allclose(iof[0], [1.0, 0.5, 0.0], atol=1e-6)
+
+    def test_split_image_shifts_labels(self):
+        from bsyolo_tpu.data.split_dota import split_image
+
+        img = np.zeros((900, 900, 3), np.uint8)
+        # polygon centered at (800, 800) — belongs to the last window
+        label = np.asarray([[0, 780, 780, 820, 780, 820, 820, 780, 820]], np.float32)
+        crops = split_image(img, label, crop_sizes=(512,), gaps=(128,), allow_background=False)
+        assert len(crops) >= 1
+        crop, lb, (x0, y0) = crops[-1]
+        assert crop.shape[:2] == (512, 512)
+        assert len(lb) == 1
+        # shifted into window coords
+        assert 0 <= lb[0, 1] <= 512 and 0 <= lb[0, 2] <= 512
+
+    def test_directory_driver(self, tmp_path):
+        import cv2
+
+        from bsyolo_tpu.data.split_dota import split_images_and_labels
+
+        (tmp_path / "images/train").mkdir(parents=True)
+        (tmp_path / "labels/train").mkdir(parents=True)
+        img = np.random.default_rng(0).integers(0, 255, (700, 700, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / "images/train/a.jpg"), img)
+        (tmp_path / "labels/train/a.txt").write_text("1 100 100 200 100 200 200 100 200\n")
+        n = split_images_and_labels(str(tmp_path), str(tmp_path / "out"), "train",
+                                    crop_sizes=(512,), gaps=(128,))
+        assert n >= 4
+        lbls = list((tmp_path / "out/labels/train").glob("*.txt"))
+        assert any(l.read_text().strip() for l in lbls)
+
+
+class TestAnnotator:
+    def test_auto_annotate_with_injected_models(self, tmp_path):
+        """Drive auto_annotate with stub det/sam models (no heavyweight build)."""
+        import cv2
+
+        from bsyolo_tpu.data.annotator import auto_annotate
+        from bsyolo_tpu.engine.results import Results
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        img = np.zeros((80, 80, 3), np.uint8)
+        img[20:60, 20:60] = 200
+        cv2.imwrite(str(img_dir / "a.jpg"), img)
+
+        class StubDet:
+            def predict(self, imgs, **kw):
+                im = imgs[0]
+                boxes = np.asarray([[20, 20, 60, 60, 0.9, 0]], np.float32)
+                return [Results(im, "", {0: "obj"}, boxes=boxes)]
+
+        class StubSAM:
+            def __call__(self, im, bboxes=None):
+                m = np.zeros((1, im.shape[0], im.shape[1]), np.float32)
+                x1, y1, x2, y2 = map(int, bboxes[0])
+                m[0, y1:y2, x1:x2] = 1
+                return [Results(im, "", {0: "obj"}, masks=m)]
+
+        n = auto_annotate(str(img_dir), det=StubDet(), sam=StubSAM(),
+                          output_dir=str(tmp_path / "out"))
+        assert n == 1
+        txt = (tmp_path / "out" / "a.txt").read_text().strip()
+        assert txt.startswith("0 ")
+        vals = [float(v) for v in txt.split()[1:]]
+        assert len(vals) >= 6 and all(0 <= v <= 1 for v in vals)
+
+
+class TestGradCAM:
+    def test_gradcam_produces_heatmap(self):
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+        from bsyolo_tpu.utils.visualize import grad_cam
+
+        d = load_model_yaml("tests/fixtures/tiny.yaml")
+        spec = parse_model_yaml(d)
+        model, variables = build_model(spec, img_size=96)
+        img = np.random.default_rng(0).integers(0, 255, (80, 96, 3), np.uint8)
+        cam, overlay = grad_cam(
+            model, variables, img, layer=6, conf_thres=0.0,
+            strides=spec.head_strides, nc=spec.nc, imgsz=96,
+        )
+        assert cam.ndim == 2 and 0.0 <= cam.min() and cam.max() <= 1.0
+        assert overlay.shape == img.shape and overlay.dtype == np.uint8
+        assert cam.max() > 0  # some gradient actually flowed
+
+
+class TestCocoJson:
+    def test_roundtrip_and_eval(self, tmp_path):
+        from bsyolo_tpu.utils.coco import (
+            COCO80_TO_COCO91, evaluate_json, pred_to_json, save_predictions_json,
+        )
+
+        assert len(COCO80_TO_COCO91) == 80 and COCO80_TO_COCO91[0] == 1
+
+        dets = np.asarray(
+            [[10, 10, 50, 50, 0.9, 0], [60, 60, 100, 100, 0.8, 1], [0, 0, 5, 5, 0.0, 0]]
+        )
+        j = pred_to_json(dets, "000000000123.jpg")
+        assert len(j) == 2  # zero-conf row dropped
+        assert j[0]["image_id"] == 123 and j[0]["bbox"] == [10, 10, 40, 40]
+
+        # perfect predictions -> mAP 1.0; one spurious box lowers precision
+        anno = {
+            "annotations": [
+                {"image_id": 123, "category_id": 0, "bbox": [10, 10, 40, 40]},
+                {"image_id": 123, "category_id": 1, "bbox": [60, 60, 40, 40]},
+            ]
+        }
+        (tmp_path / "anno.json").write_text(__import__("json").dumps(anno))
+        save_predictions_json(j, tmp_path / "pred.json")
+        m = evaluate_json(tmp_path / "anno.json", tmp_path / "pred.json", verbose=False)
+        assert m["mAP50"] > 0.99 and m["mAP50-95"] > 0.99  # 101-pt interp caps at 0.995
+
+        # shift one prediction by 5px: IoU 0.62 -> counts at 0.5 but not 0.95
+        j2 = pred_to_json(
+            np.asarray([[10, 10, 50, 50, 0.9, 0], [65, 65, 105, 105, 0.8, 1]]),
+            "000000000123.jpg",
+        )
+        save_predictions_json(j2, tmp_path / "pred2.json")
+        m2 = evaluate_json(tmp_path / "anno.json", tmp_path / "pred2.json", verbose=False)
+        assert m2["mAP50"] > 0.99
+        assert m2["mAP50-95"] < m["mAP50-95"]
