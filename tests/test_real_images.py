@@ -79,7 +79,7 @@ class TestRealImageTraining:
                 "name": "b8", "max_gt": 16, "amp": False, "patience": 100, "nbs": 8,
             }
         )
-        results = trainer.train()
-        m = (results or {}).get("metrics/mAP50(B)", 0.0)
+        metrics = trainer.train()
+        m = metrics.results_dict.get("metrics/mAP50(B)", 0.0)
         print(f"\nbsyolo8 real-image mAP50 = {m:.3f}")
-        assert m > 0.35, results
+        assert m > 0.35, metrics.results_dict
