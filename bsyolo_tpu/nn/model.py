@@ -77,6 +77,16 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[nn.Module]:
         return M.HGBlock(cm, c2, k, n, light, shortcut, dtype=dtype, name=name)
     if m == "RepC3":
         return M.RepC3(a[0], a[1], dtype=dtype, name=name)
+    if m == "RepNCSPELAN4":
+        return M.RepNCSPELAN4(a[0], a[1], a[2], a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
+    if m == "ELAN1":
+        return M.ELAN1(a[0], a[1], a[2], dtype=dtype, name=name)
+    if m == "AConv":
+        return M.AConv(a[0], dtype=dtype, name=name)
+    if m == "ADown":
+        return M.ADown(a[0], dtype=dtype, name=name)
+    if m == "SPPELAN":
+        return M.SPPELAN(a[0], a[1], a[2] if len(a) > 2 else 5, dtype=dtype, name=name)
     if m == "AIFI":
         from bsyolo_tpu.nn import transformer as T
 

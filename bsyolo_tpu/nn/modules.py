@@ -838,3 +838,114 @@ class RepC3(nn.Module):
         if c_ != self.c2:
             y = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
         return y
+
+
+class RepBottleneck(Bottleneck):
+    """Bottleneck whose first conv is a RepConv (reference block.py:3634)."""
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = RepConv(c_, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBN(self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class RepCSP(C3):
+    """C3 with RepBottleneck inner blocks (reference block.py:3644)."""
+
+    def inner_block(self, c: int, i: int):
+        return RepBottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")
+
+
+class RepNCSPELAN4(nn.Module):
+    """GELAN CSP-ELAN block (reference block.py:3654; YOLOv9 backbone/neck)."""
+
+    c2: int
+    c3: int
+    c4: int
+    n: int = 1
+    dtype: Any = jnp.float32
+
+    def _branch(self, c_in: int, idx: int):
+        def run(x, train):
+            y = RepCSP(self.c4, self.n, dtype=self.dtype, name=f"cv{idx}_0")(x, train)
+            return ConvBN(self.c4, 3, 1, dtype=self.dtype, name=f"cv{idx}_1")(y, train)
+
+        return run
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        y = ConvBN(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        ys.append(self._branch(self.c3 // 2, 2)(ys[-1], train))
+        ys.append(self._branch(self.c4, 3)(ys[-1], train))
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, axis=-1), train)
+
+
+class ELAN1(nn.Module):
+    """Light ELAN with plain convs (reference block.py:3679; YOLOv9t)."""
+
+    c2: int
+    c3: int
+    c4: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        y = ConvBN(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        ys.append(ConvBN(self.c4, 3, 1, dtype=self.dtype, name="cv2")(ys[-1], train))
+        ys.append(ConvBN(self.c4, 3, 1, dtype=self.dtype, name="cv3")(ys[-1], train))
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, axis=-1), train)
+
+
+def _avgpool2_s1(x: Array) -> Array:
+    """F.avg_pool2d(x, 2, 1, 0) — k2 s1 valid (reference AConv/ADown prelude)."""
+    return nn.avg_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+
+
+class AConv(nn.Module):
+    """avg-pool smoothed stride-2 conv (reference block.py:3692)."""
+
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        return ConvBN(self.c2, 3, 2, p=1, dtype=self.dtype, name="cv1")(_avgpool2_s1(x), train)
+
+
+class ADown(nn.Module):
+    """Dual-path downsample: conv half + maxpool half (reference block.py:3706)."""
+
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c = self.c2 // 2
+        x = _avgpool2_s1(x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x1 = ConvBN(c, 3, 2, p=1, dtype=self.dtype, name="cv1")(x1, train)
+        x2 = nn.max_pool(x2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x2 = ConvBN(c, 1, 1, p=0, dtype=self.dtype, name="cv2")(x2, train)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
+class SPPELAN(nn.Module):
+    """SPP-ELAN: 1x1 + three chained k5 maxpools + 1x1 (reference block.py:3726)."""
+
+    c2: int
+    c3: int
+    k: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        p = self.k // 2
+        y = [ConvBN(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)]
+        for _ in range(3):
+            y.append(nn.max_pool(y[-1], (self.k, self.k), strides=(1, 1), padding=((p, p), (p, p))))
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv5")(jnp.concatenate(y, axis=-1), train)

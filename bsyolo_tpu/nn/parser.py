@@ -87,6 +87,11 @@ _CONVLIKE = {
     "RepC3",
     "Focus",
     "GhostConv",
+    "RepNCSPELAN4",
+    "ELAN1",
+    "AConv",
+    "ADown",
+    "SPPELAN",
 }
 # Modules that additionally get the repeat count inserted at args[2]
 _REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA", "C2fCIB", "RepC3"}
@@ -177,6 +182,8 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
                 s = args[2]
             elif m == "SCDown" and len(args) >= 3:
                 s = args[2]
+            elif m in ("AConv", "ADown"):
+                s = 2  # both are stride-2 downsamples (reference block.py:3692/3706)
             elif m == "Focus":
                 s = 2
             out_stride = in_stride * s

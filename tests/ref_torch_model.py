@@ -92,6 +92,13 @@ def _ns():
     pull(
         "nn/modules/block.py",
         [
+            "RepBottleneck",
+            "RepCSP",
+            "RepNCSPELAN4",
+            "ELAN1",
+            "AConv",
+            "ADown",
+            "SPPELAN",
             "DFL",
             "Bottleneck",
             "C2f",
@@ -187,7 +194,8 @@ class RefGraph(nn.Module):
         for L in spec.layers:
             m, a = L.module, list(L.args)
             if m in ("Conv", "DWConv", "SCDown", "SPPF", "C2PSA", "PSA", "C2f", "C3",
-                     "C3k2", "C3k2_gai", "C2fCIB", "Bottleneck", "Pinwheel_shapedConv"):
+                     "C3k2", "C3k2_gai", "C2fCIB", "Bottleneck", "Pinwheel_shapedConv",
+                     "RepNCSPELAN4", "ELAN1", "AConv", "ADown", "SPPELAN"):
                 mod = ns[m](L.c1, *a)
             elif m == "MSCAAttention":
                 mod = ns[m](a[0])

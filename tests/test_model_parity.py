@@ -156,3 +156,52 @@ class TestSegmentWeightImport:
         if proto_ref is not None:
             got = np.asarray(out["proto"]).transpose(0, 3, 1, 2)
             np.testing.assert_allclose(got, proto_ref.numpy(), rtol=1e-4, atol=2e-4)
+
+
+class TestModelZooFamilies:
+    """v5 / v8 / v9 graph parity (modules: C3, C2f, GELAN blocks)."""
+
+    @pytest.mark.parametrize(
+        "name,scale",
+        [
+            ("v5/yolov5.yaml", "n"),
+            ("v8/yolov8-seg.yaml", "n"),
+            ("v9/yolov9t.yaml", ""),
+        ],
+    )
+    def test_param_parity(self, name, scale):
+        from ref_torch_model import build_ref_model
+        from bsyolo_tpu.nn.model import build_model, count_params
+
+        path = f"bsyolo_tpu/cfg/models/{name}"
+        ref, spec = build_ref_model(path, scale=scale)
+        model, variables = build_model(spec, img_size=64)
+        got = count_params(variables["params"])
+        want = ref.num_params()
+        assert got == want - 16, f"{name}: {got} vs {want}"
+
+    def test_v9t_forward_parity_after_conversion(self, rng):
+        """GELAN modules (ELAN1/AConv/RepNCSPELAN4/SPPELAN) reproduce the
+        reference numerics through converted weights."""
+        import torch
+
+        from ref_torch_model import build_ref_model
+        from bsyolo_tpu.nn.model import build_model
+        from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+        torch.manual_seed(0)
+        ref, spec = build_ref_model("bsyolo_tpu/cfg/models/v9/yolov9t.yaml", scale="", img_size=64)
+        ref.eval()
+        model, variables = build_model(spec, img_size=64)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables, report = convert_state_dict(sd, variables, strict=True)
+        x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            _, ref_maps = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        import jax
+
+        maps = jax.jit(lambda v, t: model.apply(v, t, train=False))(variables, jnp.asarray(x))
+        for got, want in zip(maps, ref_maps):
+            np.testing.assert_allclose(
+                np.asarray(got).transpose(0, 3, 1, 2), want.numpy(), rtol=1e-3, atol=1e-4
+            )
