@@ -32,9 +32,11 @@ class SAM:
     @property
     def predictor(self):
         from bsyolo_tpu.models.sam.predict import SAMPredictor
+        from bsyolo_tpu.models.sam.sam2 import SAM2Model, SAM2Predictor
 
         if self._predictor is None:
-            self._predictor = SAMPredictor(self.model, self.variables, self._img_size)
+            cls = SAM2Predictor if isinstance(self.model, SAM2Model) else SAMPredictor
+            self._predictor = cls(self.model, self.variables, self._img_size)
         return self._predictor
 
     def __call__(self, source, bboxes=None, points=None, labels=None, **kwargs):

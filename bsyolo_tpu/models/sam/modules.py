@@ -62,12 +62,14 @@ class MLPBlock(nn.Module):
 
 
 class MLP(nn.Module):
-    """Plain ReLU MLP with torch ``layers.<i>`` naming (transformer.py MLP)."""
+    """MLP with torch ``layers.<i>`` naming (transformer.py MLP); default
+    ReLU, Hiera blocks pass GELU."""
 
     hidden_dim: int
     output_dim: int
     num_layers: int
     sigmoid: bool = False
+    act: str = "relu"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -76,7 +78,7 @@ class MLP(nn.Module):
             out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
             x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
             if i < self.num_layers - 1:
-                x = nn.relu(x)
+                x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.relu(x)
         return jax.nn.sigmoid(x) if self.sigmoid else x
 
 

@@ -50,6 +50,11 @@ def _translate_component(comp: str) -> Tuple[str, ...]:
     m = re.match(r"^layers_(\d+)_downsample$", comp)
     if m:  # TinyViT patch merging: layers.<i>.downsample
         return ("layers", m.group(1), "downsample")
+    if comp in ("trunk", "neck"):  # SAM2: flax top-level trunk/neck live
+        return ("image_encoder", comp)  # under image_encoder in torch
+    m = re.match(r"^convs_(\d+)_conv$", comp)
+    if m:  # SAM2 FpnNeck laterals: neck.convs.<i>.conv
+        return ("convs", m.group(1), "conv")
     # generic: split trailing _<int> groups off snake-case prefixes (m_0 ->
     # m.0, cv2_1_2 -> cv2.1.2, input_proj_0_1 -> input_proj.0.1) but keep
     # digit-embedded names like conv0_1 (MSCA strip convs) intact
@@ -79,7 +84,7 @@ def flax_path_to_torch_key(collection: str, path: Tuple[str, ...]) -> str:
         return ".".join(comps + [leaf])
     # raw flax params that are nn.Embedding modules in torch (leaf.weight)
     if leaf in ("denoising_class_embed", "tgt_embed", "iou_token", "mask_tokens",
-                "not_a_point_embed", "no_mask_embed"):
+                "not_a_point_embed", "no_mask_embed", "obj_score_token"):
         return ".".join(comps + [leaf, "weight"])
     m = re.match(r"^point_embeddings_(\d+)$", leaf)  # SAM PromptEncoder ModuleList
     if m:
@@ -112,6 +117,9 @@ def _to_flax_tensor(torch_arr: np.ndarray, target_shape: Tuple[int, ...], path) 
             raise ValueError(f"{path}: converted shape {cand.shape} != expected {tuple(target_shape)}")
         return cand
     if tuple(a.shape) != tuple(target_shape):
+        # NCHW-stored positional tables (SAM2 Hiera pos_embed/pos_embed_window)
+        if a.ndim == 4 and tuple(a.transpose(0, 2, 3, 1).shape) == tuple(target_shape):
+            return a.transpose(0, 2, 3, 1)
         a = a.reshape(target_shape)
     return a
 

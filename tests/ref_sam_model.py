@@ -202,3 +202,112 @@ def build_ref_tinyvit(img_size=128, embed_dims=(8, 12, 16, 20), depths=(1, 1, 2,
     )
     m.eval()
     return m
+
+
+@functools.lru_cache(maxsize=None)
+def sam2_ns():
+    """Namespace with the SAM2 image-path reference classes."""
+    import copy
+
+    import numpy as np
+    import torch.nn.functional as F
+    from functools import partial
+    from typing import Any, Callable, List, Optional, Sequence, Tuple, Type, Union
+
+    from torch import Tensor
+
+    ns = {
+        "torch": torch, "nn": nn, "F": F, "np": np, "math": math, "copy": copy,
+        "partial": partial, "Tensor": Tensor, "Any": Any, "Callable": Callable,
+        "List": List, "Optional": Optional, "Sequence": Sequence, "Tuple": Tuple,
+        "Type": Type, "Union": Union, "itertools": itertools,
+        "__name__": "ref_sam_model.sam2",
+    }
+    _pull(ns, "nn/modules/transformer.py", ["MLPBlock", "MLP", "LayerNorm2d"])
+    _pull(
+        ns, "models/sam/modules/utils.py",
+        ["window_partition", "window_unpartition", "get_rel_pos", "add_decomposed_rel_pos"],
+    )
+    _pull(
+        ns, "models/sam/modules/transformer.py",
+        ["Attention", "TwoWayAttentionBlock", "TwoWayTransformer"],
+    )
+    _pull(
+        ns, "models/sam/modules/blocks.py",
+        ["DropPath", "PatchEmbed", "PositionEmbeddingRandom", "PositionEmbeddingSine",
+         "do_pool", "MultiScaleAttention", "MultiScaleBlock"],
+    )
+    _pull(ns, "models/sam/modules/encoders.py", ["PromptEncoder", "Hiera", "FpnNeck", "ImageEncoder"])
+    _pull(ns, "models/sam/modules/decoders.py", ["MaskDecoder", "SAM2MaskDecoder"])
+    return ns
+
+
+def build_ref_sam2(img_size=128, embed_dim=16, stages=(1, 1, 2, 1), num_heads=1,
+                   global_att_blocks=(3,), window_spec=(4, 4, 4, 4),
+                   window_spatial_size=(4, 4), prompt_dim=32):
+    """Small torch SAM2 image path for parity tests."""
+    ns = sam2_ns()
+    torch.manual_seed(0)
+    dims = [embed_dim * (2**i) for i in range(4)]  # 16,32,64,128
+    bcl = dims[::-1]
+    trunk = ns["Hiera"](
+        embed_dim=embed_dim, num_heads=num_heads, stages=list(stages),
+        global_att_blocks=list(global_att_blocks), window_spec=list(window_spec),
+        window_pos_embed_bkg_spatial_size=list(window_spatial_size),
+    )
+    neck = ns["FpnNeck"](
+        d_model=prompt_dim, backbone_channel_list=list(bcl),
+        fpn_top_down_levels=[2, 3], fpn_interp_model="nearest",
+    )
+    pe = ns["PromptEncoder"](
+        embed_dim=prompt_dim, image_embedding_size=(img_size // 16, img_size // 16),
+        input_image_size=(img_size, img_size), mask_in_chans=16,
+    )
+    dec = ns["SAM2MaskDecoder"](
+        transformer_dim=prompt_dim,
+        transformer=ns["TwoWayTransformer"](depth=2, embedding_dim=prompt_dim, mlp_dim=64, num_heads=2),
+        num_multimask_outputs=3, iou_head_depth=3, iou_head_hidden_dim=32,
+        use_high_res_features=True, iou_prediction_use_sigmoid=True,
+        dynamic_multimask_via_stability=True, pred_obj_scores=True, pred_obj_scores_mlp=True,
+    )
+
+    class _Enc(nn.Module):
+        """trunk+neck container matching official sam2 key layout."""
+
+        def __init__(self):
+            super().__init__()
+            self.trunk = trunk
+            self.neck = neck
+
+    class RefSAM2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.image_encoder = _Enc()
+            self.sam_prompt_encoder = pe
+            self.sam_mask_decoder = dec
+
+        @property
+        def trunk(self):
+            return self.image_encoder.trunk
+
+        @torch.no_grad()
+        def forward(self, x, points=None, boxes=None, multimask_output=True):
+            feats, _pos = self.image_encoder.neck(self.image_encoder.trunk(x))
+            feats = feats[:-1]  # scalp=1
+            s0 = self.sam_mask_decoder.conv_s0(feats[0])
+            s1 = self.sam_mask_decoder.conv_s1(feats[1])
+            emb = feats[2]
+            sparse, dense = self.sam_prompt_encoder(points=points, boxes=boxes, masks=None)
+            return self.sam_mask_decoder(
+                image_embeddings=emb,
+                image_pe=self.sam_prompt_encoder.get_dense_pe(),
+                sparse_prompt_embeddings=sparse,
+                dense_prompt_embeddings=dense,
+                multimask_output=multimask_output,
+                repeat_image=False,
+                high_res_features=[s0, s1],
+            )
+
+    m = RefSAM2()
+    m.eval()
+    return m

@@ -179,4 +179,110 @@ class TestSAMPredictor:
     def test_facade_build_dispatch(self):
         from bsyolo_tpu.models.sam.build import _BUILDERS
 
-        assert set(_BUILDERS) == {"sam_b.pt", "sam_l.pt", "sam_h.pt", "mobile_sam.pt"}
+        assert {"sam_b.pt", "sam_l.pt", "sam_h.pt", "mobile_sam.pt",
+                "sam2_t.pt", "sam2_b.pt", "sam2.1_l.pt"} <= set(_BUILDERS)
+
+
+def _small_flax_sam2():
+    from bsyolo_tpu.models.sam.sam2 import SAM2Model
+
+    return SAM2Model(
+        img_size=128, encoder_embed_dim=16, encoder_stages=(1, 1, 2, 1),
+        encoder_num_heads=1, encoder_global_att_blocks=(3,),
+        encoder_window_spec=(4, 4, 4, 4), encoder_window_spatial_size=(4, 4),
+        encoder_backbone_channel_list=(128, 64, 32, 16), prompt_embed_dim=32,
+        decoder_mlp_dim=64, decoder_num_heads=2, iou_head_hidden_dim=32,
+    )
+
+
+class TestSAM2Parity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import torch
+
+        from ref_sam_model import build_ref_sam2
+        from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+        ref = build_ref_sam2(img_size=128, embed_dim=16, stages=(1, 1, 2, 1),
+                             num_heads=1, global_att_blocks=(3,),
+                             window_spec=(4, 4, 4, 4), window_spatial_size=(4, 4),
+                             prompt_dim=32)
+        with torch.no_grad():
+            ref.trunk.pos_embed.normal_(0, 0.02)
+            ref.trunk.pos_embed_window.normal_(0, 0.02)
+        model = _small_flax_sam2()
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        c = jnp.zeros((1, 3, 2), jnp.float32)
+        l = -jnp.ones((1, 3), jnp.int32)
+        dm = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        variables = jax.jit(lambda k: model.init(k, x, c, l, True, dm))(jax.random.PRNGKey(0))
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables, report = convert_state_dict(sd, variables, strict=True)
+        return ref, model, variables
+
+    def test_param_count(self, pair):
+        ref, model, variables = pair
+        from bsyolo_tpu.nn.model import count_params
+
+        n_ref = sum(p.numel() for p in ref.parameters())
+        n_ref += ref.sam_prompt_encoder.pe_layer.positional_encoding_gaussian_matrix.numel()
+        assert count_params(variables["params"]) == n_ref
+
+    def test_multimask_point_parity(self, pair):
+        import torch
+
+        ref, model, variables = pair
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+        pts = np.asarray([[[40.0, 60.0], [90.0, 30.0]]], np.float32)
+        lab = np.asarray([[1, 0]], np.int64)
+        with torch.no_grad():
+            m_ref, iou_ref, _tok, obj_ref = ref(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                points=(torch.from_numpy(pts), torch.from_numpy(lab)),
+                multimask_output=True,
+            )
+        c = np.concatenate([pts, np.zeros((1, 1, 2), np.float32)], axis=1)
+        l = np.concatenate([lab.astype(np.int32), -np.ones((1, 1), np.int32)], axis=1)
+        masks, iou, obj = jax.jit(lambda v, xx, cc, ll: model.apply(v, xx, cc, ll, True))(
+            variables, jnp.asarray(x), jnp.asarray(c), jnp.asarray(l)
+        )
+        np.testing.assert_allclose(np.asarray(obj), obj_ref.numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(iou), iou_ref.numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(masks), m_ref.numpy(), rtol=2e-2, atol=2e-3)
+
+    def test_single_mask_stability_path(self, pair):
+        import torch
+
+        ref, model, variables = pair
+        rng = np.random.default_rng(2)
+        x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+        box = np.asarray([[20.0, 30.0, 100.0, 110.0]], np.float32)
+        with torch.no_grad():
+            m_ref, iou_ref, _tok, _obj = ref(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)), boxes=torch.from_numpy(box),
+                multimask_output=False,
+            )
+        c = box.reshape(1, 2, 2)
+        l = np.asarray([[2, 3]], np.int32)
+        masks, iou, _ = jax.jit(lambda v, xx, cc, ll: model.apply(v, xx, cc, ll, False))(
+            variables, jnp.asarray(x), jnp.asarray(c), jnp.asarray(l)
+        )
+        np.testing.assert_allclose(np.asarray(iou), iou_ref.numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(masks), m_ref.numpy(), rtol=2e-2, atol=2e-3)
+
+
+class TestSAM2Predictor:
+    def test_box_prompt_end_to_end(self):
+        from bsyolo_tpu.models.sam.sam2 import SAM2Predictor
+
+        model = _small_flax_sam2()
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        c = jnp.zeros((1, 8, 2), jnp.float32)
+        l = -jnp.ones((1, 8), jnp.int32)
+        dm = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        variables = jax.jit(lambda k: model.init(k, x, c, l, True, dm))(jax.random.PRNGKey(0))
+        p = SAM2Predictor(model, variables, img_size=128, max_points=8)
+        img = np.random.default_rng(0).integers(0, 255, (100, 128, 3), np.uint8)
+        r = p.set_image(img)(bboxes=[[10, 10, 60, 60]])
+        assert r.masks is not None and r.masks.data.shape == (1, 100, 128)
