@@ -23,10 +23,10 @@ from bsyolo_tpu.nn.parser import LayerSpec, ModelSpec
 Array = jax.Array
 
 
-def _build_module(spec: LayerSpec, dtype) -> Optional[nn.Module]:
+def _build_module(spec: LayerSpec, dtype, name: Optional[str] = None) -> Optional[nn.Module]:
     """Instantiate the flax module for one layer spec (None for stateless ops)."""
     m, a = spec.module, spec.args
-    name = f"m{spec.i}"
+    name = name or f"m{spec.i}"
     if m == "Conv":
         c2, k, s = a[0], a[1] if len(a) > 1 else 1, a[2] if len(a) > 2 else 1
         p = a[3] if len(a) > 3 else None
@@ -87,6 +87,11 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[nn.Module]:
         return M.ADown(a[0], dtype=dtype, name=name)
     if m == "SPPELAN":
         return M.SPPELAN(a[0], a[1], a[2] if len(a) > 2 else 5, dtype=dtype, name=name)
+    if m == "ResNetLayer":
+        # yaml args: (c1, c2, s, is_first, n) — c1 implicit from the graph
+        return M.ResNetLayer(a[1], a[2] if len(a) > 2 else 1,
+                             a[3] if len(a) > 3 else False, a[4] if len(a) > 4 else 1,
+                             dtype=dtype, name=name)
     if m == "AIFI":
         from bsyolo_tpu.nn import transformer as T
 
@@ -108,6 +113,20 @@ def _build_module(spec: LayerSpec, dtype) -> Optional[nn.Module]:
     if m in ("Upsample", "Concat", "Index"):
         return None  # stateless
     raise NotImplementedError(f"module {m} not wired into the graph builder")
+
+
+class _RepeatSeq(nn.Module):
+    """n sequential copies of one layer module, children named "0".."n-1"
+    (the reference's nn.Sequential repeat for non-CSP modules)."""
+
+    layer: LayerSpec
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for j in range(self.layer.n):
+            x = _build_module(self.layer, self.dtype, name=str(j))(x, train)
+        return x
 
 
 class DetectionGraph(nn.Module):
@@ -181,8 +200,14 @@ class DetectionGraph(nn.Module):
                 prev = H.Classify(layer.args[0], dtype=self.dtype, name=f"m{layer.i}")(src, train)
             else:
                 src = saved[layer.f[0]] if layer.f[0] != -1 else prev
-                mod = _build_module(layer, self.dtype)
-                prev = mod(src, train)
+                if layer.n > 1:
+                    # plain modules with repeats become an nn.Sequential in
+                    # the reference (tasks.py parse_model) with children
+                    # named 0..n-1 — mirror that for weight-path parity
+                    prev = _RepeatSeq(layer, self.dtype, name=f"m{layer.i}")(src, train)
+                else:
+                    mod = _build_module(layer, self.dtype)
+                    prev = mod(src, train)
             if perturb and getattr(prev, "ndim", 0) == 4:  # head outputs are lists/dicts — skip
                 # zero-valued additive hooks: grads w.r.t. the 'perturbations'
                 # collection ARE grads w.r.t. each layer activation — the

@@ -949,3 +949,46 @@ class SPPELAN(nn.Module):
         for _ in range(3):
             y.append(nn.max_pool(y[-1], (self.k, self.k), strides=(1, 1), padding=((p, p), (p, p))))
         return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv5")(jnp.concatenate(y, axis=-1), train)
+
+
+class ResNetBlock(nn.Module):
+    """ResNet bottleneck block (reference block.py:3444)."""
+
+    c2: int
+    s: int = 1
+    e: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c3 = self.e * self.c2
+        c1 = x.shape[-1]
+        y = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBN(self.c2, 3, self.s, p=1, dtype=self.dtype, name="cv2")(y, train)
+        y = ConvBN(c3, 1, 1, act=False, dtype=self.dtype, name="cv3")(y, train)
+        if self.s != 1 or c1 != c3:
+            sc = ConvBN(c3, 1, self.s, act=False, dtype=self.dtype, name="shortcut_0")(x, train)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+class ResNetLayer(nn.Module):
+    """ResNet stage (reference block.py:3461); used by rtdetr-resnet yamls."""
+
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.is_first:
+            x = ConvBN(self.c2, 7, 2, p=3, dtype=self.dtype, name="layer_0")(x, train)
+            return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = ResNetBlock(self.c2, self.s, self.e, dtype=self.dtype, name="layer_0")(x, train)
+        for i in range(1, self.n):
+            x = ResNetBlock(self.c2, 1, self.e, dtype=self.dtype, name=f"layer_{i}")(x, train)
+        return x

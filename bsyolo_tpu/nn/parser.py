@@ -187,6 +187,12 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
             elif m == "Focus":
                 s = 2
             out_stride = in_stride * s
+        elif m == "ResNetLayer":
+            # yaml carries c1 explicitly: (c1, c2, s, is_first, n)
+            # (reference tasks.py ResNetLayer branch: c2 = 4*args[1] unless first)
+            is_first = args[3] if len(args) > 3 else False
+            c2 = args[1] if is_first else 4 * args[1]
+            out_stride = in_stride * (4 if is_first else (args[2] if len(args) > 2 else 1))
         elif m == "HGStem":
             # (cm, c2) unscaled (reference tasks.py:1060); stem downsamples 4x
             c2 = args[1]

@@ -92,6 +92,8 @@ def _ns():
     pull(
         "nn/modules/block.py",
         [
+            "ResNetBlock",
+            "ResNetLayer",
             "RepBottleneck",
             "RepCSP",
             "RepNCSPELAN4",
@@ -211,6 +213,8 @@ class RefGraph(nn.Module):
                 mod = ns[m](L.c1, a[0], a[1], a[2], a[3], *(a[4:]))
             elif m == "RepC3":
                 mod = ns[m](L.c1, a[0], a[1])
+            elif m == "ResNetLayer":
+                mod = ns[m](*a)  # yaml carries c1 explicitly
             elif m == "AIFI":
                 mod = ns[m](L.c1, a[0], a[1] if len(a) > 1 else 8)
             elif m == "RTDETRDecoder":
@@ -239,6 +243,8 @@ class RefGraph(nn.Module):
                 mod = ns["Classify"](L.c1, a[0])
             else:
                 raise NotImplementedError(m)
+            if L.n > 1 and m not in ("Upsample", "Concat"):
+                mod = nn.Sequential(*([mod] + [type(mod)(L.c1, *a) for _ in range(L.n - 1)]))
             mod.i, mod.f = L.i, list(L.f)
             layers.append(mod)
         self.model = nn.Sequential(*layers)

@@ -205,3 +205,14 @@ class TestModelZooFamilies:
             np.testing.assert_allclose(
                 np.asarray(got).transpose(0, 3, 1, 2), want.numpy(), rtol=1e-3, atol=1e-4
             )
+
+
+class TestYolov3:
+    def test_param_parity_with_repeats(self):
+        """Stacked plain Bottlenecks (Sequential repeat path) match torch."""
+        from ref_torch_model import build_ref_model
+        from bsyolo_tpu.nn.model import build_model, count_params
+
+        ref, spec = build_ref_model("bsyolo_tpu/cfg/models/v3/yolov3.yaml", scale="", img_size=64)
+        model, variables = build_model(spec, img_size=64)
+        assert count_params(variables["params"]) == ref.num_params() - 16

@@ -79,28 +79,11 @@ class TestNativeNMS:
 
 
 class TestCppClient:
-    def test_client_end_to_end(self, tmp_path, rng):
-        """Build the standalone client, feed it a PPM + raw model-output file,
-        check it reports the planted detection."""
+    def test_client_builds_and_reports_usage(self, tmp_path):
+        """The client now EXECUTES a SavedModel session (TF C API); its full
+        end-to-end parity test lives in test_cpp_client.py. Here: it builds
+        and fails gracefully without arguments."""
         subprocess.run(["make", "-C", str(NATIVE), "client"], check=True, capture_output=True)
-        img = rng.integers(0, 255, (240, 320, 3)).astype(np.uint8)
-        ppm = tmp_path / "img.ppm"
-        with open(ppm, "wb") as f:
-            f.write(b"P6\n320 240\n255\n")
-            f.write(img[..., ::-1].tobytes())  # PPM is RGB
-
-        nc, n_anchors = 3, 50
-        preds = np.zeros((n_anchors, 4 + nc), np.float32)
-        preds[:, :4] = [10, 10, 4, 4]
-        preds[7] = [320, 320, 100, 80, 0.02, 0.91, 0.05]  # one strong cls-1 box
-        raw = tmp_path / "preds.bin"
-        preds.tofile(raw)
-
-        cp = subprocess.run(
-            [str(NATIVE / "client"), str(ppm), str(raw), str(n_anchors), str(nc), "0.5"],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        assert "1 detections" in cp.stdout
-        assert "cls 1" in cp.stdout and "conf 0.910" in cp.stdout
+        cp = subprocess.run([str(NATIVE / "client")], capture_output=True, text=True)
+        assert cp.returncode == 2
+        assert "usage" in cp.stderr

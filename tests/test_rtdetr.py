@@ -148,3 +148,15 @@ class TestRTDETRTraining:
         img = np.random.default_rng(0).integers(0, 255, (48, 64, 3), np.uint8)
         res = pred([img])
         assert len(res) == 1
+
+
+class TestRTDETRResNet:
+    def test_resnet50_param_parity(self):
+        from ref_torch_model import build_ref_model
+        from bsyolo_tpu.nn.model import build_model, count_params
+
+        ref, spec = build_ref_model(
+            "bsyolo_tpu/cfg/models/rt-detr/rtdetr-resnet50.yaml", scale="l", img_size=128
+        )
+        model, variables = build_model(spec, img_size=128)
+        assert count_params(variables["params"]) == ref.num_params()
