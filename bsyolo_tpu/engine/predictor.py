@@ -59,6 +59,19 @@ def iter_source(source, vid_stride: int = 1) -> Iterator[tuple]:
             if im is not None:
                 yield im, f, False
         return
+    if str(source).endswith(".streams") or (isinstance(source, str) and source.isnumeric()):
+        # live multi-stream / webcam path: threaded latest-frame readers
+        # (reference LoadStreams, data/loaders.py)
+        from bsyolo_tpu.data.streams import LoadStreams
+
+        streams = LoadStreams(source, vid_stride=vid_stride)
+        try:
+            for frames, paths in streams:
+                for frame, path in zip(frames, paths):
+                    yield frame, path, True
+        finally:
+            streams.close()
+        return
     if p.suffix.lower() in VID_SUFFIXES or str(source).startswith(("rtsp://", "http://", "https://")):
         cap = cv2.VideoCapture(str(source))
         n = 0

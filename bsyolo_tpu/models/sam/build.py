@@ -93,12 +93,16 @@ _SAM2_CFGS = {
 
 
 def build_sam2(variant: str = "t", img_size: int = 1024, checkpoint: Optional[str] = None,
-               dtype=jnp.float32, max_points: int = 8):
-    """Build SAM2 tiny/small/base/large (reference build.py:68 build_sam2_*)."""
+               dtype=jnp.float32, max_points: int = 8, video: bool = False):
+    """Build SAM2 tiny/small/base/large (reference build.py:68 build_sam2_*).
+    ``video=True`` builds the streaming tracker model with the memory branch
+    (sam2_video.SAM2VideoModel)."""
     from bsyolo_tpu.models.sam.sam2 import SAM2Model
+    from bsyolo_tpu.models.sam.sam2_video import SAM2VideoModel
 
     dim, stages, heads, gab, wspec, wss, bcl = _SAM2_CFGS[variant]
-    model = SAM2Model(
+    cls = SAM2VideoModel if video else SAM2Model
+    model = cls(
         img_size=img_size,
         encoder_embed_dim=dim,
         encoder_stages=stages,
@@ -121,10 +125,12 @@ def build_sam2(variant: str = "t", img_size: int = 1024, checkpoint: Optional[st
         from bsyolo_tpu.utils.torch_weights import convert_state_dict, load_torch_checkpoint
 
         sd, _ = load_torch_checkpoint(checkpoint)
-        # drop video-memory branch weights (not rebuilt; sam2.SAM2_VIDEO_NOTE)
-        sd = {k: v for k, v in sd.items() if not k.startswith(
-            ("memory_attention", "memory_encoder", "obj_ptr", "mask_downsample", "no_mem", "no_obj")
-        )}
+        if not video:
+            # image-only model: drop the memory-branch weights
+            sd = {k: v for k, v in sd.items() if not k.startswith(
+                ("memory_attention", "memory_encoder", "obj_ptr", "mask_downsample",
+                 "no_mem", "no_obj", "maskmem")
+            )}
         variables, _ = convert_state_dict(sd, variables, strict=False)
     return model, variables
 

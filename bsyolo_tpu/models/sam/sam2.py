@@ -6,8 +6,8 @@ decoders.py SAM2MaskDecoder, sam.py SAM2Model image heads}).
 Scope: the full promptable IMAGE pipeline — Hiera trunk, FPN neck with sine
 position encodings, the shared PromptEncoder, and SAM2MaskDecoder with
 object-score token, high-resolution skip features, and stability-based
-dynamic multimask selection. The streaming-video memory attention
-(memory_attention.py) is the only part not rebuilt; see SAM2VideoNote.
+dynamic multimask selection. The streaming-video memory branch lives in
+sam2_video.py (see SAM2_VIDEO_NOTE).
 
 Everything static-shape: window partition pads are compile-time, the
 stability selection is a jnp.where, and prompts use the same packed
@@ -38,8 +38,10 @@ from bsyolo_tpu.models.sam.modules import (
 Array = jax.Array
 
 SAM2_VIDEO_NOTE = (
-    "SAM2 video tracking (memory attention over past frames) is not "
-    "implemented; the image path (prompted segmentation) is complete."
+    "SAM2 video tracking lives in sam2_video.py (RoPE memory attention, "
+    "memory encoder, fixed-size ring bank, streaming SAM2VideoPredictor); "
+    "object-pointer tokens — a long-horizon re-id refinement — are the one "
+    "part not rebuilt."
 )
 
 

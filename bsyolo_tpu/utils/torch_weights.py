@@ -55,6 +55,9 @@ def _translate_component(comp: str) -> Tuple[str, ...]:
     m = re.match(r"^convs_(\d+)_conv$", comp)
     if m:  # SAM2 FpnNeck laterals: neck.convs.<i>.conv
         return ("convs", m.group(1), "conv")
+    m = re.match(r"^fuser_layers_(\d+)$", comp)
+    if m:  # SAM2 MemoryEncoder fuser: fuser.layers.<i>
+        return ("fuser", "layers", m.group(1))
     # generic: split trailing _<int> groups off snake-case prefixes (m_0 ->
     # m.0, cv2_1_2 -> cv2.1.2, input_proj_0_1 -> input_proj.0.1) but keep
     # digit-embedded names like conv0_1 (MSCA strip convs) intact

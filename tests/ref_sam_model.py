@@ -237,8 +237,17 @@ def sam2_ns():
         ["DropPath", "PatchEmbed", "PositionEmbeddingRandom", "PositionEmbeddingSine",
          "do_pool", "MultiScaleAttention", "MultiScaleBlock"],
     )
-    _pull(ns, "models/sam/modules/encoders.py", ["PromptEncoder", "Hiera", "FpnNeck", "ImageEncoder"])
+    _pull(
+        ns, "models/sam/modules/utils.py",
+        ["init_t_xy", "compute_axial_cis", "reshape_for_broadcast", "apply_rotary_enc"],
+    )
+    _pull(ns, "models/sam/modules/blocks.py",
+          ["RoPEAttention", "MaskDownSampler", "CXBlock", "Fuser"])
+    _pull(ns, "models/sam/modules/encoders.py",
+          ["PromptEncoder", "Hiera", "FpnNeck", "ImageEncoder", "MemoryEncoder"])
     _pull(ns, "models/sam/modules/decoders.py", ["MaskDecoder", "SAM2MaskDecoder"])
+    _pull(ns, "models/sam/modules/memory_attention.py",
+          ["MemoryAttentionLayer", "MemoryAttention"])
     return ns
 
 

@@ -286,3 +286,98 @@ class TestSAM2Predictor:
         img = np.random.default_rng(0).integers(0, 255, (100, 128, 3), np.uint8)
         r = p.set_image(img)(bboxes=[[10, 10, 60, 60]])
         assert r.masks is not None and r.masks.data.shape == (1, 100, 128)
+
+
+class TestSAM2Memory:
+    """Video memory branch parity (RoPE memory attention + memory encoder)."""
+
+    def test_memory_attention_parity(self):
+        import torch
+
+        from ref_sam_model import sam2_ns
+        from bsyolo_tpu.models.sam.sam2_video import MemoryAttention
+        from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+        ns = sam2_ns()
+        torch.manual_seed(0)
+        ref = ns["MemoryAttention"](
+            d_model=256, pos_enc_at_input=True, num_layers=1,
+            layer=ns["MemoryAttentionLayer"](),
+        )
+        ref.eval()
+        model = MemoryAttention(d_model=256, num_layers=1)
+        rng = np.random.default_rng(0)
+        curr = rng.normal(size=(1, 64, 256)).astype(np.float32)  # 8x8 tokens
+        mem = rng.normal(size=(1, 192, 64)).astype(np.float32)  # 3 frames x 64
+        cpos = rng.normal(size=(1, 64, 256)).astype(np.float32)
+        mpos = rng.normal(size=(1, 192, 64)).astype(np.float32)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.asarray(curr), jnp.asarray(mem),
+            jnp.asarray(cpos), jnp.asarray(mpos),
+        )
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables, _ = convert_state_dict(sd, variables, strict=True)
+        with torch.no_grad():
+            # reference takes seq-first (T, B, C) and flips internally
+            y_ref = ref(
+                torch.from_numpy(curr.transpose(1, 0, 2)),
+                torch.from_numpy(mem.transpose(1, 0, 2)),
+                curr_pos=torch.from_numpy(cpos.transpose(1, 0, 2)),
+                memory_pos=torch.from_numpy(mpos.transpose(1, 0, 2)),
+            ).numpy().transpose(1, 0, 2)
+        y = model.apply(variables, jnp.asarray(curr), jnp.asarray(mem),
+                        jnp.asarray(cpos), jnp.asarray(mpos))
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-3, atol=2e-4)
+
+    def test_memory_encoder_parity(self):
+        import torch
+
+        from ref_sam_model import sam2_ns
+        from bsyolo_tpu.models.sam.sam2_video import MemoryEncoder
+        from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+        ns = sam2_ns()
+        torch.manual_seed(0)
+        ref = ns["MemoryEncoder"](out_dim=64, in_dim=256)
+        ref.eval()
+        model = MemoryEncoder(out_dim=64, in_dim=256)
+        rng = np.random.default_rng(1)
+        pix = rng.normal(size=(1, 8, 8, 256)).astype(np.float32)
+        mask = rng.normal(size=(1, 128, 128, 1)).astype(np.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(pix), jnp.asarray(mask))
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables, _ = convert_state_dict(sd, variables, strict=True)
+        with torch.no_grad():
+            out = ref(torch.from_numpy(pix.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(mask.transpose(0, 3, 1, 2)))
+            mem_ref = out["vision_features"] if isinstance(out, dict) else out[0]
+        mem, pos = model.apply(variables, jnp.asarray(pix), jnp.asarray(mask))
+        np.testing.assert_allclose(
+            np.asarray(mem).transpose(0, 3, 1, 2), mem_ref.numpy(), rtol=2e-3, atol=2e-4
+        )
+
+    def test_video_predictor_tracks(self):
+        """Streaming flow: prompt frame 0, propagate 3 frames (shapes + ring)."""
+        from bsyolo_tpu.models.sam.sam2_video import SAM2VideoModel, SAM2VideoPredictor
+
+        model = SAM2VideoModel(
+            img_size=128, encoder_embed_dim=16, encoder_stages=(1, 1, 2, 1),
+            encoder_num_heads=1, encoder_global_att_blocks=(3,),
+            encoder_window_spec=(4, 4, 4, 4), encoder_window_spatial_size=(4, 4),
+            encoder_backbone_channel_list=(128, 64, 32, 16), prompt_embed_dim=256,
+            decoder_mlp_dim=64, decoder_num_heads=2, iou_head_hidden_dim=32,
+            num_maskmem=3,
+        )
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        c = jnp.zeros((1, 8, 2), jnp.float32)
+        l = -jnp.ones((1, 8), jnp.int32)
+        variables = jax.jit(lambda k: model.init(k, x, c, l, False))(jax.random.PRNGKey(0))
+        p = SAM2VideoPredictor(model, variables, img_size=128, max_points=8)
+        rng = np.random.default_rng(0)
+        f0 = rng.integers(0, 255, (100, 128, 3), np.uint8)
+        m0, iou0 = p.add_first_frame(f0, bboxes=[20, 20, 80, 80])
+        assert m0.shape == (100, 128) and float(p.valid.sum()) == 1.0
+        for i in range(3):
+            m, iou, obj = p.track(rng.integers(0, 255, (100, 128, 3), np.uint8))
+            assert m.shape == (100, 128)
+        assert float(p.valid.sum()) == 3.0  # ring filled (num_maskmem=3)
