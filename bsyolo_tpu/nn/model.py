@@ -87,6 +87,11 @@ def _build_module(spec: LayerSpec, dtype, name: Optional[str] = None) -> Optiona
         return M.ADown(a[0], dtype=dtype, name=name)
     if m == "SPPELAN":
         return M.SPPELAN(a[0], a[1], a[2] if len(a) > 2 else 5, dtype=dtype, name=name)
+    if m == "ConvTranspose2d":
+        # torch nn.ConvTranspose2d used directly as a graph layer (yolov6)
+        c2, k = a[0], a[1] if len(a) > 1 else 2
+        st = a[2] if len(a) > 2 else 2
+        return M.ConvTranspose2dLayer(c2, k, st, dtype=dtype, name=name)
     if m == "ResNetLayer":
         # yaml args: (c1, c2, s, is_first, n) — c1 implicit from the graph
         return M.ResNetLayer(a[1], a[2] if len(a) > 2 else 1,
@@ -139,6 +144,10 @@ class DetectionGraph(nn.Module):
     def __call__(self, x: Array, train: bool = False, text: Array = None, targets=None,
                  perturb: bool = False):
         spec = self.spec
+        if getattr(spec, "act", "silu") != M.default_act():
+            # yaml `activation:` override (yolov6's nn.ReLU); trace-time
+            # global, the analog of reference Conv.default_act
+            M.set_default_act(spec.act)
         saved: Dict[int, Array] = {}
         prev: Array = x
         txt = ori_txt = None

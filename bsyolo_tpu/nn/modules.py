@@ -38,8 +38,33 @@ def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
     return k // 2 if p is None else p
 
 
+# Trace-time default activation for ConvBN, the analog of the reference's
+# Conv.default_act class global (tasks.py parse_model `activation:` key):
+# DetectionGraph sets it from ModelSpec.act before walking its layers.
+_DEFAULT_ACT = {"name": "silu"}
+
+_ACTS = {
+    "silu": nn.silu,
+    "relu": nn.relu,
+    "lrelu": lambda x: nn.leaky_relu(x, 0.1),
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "hardswish": nn.hard_swish,
+    "mish": lambda x: x * jnp.tanh(nn.softplus(x)),
+}
+
+
+def set_default_act(name: str):
+    """Set the graph-wide Conv activation ("silu" default; yolov6 uses relu)."""
+    _DEFAULT_ACT["name"] = name if name in _ACTS else "silu"
+
+
+def default_act():
+    return _DEFAULT_ACT["name"]
+
+
 class ConvBN(nn.Module):
-    """Conv2d + BatchNorm + SiLU (reference Conv, conv.py:133)."""
+    """Conv2d + BatchNorm + act (reference Conv, conv.py:133). ``act=True``
+    uses the graph default (SiLU unless the YAML overrides `activation:`)."""
 
     c2: int
     k: int = 1
@@ -71,7 +96,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="bn",
         )(x)
-        return nn.silu(x) if self.act else x
+        return _ACTS[_DEFAULT_ACT["name"]](x) if self.act else x
 
 
 class DWConvBN(nn.Module):
@@ -483,7 +508,7 @@ class ConvBNRect(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name="bn"
         )(x)
-        return nn.silu(x) if self.act else x
+        return _ACTS[_DEFAULT_ACT["name"]](x) if self.act else x
 
 
 class PinwheelConv(nn.Module):
@@ -992,3 +1017,21 @@ class ResNetLayer(nn.Module):
         for i in range(1, self.n):
             x = ResNetBlock(self.c2, 1, self.e, dtype=self.dtype, name=f"layer_{i}")(x, train)
         return x
+
+
+class ConvTranspose2dLayer(nn.Module):
+    """Bare torch nn.ConvTranspose2d as a graph layer (yolov6 neck).
+    Child named "ct" is dropped in weight-path translation so params map to
+    the torch layer directly (model.<i>.weight)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        return nn.ConvTranspose(
+            self.c2, (self.k, self.k), strides=(self.s, self.s), padding="VALID",
+            transpose_kernel=True, dtype=self.dtype, name="ct",
+        )(x)

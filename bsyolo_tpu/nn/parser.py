@@ -47,6 +47,7 @@ class ModelSpec:
     yaml_name: str = ""
     kpt_shape: Tuple[int, int] = (17, 3)
     names: Tuple[str, ...] = ()
+    act: str = "silu"  # graph-wide Conv activation (`activation:` yaml key)
 
     @property
     def head(self) -> LayerSpec:
@@ -92,6 +93,7 @@ _CONVLIKE = {
     "AConv",
     "ADown",
     "SPPELAN",
+    "ConvTranspose2d",
 }
 # Modules that additionally get the repeat count inserted at args[2]
 _REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA", "C2fCIB", "RepC3"}
@@ -144,6 +146,14 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
             scale = tuple(scales.keys())[0]
         depth, width, max_channels = scales[scale]
     kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
+    # `activation: nn.ReLU()` etc (reference tasks.py:999 Conv.default_act)
+    act = "silu"
+    act_str = str(d.get("activation", "")).lower()
+    for key, name in (("leakyrelu", "lrelu"), ("relu", "relu"), ("silu", "silu"),
+                      ("gelu", "gelu"), ("hardswish", "hardswish"), ("mish", "mish")):
+        if key in act_str:
+            act = name
+            break
 
     legacy = True
     channels = [ch]
@@ -186,7 +196,11 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
                 s = 2  # both are stride-2 downsamples (reference block.py:3692/3706)
             elif m == "Focus":
                 s = 2
-            out_stride = in_stride * s
+            if m == "ConvTranspose2d":
+                # (c2, k, s, p): stride-s UPSAMPLE (yolov6 neck)
+                out_stride = in_stride // (args[2] if len(args) > 2 else 2)
+            else:
+                out_stride = in_stride * s
         elif m == "ResNetLayer":
             # yaml carries c1 explicitly: (c1, c2, s, is_first, n)
             # (reference tasks.py ResNetLayer branch: c2 = 4*args[1] unless first)
@@ -300,6 +314,7 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
         yaml_name=str(d.get("yaml_file", "")),
         kpt_shape=kpt_shape,
         names=class_names,
+        act=act,
     )
 
 

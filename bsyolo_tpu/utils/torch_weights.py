@@ -22,11 +22,11 @@ import numpy as np
 
 def _translate_component(comp: str) -> Tuple[str, ...]:
     """Translate one flax path component to zero or more torch components."""
-    if comp in ("dw", "detect", "ln"):
+    if comp in ("dw", "detect", "ln", "ct"):
         # wrapper levels not present in torch: DWConvBN's inner ConvBN, the
         # Segment/Pose/OBB heads' nested Detect (torch heads inherit Detect,
-        # so cv2/cv3 live directly on the head module), and LayerNorm2d's
-        # inner flax LayerNorm
+        # so cv2/cv3 live directly on the head module), LayerNorm2d's inner
+        # flax LayerNorm, and ConvTranspose2dLayer's inner ConvTranspose
         return ()
     if comp == "patch_embed_proj":  # SAM ViT stem (PatchEmbed.proj)
         return ("patch_embed", "proj")

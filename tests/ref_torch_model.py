@@ -192,6 +192,10 @@ class RefGraph(nn.Module):
         super().__init__()
         ns = _ns()
         self.spec = spec
+        # yaml `activation:` override (reference tasks.py: Conv.default_act)
+        act_map = {"relu": nn.ReLU(), "silu": nn.SiLU(), "lrelu": nn.LeakyReLU(0.1),
+                   "gelu": nn.GELU(), "hardswish": nn.Hardswish()}
+        ns["Conv"].default_act = act_map.get(getattr(spec, "act", "silu"), nn.SiLU())
         layers = []
         for L in spec.layers:
             m, a = L.module, list(L.args)
@@ -205,6 +209,8 @@ class RefGraph(nn.Module):
                 mod = ns[m](a[0])
             elif m == "Upsample":
                 mod = nn.Upsample(None, a[1], a[2])
+            elif m == "ConvTranspose2d":
+                mod = nn.ConvTranspose2d(L.c1, a[0], a[1], a[2], a[3] if len(a) > 3 else 0)
             elif m == "Concat":
                 mod = ns["Concat"](1)
             elif m == "HGStem":

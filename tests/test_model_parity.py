@@ -216,3 +216,32 @@ class TestYolov3:
         ref, spec = build_ref_model("bsyolo_tpu/cfg/models/v3/yolov3.yaml", scale="", img_size=64)
         model, variables = build_model(spec, img_size=64)
         assert count_params(variables["params"]) == ref.num_params() - 16
+
+
+class TestYolov6:
+    def test_forward_parity_with_relu_override(self, rng):
+        """yolov6: global nn.ReLU() activation override + ConvTranspose neck
+        must reproduce reference numerics via converted weights."""
+        import torch
+
+        from ref_torch_model import build_ref_model
+        from bsyolo_tpu.nn.model import build_model
+        from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+        torch.manual_seed(0)
+        ref, spec = build_ref_model("bsyolo_tpu/cfg/models/v6/yolov6.yaml", scale="n", img_size=64)
+        ref.eval()
+        assert spec.act == "relu"
+        model, variables = build_model(spec, img_size=64)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables, report = convert_state_dict(sd, variables, strict=True)
+        x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            _, ref_maps = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        import jax
+
+        maps = jax.jit(lambda v, t: model.apply(v, t, train=False))(variables, jnp.asarray(x))
+        for got, want in zip(maps, ref_maps):
+            np.testing.assert_allclose(
+                np.asarray(got).transpose(0, 3, 1, 2), want.numpy(), rtol=1e-3, atol=1e-4
+            )
