@@ -192,3 +192,49 @@ class TestCocoJson:
         m2 = evaluate_json(tmp_path / "anno.json", tmp_path / "pred2.json", verbose=False)
         assert m2["mAP50"] > 0.99
         assert m2["mAP50-95"] < m["mAP50-95"]
+
+
+class TestChecksAndSettings:
+    def test_check_imgsz(self):
+        from bsyolo_tpu.utils.checks import check_imgsz
+
+        assert check_imgsz(640) == 640
+        assert check_imgsz(630) == 640
+        assert check_imgsz([630, 315]) == [640, 320]
+        with pytest.raises(ValueError):
+            check_imgsz([1, 2, 3], max_dim=2)
+
+    def test_check_version(self):
+        from bsyolo_tpu.utils.checks import check_version
+
+        assert check_version("2.1.0", ">=2.0")
+        assert not check_version("1.9.0", ">=2.0")
+        assert check_version("2.1.0", ">=2.0,<3.0")
+        assert check_version("numpy", ">=1.0")
+        with pytest.raises(AssertionError):
+            check_version("1.0.0", ">=9.9", hard=True)
+
+    def test_check_yaml_resolves_bundled(self):
+        from bsyolo_tpu.utils.checks import check_yaml
+
+        p = check_yaml("yolo11.yaml")
+        assert p.endswith("yolo11.yaml")
+
+    def test_path_safety(self):
+        from bsyolo_tpu.utils.checks import check_is_path_safe
+
+        assert check_is_path_safe("/tmp", "/tmp/a/b")
+        assert not check_is_path_safe("/tmp/a", "/tmp/a/../../etc")
+
+    def test_settings_roundtrip(self, tmp_path):
+        from bsyolo_tpu.utils.settings import SettingsManager
+
+        f = tmp_path / "settings.json"
+        s = SettingsManager(file=str(f))
+        assert f.exists() and s["tensorboard"] is True
+        s["runs_dir"] = str(tmp_path / "runs")
+        s2 = SettingsManager(file=str(f))
+        assert s2["runs_dir"] == str(tmp_path / "runs")
+        s2.reset()
+        s3 = SettingsManager(file=str(f))
+        assert s3["runs_dir"] != str(tmp_path / "runs")
