@@ -112,7 +112,21 @@ class DataLoader:
             ctx = multiprocessing.get_context("fork")
             pool = ctx.Pool(self.workers, initializer=_worker_init, initargs=(self,))
             try:
-                yield from pool.imap(_worker_assemble, list(enumerate(batches)), chunksize=1)
+                # bounded in-flight window (2x workers) so assembled batches
+                # never pile up in the parent when the device step is slower
+                # than the assemblers (imap has no output backpressure: a
+                # ~75 MB batch x hundreds queued = host OOM)
+                window = self.workers * 2
+                pending = []
+                items = list(enumerate(batches))
+                for job in items[:window]:
+                    pending.append(pool.apply_async(_worker_assemble, (job,)))
+                next_submit = window
+                while pending:
+                    yield pending.pop(0).get()
+                    if next_submit < len(items):
+                        pending.append(pool.apply_async(_worker_assemble, (items[next_submit],)))
+                        next_submit += 1
             finally:
                 pool.terminate()
                 pool.join()

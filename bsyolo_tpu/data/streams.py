@@ -39,6 +39,7 @@ class LoadStreams:
         self.caps = []
         self.frames: List[list] = [[] for _ in self.sources]
         self.locks = [threading.Lock() for _ in self.sources]
+        self.alive = [True] * len(self.sources)  # per-stream liveness
         self.threads = []
         self.fps = []
         for i, s in enumerate(self.sources):
@@ -52,6 +53,9 @@ class LoadStreams:
             if not ok:
                 raise ConnectionError(f"cannot read from stream {s}")
             self.frames[i].append(frame)
+            if not hasattr(self, "_last"):
+                self._last: List = [None] * len(self.sources)
+            self._last[i] = frame
             t = threading.Thread(target=self._reader, args=(i,), daemon=True)
             t.start()
             self.threads.append(t)
@@ -74,13 +78,15 @@ class LoadStreams:
                     self.frames[i].append(frame)
                 else:
                     self.frames[i] = [frame]
-        self.running = False
+        # only THIS stream ended; the others keep running (a dropped camera
+        # must not kill the healthy feeds)
+        self.alive[i] = False
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        if not self.running and not any(self.frames):
+        if not self.running or not (any(self.alive) or any(self.frames)):
             raise StopIteration
         out = []
         for i in range(len(self.sources)):
@@ -91,13 +97,20 @@ class LoadStreams:
                         frame = self.frames[i].pop(0) if self.buffer else self.frames[i][-1]
                         if not self.buffer:
                             self.frames[i] = []
+                        self._last[i] = frame
                         break
-                if not self.running:
+                if not (self.running and self.alive[i]):
                     break
                 time.sleep(0.01)
             if frame is None:
-                raise StopIteration
+                # dead/stalled stream: repeat its last frame so the healthy
+                # streams keep flowing; stop only when every stream is done
+                frame = self._last[i]
+                if frame is None:
+                    raise StopIteration
             out.append(frame)
+        if not any(self.alive) and not any(self.frames):
+            self.running = False  # drained: next call stops
         return out, list(self.sources)
 
     def close(self):

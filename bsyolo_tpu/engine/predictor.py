@@ -228,6 +228,20 @@ class DetectionPredictor:
         q: queue.Queue = queue.Queue(maxsize=4)
         stop = object()
         err: list = []
+        abandoned = threading.Event()  # consumer closed the generator early
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone — else an
+            early `break` out of predict(stream=True) would park this thread
+            in q.put forever and iter_source's finally (cap.release /
+            LoadStreams.close) would never run."""
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             frames, paths, lbs = [], [], []
@@ -244,7 +258,8 @@ class DetectionPredictor:
                         t0 = time.perf_counter()
                         x = np.stack(lbs).astype(np.float32) / 255.0
                         t_pre += time.perf_counter() - t0
-                        q.put((frames, paths, x, t_pre))
+                        if not put((frames, paths, x, t_pre)):
+                            return  # abandoned: unwind through iter_source finallys
                         frames, paths, lbs, t_pre = [], [], [], 0.0
                 if frames:
                     n = len(frames)
@@ -252,20 +267,23 @@ class DetectionPredictor:
                     lbs = lbs + [lbs[-1]] * (self.batch - n)  # pad by repetition
                     x = np.stack(lbs).astype(np.float32) / 255.0
                     t_pre += time.perf_counter() - t0
-                    q.put((frames, paths, x, t_pre))
+                    put((frames, paths, x, t_pre))
             except Exception as e:  # surface reader errors to the consumer
                 err.append(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            frames, paths, x, t_pre = item
-            yield frames, paths, jnp.asarray(x), t_pre
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                frames, paths, x, t_pre = item
+                yield frames, paths, jnp.asarray(x), t_pre
+        finally:
+            abandoned.set()  # release the producer if we exit early
         if err:
             raise err[0]
 

@@ -133,11 +133,17 @@ def _pair_losses(
 
 
 def _scatter_rows(base: Array, idx: Array, val: Array, valid: Array) -> Array:
-    """base (B, nq); scatter val (B, M) at idx (B, M) where valid."""
+    """base (B, nq); scatter val (B, M) at idx (B, M) where valid.
+
+    Invalid slots are routed to a throwaway column nq (NOT clamped to 0 —
+    clamping would make every padded GT slot overwrite whatever real GT was
+    assigned to query 0)."""
     B, M = idx.shape
+    nq = base.shape[1]
     bi = jnp.arange(B)[:, None].repeat(M, 1)
-    upd = jnp.where(valid, val, base[bi, idx])
-    return base.at[bi, idx].set(upd.astype(base.dtype))
+    safe = jnp.where(valid, idx, nq)
+    padded = jnp.concatenate([base, jnp.zeros((B, 1), base.dtype)], axis=1)
+    return padded.at[bi, safe].set(val.astype(base.dtype))[:, :nq]
 
 
 def rtdetr_loss(outputs: Dict[str, Array], gt_cls, gt_bboxes, gt_mask):

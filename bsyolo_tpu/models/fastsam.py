@@ -43,19 +43,21 @@ class FastSAM(YOLO):
         for s in "nsmlx":
             if low.startswith(f"fastsam-{s}"):
                 scale = s
-        super().__init__(f"yolov8{scale}-seg.yaml", task or "segment")
-        # single "object" class (reference FastSAM checkpoints are 1-class)
-        import dataclasses
-
-        d_nc = 1
+        # build ONCE with nc=1 (reference FastSAM checkpoints are 1-class);
+        # skip YOLO.__init__'s nc=80 build entirely
         from bsyolo_tpu.cfg import model_yaml_path
         from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
 
+        self.model_path = name
+        self.task = task or "segment"
+        self.overrides = {"names": {0: "object"}}
+        self.metrics = None
+        self._predictor = None
+        self._img_size = 640
         d = load_model_yaml(model_yaml_path(f"yolov8{scale}-seg.yaml"))
-        d["nc"] = d_nc
+        d["nc"] = 1
         self.spec = parse_model_yaml(d, scale=scale)
         self.model, self.variables = build_model(self.spec, img_size=self._img_size)
-        self.overrides["names"] = {0: "object"}
 
     def predict(self, source, stream: bool = False, bboxes=None, points=None,
                 labels=None, texts=None, **kwargs):

@@ -125,10 +125,13 @@ def check_yaml(file: str, suffix=(".yaml", ".yml"), hard: bool = True) -> str:
 
 
 def check_is_path_safe(basedir: Union[str, Path], path: Union[str, Path]) -> bool:
-    """True if path resolves inside basedir (reference check_is_path_safe)."""
+    """True if path resolves inside basedir (reference check_is_path_safe).
+
+    Compared on resolved path PARTS, not a string prefix — '/data/runs-evil'
+    must not pass for base '/data/runs'."""
     base = Path(basedir).resolve()
     p = Path(path).resolve()
-    return str(p).startswith(str(base))
+    return p == base or base in p.parents
 
 
 def print_args(args: Optional[dict] = None):
