@@ -315,6 +315,8 @@ class DetectionValidator:
         max_det: int = 300,
         pre_k: int = 1024,
         names: Optional[Dict[int, str]] = None,
+        save_json: bool = False,
+        save_dir=None,
     ):
         self.model = model
         self.spec = spec
@@ -324,6 +326,8 @@ class DetectionValidator:
         self.pre_k = pre_k
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
+        self.save_json = save_json
+        self.save_dir = save_dir
 
         nc = spec.nc
         strides = spec.head_strides
@@ -351,6 +355,11 @@ class DetectionValidator:
         confusion = ConfusionMatrix(nc=self.spec.nc, conf=self.conf)
         t_infer = 0.0
         n_img = 0
+        # COCO-format predictions (reference val.py:281 pred_to_json); only
+        # meaningful with shuffle=False loaders, which is how val runs
+        jdict = [] if self.save_json else None
+        im_files = getattr(getattr(loader, "dataset", None), "img_files", None)
+        n_total = len(im_files) if im_files else 0
         for batch in loader:
             img = jnp.asarray(batch["img"])
             t0 = time.perf_counter()
@@ -380,6 +389,24 @@ class DetectionValidator:
                 stats["pred_cls"].append(d[:, 5])
                 stats["target_cls"].append(gt_cls)
                 confusion.process_batch(d, gt_xyxy, gt_cls)
+            if jdict is not None and im_files:
+                from bsyolo_tpu.utils.coco import pred_to_json
+
+                for i in range(b):
+                    k = n_img - b + i
+                    if k < n_total:  # skip wrap-padded tail duplicates
+                        jdict.extend(pred_to_json(dets[i][dets[i][:, 4] > 0], im_files[k]))
+
+        if jdict is not None:
+            import json as _json
+            from pathlib import Path as _Path
+
+            out = _Path(self.save_dir or ".") / "predictions.json"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(_json.dumps(jdict))
+            from bsyolo_tpu.utils import LOGGER
+
+            LOGGER.info(f"saved {len(jdict)} COCO-format predictions to {out}")
 
         metrics = DetMetrics(names=self.names)
         if stats["tp"]:

@@ -164,7 +164,11 @@ class YOLO:
             "pose": PoseValidator,
             "obb": OBBValidator,
         }.get(task, DetectionValidator)
-        validator = validator_cls(self.model, self.spec, names=d.get("names"))
+        vkw = {}
+        if validator_cls is DetectionValidator and kwargs.get("save_json"):
+            # COCO-format predictions.json (reference val.py save_json)
+            vkw = {"save_json": True, "save_dir": kwargs.get("save_dir", "runs/val")}
+        validator = validator_cls(self.model, self.spec, names=d.get("names"), **vkw)
         self.metrics = validator(self.variables, loader)
         return self.metrics
 

@@ -238,3 +238,37 @@ class TestChecksAndSettings:
         s2.reset()
         s3 = SettingsManager(file=str(f))
         assert s3["runs_dir"] != str(tmp_path / "runs")
+
+
+class TestValidatorSaveJson:
+    def test_predictions_json_written(self, tmp_path):
+        import cv2
+
+        from bsyolo_tpu.data.build import DataLoader
+        from bsyolo_tpu.data.dataset import YOLODataset
+        from bsyolo_tpu.engine.validator import DetectionValidator
+        from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+
+        # 3-image dataset with numeric stems (COCO image-id convention)
+        (tmp_path / "images/val").mkdir(parents=True)
+        (tmp_path / "labels/val").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+            cv2.imwrite(str(tmp_path / f"images/val/{i:012d}.jpg"), img)
+            (tmp_path / f"labels/val/{i:012d}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+
+        d = load_model_yaml("tests/fixtures/tiny.yaml")
+        spec = parse_model_yaml(d)
+        model, variables = build_model(spec, img_size=64)
+        ds = YOLODataset(str(tmp_path / "images/val"), imgsz=64, augment=False, max_gt=8)
+        loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False)
+        v = DetectionValidator(model, spec, conf=0.0001, save_json=True,
+                               save_dir=str(tmp_path))
+        v(variables, loader, verbose=False)
+        import json
+
+        rows = json.loads((tmp_path / "predictions.json").read_text())
+        ids = {r["image_id"] for r in rows}
+        assert ids <= {0, 1, 2} and len(rows) > 0
+        assert all(len(r["bbox"]) == 4 and "score" in r for r in rows)
