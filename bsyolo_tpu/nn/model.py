@@ -60,6 +60,10 @@ def _build_module(spec: LayerSpec, dtype, name: Optional[str] = None) -> Optiona
         shortcut = a[2] if len(a) > 2 else False
         lk = a[3] if len(a) > 3 else False
         return M.C2fCIB(c2, n, shortcut, lk=lk, dtype=dtype, name=name)
+    if m == "C2":
+        c2, n = a[0], a[1]
+        shortcut = a[2] if len(a) > 2 else True
+        return M.C2(c2, n, shortcut, dtype=dtype, name=name)
     if m == "C3":
         c2, n = a[0], a[1]
         shortcut = a[2] if len(a) > 2 else True

@@ -103,6 +103,7 @@ def _ns():
             "SPPELAN",
             "DFL",
             "Bottleneck",
+            "C2",
             "C2f",
             "C3",
             "C3k",
@@ -199,7 +200,7 @@ class RefGraph(nn.Module):
         layers = []
         for L in spec.layers:
             m, a = L.module, list(L.args)
-            if m in ("Conv", "DWConv", "SCDown", "SPPF", "C2PSA", "PSA", "C2f", "C3",
+            if m in ("Conv", "DWConv", "SCDown", "SPPF", "C2PSA", "PSA", "C2", "C2f", "C3",
                      "C3k2", "C3k2_gai", "C2fCIB", "Bottleneck", "Pinwheel_shapedConv",
                      "RepNCSPELAN4", "ELAN1", "AConv", "ADown", "SPPELAN"):
                 mod = ns[m](L.c1, *a)

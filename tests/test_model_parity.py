@@ -166,6 +166,8 @@ class TestModelZooFamilies:
         [
             ("v5/yolov5.yaml", "n"),
             ("v8/yolov8-seg.yaml", "n"),
+            ("v8/yolov8-p2.yaml", "n"),
+            ("v8/yolov8-p6.yaml", "n"),
             ("v9/yolov9t.yaml", ""),
         ],
     )
