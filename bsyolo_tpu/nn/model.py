@@ -201,6 +201,17 @@ class DetectionGraph(nn.Module):
             elif m in ("Detect", "Segment", "Pose", "OBB", "v10Detect"):
                 feats = [saved[j] if j != -1 else prev for j in layer.f]
                 prev = self._head(layer, feats, train)
+            elif m == "Identity":
+                prev = saved[layer.f[0]] if layer.f[0] != -1 else prev
+            elif m == "CBLinear":
+                src = saved[layer.f[0]] if layer.f[0] != -1 else prev
+                a = layer.args
+                prev = M.CBLinear(tuple(a[0]), a[1] if len(a) > 1 else 1,
+                                  a[2] if len(a) > 2 else 1, dtype=self.dtype,
+                                  name=f"m{layer.i}")(src, train)
+            elif m == "CBFuse":
+                xs = [saved[j] if j != -1 else prev for j in layer.f]
+                prev = M.cb_fuse(xs, list(layer.args[0]))
             elif m == "Concat":
                 xs = [saved[j] if j != -1 else prev for j in layer.f]
                 prev = jnp.concatenate(xs, axis=-1)

@@ -1055,3 +1055,37 @@ class ConvTranspose2dLayer(nn.Module):
             self.c2, (self.k, self.k), strides=(self.s, self.s), padding="VALID",
             transpose_kernel=True, dtype=self.dtype, name="ct",
         )(x)
+
+
+class CBLinear(nn.Module):
+    """Cross-branch linear: one conv whose channels are split into per-level
+    taps for CBFuse (reference block.py:3746; YOLOv9e dual backbone)."""
+
+    c2s: Tuple[int, ...]
+    k: int = 1
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Tuple[Array, ...]:
+        pad = autopad(self.k, None, 1)
+        y = nn.Conv(
+            sum(self.c2s), (self.k, self.k), strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)], use_bias=True, dtype=self.dtype, name="conv",
+        )(x)
+        splits = [sum(self.c2s[: i + 1]) for i in range(len(self.c2s) - 1)]
+        return tuple(jnp.split(y, splits, axis=-1))
+
+
+def cb_fuse(xs, idx):
+    """Sum selected CBLinear taps nearest-resized onto the last input
+    (reference block.py:3760 CBFuse)."""
+    target = xs[-1]
+    h, w = target.shape[1], target.shape[2]
+    total = target
+    for i, x in enumerate(xs[:-1]):
+        t = x[idx[i]]
+        if t.shape[1] != h or t.shape[2] != w:
+            t = jax.image.resize(t.astype(jnp.float32), (t.shape[0], h, w, t.shape[3]), "nearest").astype(t.dtype)
+        total = total + t
+    return total

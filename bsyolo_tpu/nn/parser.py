@@ -201,6 +201,15 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
                 out_stride = in_stride // (args[2] if len(args) > 2 else 2)
             else:
                 out_stride = in_stride * s
+        elif m == "Identity":
+            c2 = c1
+        elif m == "CBLinear":
+            # args: ([c2s], k?, s?); downstream only CBFuse reads the taps
+            c2 = sum(args[0])
+        elif m == "CBFuse":
+            # output matches the LAST input (the backbone tensor)
+            c2 = channels[fl[-1]]
+            out_stride = strides[fl[-1]]
         elif m == "ResNetLayer":
             # yaml carries c1 explicitly: (c1, c2, s, is_first, n)
             # (reference tasks.py ResNetLayer branch: c2 = 4*args[1] unless first)

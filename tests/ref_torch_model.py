@@ -101,6 +101,8 @@ def _ns():
             "AConv",
             "ADown",
             "SPPELAN",
+            "CBLinear",
+            "CBFuse",
             "DFL",
             "Bottleneck",
             "C2",
@@ -208,6 +210,12 @@ class RefGraph(nn.Module):
                 mod = ns[m](a[0])
             elif m == "ELA":
                 mod = ns[m](a[0])
+            elif m == "Identity":
+                mod = nn.Identity()
+            elif m == "CBLinear":
+                mod = ns[m](L.c1, list(a[0]), *(a[1:]))
+            elif m == "CBFuse":
+                mod = ns[m](list(a[0]))
             elif m == "Upsample":
                 mod = nn.Upsample(None, a[1], a[2])
             elif m == "ConvTranspose2d":

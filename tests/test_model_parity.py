@@ -247,3 +247,30 @@ class TestYolov6:
             np.testing.assert_allclose(
                 np.asarray(got).transpose(0, 3, 1, 2), want.numpy(), rtol=1e-3, atol=1e-4
             )
+
+
+class TestYolov9e:
+    def test_forward_parity_dual_backbone(self, rng):
+        """CBLinear/CBFuse dual-backbone graph reproduces reference numerics."""
+        import torch
+
+        from ref_torch_model import build_ref_model
+        from bsyolo_tpu.nn.model import build_model
+        from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+        torch.manual_seed(0)
+        ref, spec = build_ref_model("bsyolo_tpu/cfg/models/v9/yolov9e.yaml", scale="", img_size=64)
+        ref.eval()
+        model, variables = build_model(spec, img_size=64)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables, report = convert_state_dict(sd, variables, strict=True)
+        x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            _, ref_maps = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        import jax
+
+        maps = jax.jit(lambda v, t: model.apply(v, t, train=False))(variables, jnp.asarray(x))
+        for got, want in zip(maps, ref_maps):
+            np.testing.assert_allclose(
+                np.asarray(got).transpose(0, 3, 1, 2), want.numpy(), rtol=1e-3, atol=1e-4
+            )
