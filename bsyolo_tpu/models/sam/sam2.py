@@ -347,12 +347,15 @@ class SAM2MaskDecoder(nn.Module):
         else:
             obj_logits = 10.0 * jnp.ones((B, 1), jnp.float32)
 
+        # SAM output token (always the single-mask token, reference
+        # decoders.py:360 sam_tokens_out) — the object-pointer source
+        sam_token = mask_out[:, 0]
         if multimask_output:
-            return masks[:, 1:], iou_pred[:, 1:], obj_logits
+            return masks[:, 1:], iou_pred[:, 1:], obj_logits, sam_token
         if self.dynamic_multimask_via_stability:
             masks0, iou0 = self._stability_select(masks, iou_pred)
-            return masks0, iou0, obj_logits
-        return masks[:, :1], iou_pred[:, :1], obj_logits
+            return masks0, iou0, obj_logits, sam_token
+        return masks[:, :1], iou_pred[:, :1], obj_logits, sam_token
 
     def _stability_select(self, masks: Array, iou_pred: Array):
         """Swap in the best multimask when the single-mask output is unstable

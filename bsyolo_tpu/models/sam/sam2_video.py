@@ -6,9 +6,9 @@ track_step memory conditioning).
 TPU-first shape discipline: the memory bank is a FIXED-SIZE ring of
 ``num_maskmem`` slots (empty slots masked out of the cross-attention), so
 every frame of a video runs the same compiled program. RoPE tables are
-static per feature size. Object-pointer tokens (an accuracy refinement for
-long-term re-identification) are not included; the frame-to-frame memory
-conditioning — the mechanism that makes SAM2 track — is complete.
+static per feature size. Past-frame OBJECT POINTERS (sam-token projections
+with a fixed no-object blend) ride along as extra memory tokens excluded
+from RoPE, completing the reference's use_obj_ptrs_in_encoder mechanism.
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from bsyolo_tpu.models.sam.modules import LayerNorm2d
+from bsyolo_tpu.models.sam.modules import MLP, LayerNorm2d
 from bsyolo_tpu.models.sam.sam2 import SAM2Model, position_embedding_sine
 
 Array = jax.Array
@@ -269,6 +269,12 @@ class SAM2VideoModel(SAM2Model):
         self.maskmem_tpos_enc = self.param(
             "maskmem_tpos_enc", init, (self.num_maskmem, 1, 1, self.mem_dim)
         )
+        # object pointers (reference sam.py use_obj_ptrs_in_encoder=True):
+        # sam output token -> 256-d pointer; no-object frames blend toward a
+        # learned no_obj_ptr (fixed_no_obj_ptr)
+        self.obj_ptr_proj = MLP(self.prompt_embed_dim, self.prompt_embed_dim, 3,
+                                dtype=self.dtype, name="obj_ptr_proj")
+        self.no_obj_ptr = self.param("no_obj_ptr", init, (1, self.prompt_embed_dim))
 
     def __call__(self, x: Array, coords: Array, labels: Array,
                  multimask_output: bool = True, masks: Optional[Array] = None):
@@ -280,14 +286,23 @@ class SAM2VideoModel(SAM2Model):
         bank = jnp.zeros((S, B, g1, g2, self.mem_dim), jnp.float32)
         pos = jnp.zeros((S, B, g1, g2, self.mem_dim), jnp.float32)
         valid = jnp.zeros((S,), jnp.float32)
-        emb = self.condition_features(emb, bank, pos, valid)
+        ptrs = jnp.zeros((S, B, C), jnp.float32)
+        emb = self.condition_features(emb, bank, pos, valid, ptrs)
         out = self.decode(emb, s0, s1, coords, labels, multimask_output, masks)
+        self.compute_obj_ptr(out[3], out[2])
         # touch the memory encoder with the predicted mask
         m = jax.image.resize(
             out[0][:, :1].astype(jnp.float32), (B, 1, self.img_size, self.img_size), "bilinear"
         )
         self.encode_memory(emb, jnp.moveaxis(m, 1, -1))
         return out
+
+    def compute_obj_ptr(self, sam_token: Array, obj_logits: Array) -> Array:
+        """(B, C) token + (B, 1) logits -> (B, C) pointer (reference
+        _forward_sam_heads: hard lambda = obj_logits > 0, fixed no-obj blend)."""
+        ptr = self.obj_ptr_proj(sam_token)
+        lam = (obj_logits > 0).astype(ptr.dtype)
+        return lam * ptr + (1.0 - lam) * self.no_obj_ptr.astype(ptr.dtype)
 
     def encode_memory(self, emb: Array, mask_logits: Array):
         """Current frame features (B, g, g, C) + predicted mask logits at
@@ -303,6 +318,7 @@ class SAM2VideoModel(SAM2Model):
         mem_bank: Array,  # (S, B, g, g, mem_dim) ring of past memories
         mem_pos: Array,  # (S, B, g, g, mem_dim)
         mem_valid: Array,  # (S,) 1.0 for filled slots
+        obj_ptrs: Optional[Array] = None,  # (S, B, C) past object pointers
     ) -> Array:
         """Cross-attend current features over the memory bank
         (reference _prepare_memory_conditioned_features). Empty bank ->
@@ -325,7 +341,25 @@ class SAM2VideoModel(SAM2Model):
         mem = mem * valid
         pos = pos * valid
 
-        attended = self.memory_attention(cur, mem, curr_pos=cur_pos, memory_pos=pos)
+        n_ptr_tokens = 0
+        if obj_ptrs is not None:
+            # past pointers as extra memory tokens: each 256-d pointer splits
+            # into C/mem_dim tokens of mem_dim; sine temporal codes as pos;
+            # excluded from RoPE (reference _prepare_memory_conditioned_features)
+            tok_per_ptr = C // self.mem_dim
+            ptr_tok = (obj_ptrs * mem_valid[:, None, None]).transpose(1, 0, 2)
+            ptr_tok = ptr_tok.reshape(B, S * tok_per_ptr, self.mem_dim)
+            ages = jnp.repeat(jnp.arange(S, dtype=jnp.float32) / max(S, 1), tok_per_ptr)
+            dim_t = 10000.0 ** (2.0 * (jnp.arange(self.mem_dim // 2) // 1) / self.mem_dim)
+            ang = ages[:, None] / dim_t[None]
+            ptr_pos = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)[None]
+            ptr_pos = jnp.broadcast_to(ptr_pos, ptr_tok.shape).astype(mem.dtype)
+            ptr_pos = ptr_pos * jnp.repeat(mem_valid, tok_per_ptr)[None, :, None]
+            mem = jnp.concatenate([mem, ptr_tok.astype(mem.dtype)], axis=1)
+            pos = jnp.concatenate([pos, ptr_pos], axis=1)
+            n_ptr_tokens = S * tok_per_ptr
+        attended = self.memory_attention(cur, mem, curr_pos=cur_pos, memory_pos=pos,
+                                         num_obj_ptr_tokens=n_ptr_tokens)
         out = jnp.where(any_valid, attended, cur + self.no_mem_embed)
         return out.reshape(B, g1, g2, C)
 
@@ -349,9 +383,12 @@ class SAM2VideoPredictor:
                                                      method=model.decode)
         )
         self._condition = jax.jit(
-            lambda v, emb, bank, pos, valid: model.apply(
-                v, emb, bank, pos, valid, method=model.condition_features
+            lambda v, emb, bank, pos, valid, ptrs: model.apply(
+                v, emb, bank, pos, valid, ptrs, method=model.condition_features
             )
+        )
+        self._obj_ptr = jax.jit(
+            lambda v, tok, ol: model.apply(v, tok, ol, method=model.compute_obj_ptr)
         )
         self._encode_mem = jax.jit(
             lambda v, emb, m: model.apply(v, emb, m, method=model.encode_memory)
@@ -362,6 +399,7 @@ class SAM2VideoPredictor:
         S, g, D = self.model.num_maskmem, self.grid, self.model.mem_dim
         self.bank = jnp.zeros((S, 1, g, g, D), jnp.float32)
         self.bank_pos = jnp.zeros((S, 1, g, g, D), jnp.float32)
+        self.ptrs = jnp.zeros((S, 1, self.model.prompt_embed_dim), jnp.float32)
         self.valid = jnp.zeros((S,), jnp.float32)
         self._slot = 0
 
@@ -394,23 +432,24 @@ class SAM2VideoPredictor:
             n = min(len(pts), P - 2)
             c[0, 2 : 2 + n] = pts[:n]
             l[0, 2 : 2 + n] = lab[:n]
-        masks, iou, obj = self._decode(self.variables, emb, s0, s1, jnp.asarray(c), jnp.asarray(l))
-        self._remember(emb, masks)
+        masks, iou, obj, tok = self._decode(self.variables, emb, s0, s1, jnp.asarray(c), jnp.asarray(l))
+        self._remember(emb, masks, tok, obj)
         return self._to_numpy_mask(masks), float(iou[0, 0])
 
     def track(self, img: np.ndarray):
         """Propagate to the next frame using the memory bank (no prompts)."""
         x, _, self._orig, self._in = self._preprocess(img)
         emb, s0, s1 = self._encode(self.variables, jnp.asarray(x))
-        cond = self._condition(self.variables, emb, self.bank, self.bank_pos, self.valid)
+        cond = self._condition(self.variables, emb, self.bank, self.bank_pos,
+                               self.valid, self.ptrs)
         P = self.max_points
         c = jnp.zeros((1, P, 2), jnp.float32)
         l = -jnp.ones((1, P), jnp.int32)
-        masks, iou, obj = self._decode(self.variables, cond, s0, s1, c, l)
-        self._remember(cond, masks)
+        masks, iou, obj, tok = self._decode(self.variables, cond, s0, s1, c, l)
+        self._remember(cond, masks, tok, obj)
         return self._to_numpy_mask(masks), float(iou[0, 0]), float(obj[0, 0])
 
-    def _remember(self, emb, masks):
+    def _remember(self, emb, masks, tok=None, obj=None):
         # upscale low-res mask logits to image res for the downsampler
         m = jax.image.resize(
             masks.astype(jnp.float32), (1, 1, self.img_size, self.img_size), "bilinear"
@@ -421,6 +460,9 @@ class SAM2VideoPredictor:
         self.bank_pos = self.bank_pos.at[self._slot].set(
             jnp.broadcast_to(pos, mem.shape).astype(jnp.float32)
         )
+        if tok is not None:
+            ptr = self._obj_ptr(self.variables, tok, obj)
+            self.ptrs = self.ptrs.at[self._slot].set(ptr.astype(jnp.float32))
         self.valid = self.valid.at[self._slot].set(1.0)
         self._slot = (self._slot + 1) % self.model.num_maskmem
 

@@ -244,7 +244,7 @@ class TestSAM2Parity:
             )
         c = np.concatenate([pts, np.zeros((1, 1, 2), np.float32)], axis=1)
         l = np.concatenate([lab.astype(np.int32), -np.ones((1, 1), np.int32)], axis=1)
-        masks, iou, obj = jax.jit(lambda v, xx, cc, ll: model.apply(v, xx, cc, ll, True))(
+        masks, iou, obj, _tok = jax.jit(lambda v, xx, cc, ll: model.apply(v, xx, cc, ll, True))(
             variables, jnp.asarray(x), jnp.asarray(c), jnp.asarray(l)
         )
         np.testing.assert_allclose(np.asarray(obj), obj_ref.numpy(), rtol=1e-3, atol=1e-4)
@@ -265,7 +265,7 @@ class TestSAM2Parity:
             )
         c = box.reshape(1, 2, 2)
         l = np.asarray([[2, 3]], np.int32)
-        masks, iou, _ = jax.jit(lambda v, xx, cc, ll: model.apply(v, xx, cc, ll, False))(
+        masks, iou, _, _tok = jax.jit(lambda v, xx, cc, ll: model.apply(v, xx, cc, ll, False))(
             variables, jnp.asarray(x), jnp.asarray(c), jnp.asarray(l)
         )
         np.testing.assert_allclose(np.asarray(iou), iou_ref.numpy(), rtol=1e-3, atol=1e-4)
