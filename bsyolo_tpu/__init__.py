@@ -17,7 +17,7 @@ ultralytics/engine/model.py).
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "YOLOWorld", "RTDETR", "__version__"]
+__all__ = ["YOLO", "YOLOWorld", "RTDETR", "SAM", "FastSAM", "NAS", "__version__"]
 
 
 def __getattr__(name):  # lazy: keep `import bsyolo_tpu.ops` cheap (no engine deps)
@@ -25,4 +25,8 @@ def __getattr__(name):  # lazy: keep `import bsyolo_tpu.ops` cheap (no engine de
         import bsyolo_tpu.model as _m
 
         return getattr(_m, name)
+    if name in ("SAM", "FastSAM", "NAS"):
+        import bsyolo_tpu.models as _models
+
+        return getattr(_models, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
