@@ -93,12 +93,22 @@ class AutoBackend:
         y = YOLO(path)
         spec = y.spec
 
+        from bsyolo_tpu.nn.heads import postprocess_e2e  # noqa: F401 (doc)
+
         @jax.jit
         def run(x):
-            feats = y.model.apply(y.variables, x, train=False)
-            if isinstance(feats, dict):
-                feats = feats.get("feats", feats)
-            return decode_detections(feats, spec.head_strides, spec.nc)
+            out = y.model.apply(y.variables, x, train=False)
+            if isinstance(out, dict):
+                if "feats" in out:  # Segment head: boxes+coeff maps
+                    out = out["feats"]
+                elif "one2one" in out:  # v10 NMS-free head
+                    out = out["one2one"]
+                else:
+                    raise TypeError(
+                        f"AutoBackend detection decode does not support this head "
+                        f"output ({sorted(out)}); use the task facade instead"
+                    )
+            return decode_detections(out, spec.head_strides, spec.nc)
 
         self._fn = lambda x: np.asarray(run(jnp.asarray(x)))
 

@@ -317,6 +317,7 @@ class DetectionValidator:
         names: Optional[Dict[int, str]] = None,
         save_json: bool = False,
         save_dir=None,
+        class_map=None,  # e.g. COCO80_TO_COCO91 for official COCO ids
     ):
         self.model = model
         self.spec = spec
@@ -328,6 +329,7 @@ class DetectionValidator:
         self.iouv = np.linspace(0.5, 0.95, 10)
         self.save_json = save_json
         self.save_dir = save_dir
+        self.class_map = class_map
 
         nc = spec.nc
         strides = spec.head_strides
@@ -360,6 +362,14 @@ class DetectionValidator:
         jdict = [] if self.save_json else None
         im_files = getattr(getattr(loader, "dataset", None), "img_files", None)
         n_total = len(im_files) if im_files else 0
+        if self.save_json and not im_files:
+            from bsyolo_tpu.utils import LOGGER
+
+            LOGGER.warning(
+                "save_json requested but the loader's dataset has no img_files; "
+                "no predictions.json will be written"
+            )
+            jdict = None
         for batch in loader:
             img = jnp.asarray(batch["img"])
             t0 = time.perf_counter()
@@ -389,23 +399,35 @@ class DetectionValidator:
                 stats["pred_cls"].append(d[:, 5])
                 stats["target_cls"].append(gt_cls)
                 confusion.process_batch(d, gt_xyxy, gt_cls)
-            if jdict is not None and im_files:
+            if jdict is not None:
                 from bsyolo_tpu.utils.coco import pred_to_json
+                from bsyolo_tpu.ops.letterbox import letterbox_params
 
                 for i in range(b):
                     k = n_img - b + i
-                    if k < n_total:  # skip wrap-padded tail duplicates
-                        jdict.extend(pred_to_json(dets[i][dets[i][:, 4] > 0], im_files[k]))
+                    if k >= n_total:  # skip wrap-padded tail duplicates
+                        continue
+                    # un-letterbox into ORIGINAL image pixels (the dataset's
+                    # val path letterboxes with scaleup=False, centered)
+                    from PIL import Image as _Image
+
+                    with _Image.open(im_files[k]) as _im:
+                        w0, h0 = _im.size
+                    r, (dw, dh), _ = letterbox_params((h0, w0), (h, w), scaleup=False)
+                    d = dets[i][dets[i][:, 4] > 0].copy()
+                    d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / r, 0, w0)
+                    d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / r, 0, h0)
+                    jdict.extend(pred_to_json(d, im_files[k], class_map=self.class_map))
 
         if jdict is not None:
-            import json as _json
             from pathlib import Path as _Path
+
+            from bsyolo_tpu.utils import LOGGER
+            from bsyolo_tpu.utils.coco import save_predictions_json
 
             out = _Path(self.save_dir or ".") / "predictions.json"
             out.parent.mkdir(parents=True, exist_ok=True)
-            out.write_text(_json.dumps(jdict))
-            from bsyolo_tpu.utils import LOGGER
-
+            save_predictions_json(jdict, out)
             LOGGER.info(f"saved {len(jdict)} COCO-format predictions to {out}")
 
         metrics = DetMetrics(names=self.names)

@@ -347,11 +347,14 @@ class SAM2MaskDecoder(nn.Module):
         else:
             obj_logits = 10.0 * jnp.ones((B, 1), jnp.float32)
 
-        # SAM output token (always the single-mask token, reference
-        # decoders.py:360 sam_tokens_out) — the object-pointer source
-        sam_token = mask_out[:, 0]
         if multimask_output:
+            # best-IoU multimask token as the pointer source (reference
+            # use_multimask_token_for_obj_ptr=True in sam2 configs)
+            best = jnp.argmax(iou_pred[:, 1:], axis=-1) + 1
+            sam_token = jnp.take_along_axis(mask_out, best[:, None, None], axis=1)[:, 0]
             return masks[:, 1:], iou_pred[:, 1:], obj_logits, sam_token
+        # single-mask path: token 0 (reference sam_tokens_out[:, 0:1])
+        sam_token = mask_out[:, 0]
         if self.dynamic_multimask_via_stability:
             masks0, iou0 = self._stability_select(masks, iou_pred)
             return masks0, iou0, obj_logits, sam_token

@@ -287,7 +287,8 @@ class SAM2VideoModel(SAM2Model):
         pos = jnp.zeros((S, B, g1, g2, self.mem_dim), jnp.float32)
         valid = jnp.zeros((S,), jnp.float32)
         ptrs = jnp.zeros((S, B, C), jnp.float32)
-        emb = self.condition_features(emb, bank, pos, valid, ptrs)
+        emb = self.condition_features(emb, bank, pos, valid, ptrs,
+                                      jnp.arange(S, dtype=jnp.float32))
         out = self.decode(emb, s0, s1, coords, labels, multimask_output, masks)
         self.compute_obj_ptr(out[3], out[2])
         # touch the memory encoder with the predicted mask
@@ -319,6 +320,7 @@ class SAM2VideoModel(SAM2Model):
         mem_pos: Array,  # (S, B, g, g, mem_dim)
         mem_valid: Array,  # (S,) 1.0 for filled slots
         obj_ptrs: Optional[Array] = None,  # (S, B, C) past object pointers
+        ages: Optional[Array] = None,  # (S,) frames-ago per slot (ring-aware)
     ) -> Array:
         """Cross-attend current features over the memory bank
         (reference _prepare_memory_conditioned_features). Empty bank ->
@@ -330,10 +332,14 @@ class SAM2VideoModel(SAM2Model):
         cur_pos = jnp.broadcast_to(cur_pos, cur.shape)
 
         any_valid = jnp.sum(mem_valid) > 0
-        # memory tokens: (B, S*g*g, mem_dim); temporal slot codes added to pos
+        if ages is None:
+            ages = jnp.arange(S, dtype=jnp.float32)
+        # memory tokens: (B, S*g*g, mem_dim); temporal codes indexed by
+        # RECENCY (frames-ago), not ring-slot position — the ring rotates,
+        # the age of a slot does not follow its index
         mem = mem_bank.transpose(1, 0, 2, 3, 4).reshape(B, S * g1 * g2, self.mem_dim)
-        # temporal slot codes: (S, 1, 1, D) -> broadcast over (S, B, g, g, D)
-        tpos = self.maskmem_tpos_enc[:, None]  # (S, 1, 1, 1, D)
+        age_idx = jnp.clip(ages, 0, self.num_maskmem - 1).astype(jnp.int32)
+        tpos = self.maskmem_tpos_enc[age_idx][:, None]  # (S, 1, 1, 1, D)
         pos = (mem_pos + tpos).transpose(1, 0, 2, 3, 4).reshape(B, S * g1 * g2, self.mem_dim)
         # mask empty slots: zero their keys/values (softmax still sees them,
         # but with rope'd zero keys their logits are uniform noise-free)
@@ -349,9 +355,9 @@ class SAM2VideoModel(SAM2Model):
             tok_per_ptr = C // self.mem_dim
             ptr_tok = (obj_ptrs * mem_valid[:, None, None]).transpose(1, 0, 2)
             ptr_tok = ptr_tok.reshape(B, S * tok_per_ptr, self.mem_dim)
-            ages = jnp.repeat(jnp.arange(S, dtype=jnp.float32) / max(S, 1), tok_per_ptr)
+            t_ages = jnp.repeat(ages / max(S, 1), tok_per_ptr)
             dim_t = 10000.0 ** (2.0 * (jnp.arange(self.mem_dim // 2) // 1) / self.mem_dim)
-            ang = ages[:, None] / dim_t[None]
+            ang = t_ages[:, None] / dim_t[None]
             ptr_pos = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)[None]
             ptr_pos = jnp.broadcast_to(ptr_pos, ptr_tok.shape).astype(mem.dtype)
             ptr_pos = ptr_pos * jnp.repeat(mem_valid, tok_per_ptr)[None, :, None]
@@ -383,8 +389,8 @@ class SAM2VideoPredictor:
                                                      method=model.decode)
         )
         self._condition = jax.jit(
-            lambda v, emb, bank, pos, valid, ptrs: model.apply(
-                v, emb, bank, pos, valid, ptrs, method=model.condition_features
+            lambda v, emb, bank, pos, valid, ptrs, ages: model.apply(
+                v, emb, bank, pos, valid, ptrs, ages, method=model.condition_features
             )
         )
         self._obj_ptr = jax.jit(
@@ -440,8 +446,13 @@ class SAM2VideoPredictor:
         """Propagate to the next frame using the memory bank (no prompts)."""
         x, _, self._orig, self._in = self._preprocess(img)
         emb, s0, s1 = self._encode(self.variables, jnp.asarray(x))
+        S = self.model.num_maskmem
+        # frames-ago per ring slot: the slot about to be written is oldest
+        ages = jnp.asarray(
+            [float((self._slot - 1 - i) % S) for i in range(S)], jnp.float32
+        )
         cond = self._condition(self.variables, emb, self.bank, self.bank_pos,
-                               self.valid, self.ptrs)
+                               self.valid, self.ptrs, ages)
         P = self.max_points
         c = jnp.zeros((1, P, 2), jnp.float32)
         l = -jnp.ones((1, P), jnp.int32)

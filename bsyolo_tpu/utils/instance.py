@@ -64,11 +64,15 @@ class Bboxes:
         return (x[:, 2] - x[:, 0]) * (x[:, 3] - x[:, 1])
 
     def mul(self, scale):
-        s = (scale,) * 4 if isinstance(scale, (int, float)) else tuple(scale)
+        from numbers import Number
+
+        s = (scale,) * 4 if isinstance(scale, Number) or np.isscalar(scale) else tuple(scale)
         self.bboxes = self.bboxes * np.asarray(s, np.float32)[None]
 
     def add(self, offset):
-        o = (offset,) * 4 if isinstance(offset, (int, float)) else tuple(offset)
+        from numbers import Number
+
+        o = (offset,) * 4 if isinstance(offset, Number) or np.isscalar(offset) else tuple(offset)
         self.bboxes = self.bboxes + np.asarray(o, np.float32)[None]
 
     def __len__(self):

@@ -35,7 +35,7 @@ def mask2json(mask_dir: str, out_dir: str, label: str = "blindway"):
                 continue
             pts = c.reshape(-1, 2)
             if len(pts) > 100:
-                pts = pts[:: len(pts) // 100]
+                pts = pts[:: -(-len(pts) // 100)]  # ceil step enforces the cap
             shapes.append({
                 "label": label,
                 "points": pts.astype(float).tolist(),

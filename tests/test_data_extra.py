@@ -254,7 +254,8 @@ class TestValidatorSaveJson:
         (tmp_path / "labels/val").mkdir(parents=True)
         rng = np.random.default_rng(0)
         for i in range(3):
-            img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+            # NON-square original (128x96): exercises the un-letterboxing
+            img = rng.integers(0, 255, (96, 128, 3), np.uint8)
             cv2.imwrite(str(tmp_path / f"images/val/{i:012d}.jpg"), img)
             (tmp_path / f"labels/val/{i:012d}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
 
@@ -272,3 +273,8 @@ class TestValidatorSaveJson:
         ids = {r["image_id"] for r in rows}
         assert ids <= {0, 1, 2} and len(rows) > 0
         assert all(len(r["bbox"]) == 4 and "score" in r for r in rows)
+        # boxes must be in ORIGINAL 128x96 pixel space (un-letterboxed)
+        for r in rows:
+            x, y, w, bh = r["bbox"]
+            assert 0 <= x <= 128 and 0 <= y <= 96
+            assert x + w <= 128 + 1e-6 and y + bh <= 96 + 1e-6
