@@ -104,7 +104,7 @@ def main():
         json.dumps(
             {
                 "metric": f"yolo11{scale}-BS e2e inference throughput @{img_size} "
-                f"(fwd+fused Pallas decode+NMS, bf16, batch={bs}, scan-diff timing)",
+                f"(fwd+XLA-fused decode+NMS, bf16, batch={bs}, scan-diff timing)",
                 "value": round(ips, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / baseline_ips, 3),

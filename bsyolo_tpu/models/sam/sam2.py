@@ -39,9 +39,8 @@ Array = jax.Array
 
 SAM2_VIDEO_NOTE = (
     "SAM2 video tracking lives in sam2_video.py (RoPE memory attention, "
-    "memory encoder, fixed-size ring bank, streaming SAM2VideoPredictor); "
-    "object-pointer tokens — a long-horizon re-id refinement — are the one "
-    "part not rebuilt."
+    "memory encoder, fixed-size ring bank, past-frame object-pointer tokens "
+    "with fixed no-obj blend, streaming SAM2VideoPredictor)."
 )
 
 
@@ -385,7 +384,8 @@ class SAM2MaskDecoder(nn.Module):
 class SAM2Model(nn.Module):
     """SAM2 image path: Hiera+FPN encoder, shared prompt encoder, SAM2
     decoder with high-res skips (reference modules/sam.py SAM2Model heads;
-    video memory attention not included — SAM2_VIDEO_NOTE)."""
+    the video path — memory attention, ring bank, object pointers — lives
+    in sam2_video.py, see SAM2_VIDEO_NOTE)."""
 
     img_size: int = 1024
     encoder_embed_dim: int = 96
