@@ -105,6 +105,19 @@ def _build_module(spec: LayerSpec, dtype, name: Optional[str] = None) -> Optiona
         from bsyolo_tpu.nn import transformer as T
 
         return T.AIFI(a[0], a[1] if len(a) > 1 else 8, dtype=dtype, name=name)
+    if m == "GhostConv":
+        c2, k = a[0], a[1] if len(a) > 1 else 1
+        s = a[2] if len(a) > 2 else 1
+        return M.GhostConv(c2, k, s, dtype=dtype, name=name)
+    if m == "GhostBottleneck":
+        c2, k = a[0], a[1] if len(a) > 1 else 3
+        s = a[2] if len(a) > 2 else 1
+        return M.GhostBottleneck(c2, k, s, dtype=dtype, name=name)
+    if m == "C3Ghost":
+        c2, n = a[0], a[1]
+        return M.C3Ghost(c2, n, dtype=dtype, name=name)
+    if m == "SPP":
+        return M.SPP(a[0], tuple(a[1]) if len(a) > 1 else (5, 9, 13), dtype=dtype, name=name)
     if m == "SPPF":
         return M.SPPF(a[0], a[1] if len(a) > 1 else 5, dtype=dtype, name=name)
     if m == "C2PSA":
@@ -217,6 +230,14 @@ class DetectionGraph(nn.Module):
                 prev = jnp.concatenate(xs, axis=-1)
             elif m == "Upsample":
                 prev = M.upsample2x_nearest(prev)
+            elif m == "MaxPool2d":
+                src = saved[layer.f[0]] if layer.f[0] != -1 else prev
+                a = layer.args
+                prev = M.max_pool2d(src, a[0], a[1] if len(a) > 1 else a[0],
+                                    a[2] if len(a) > 2 else 0)
+            elif m == "ZeroPad2d":
+                src = saved[layer.f[0]] if layer.f[0] != -1 else prev
+                prev = M.zero_pad2d(src, tuple(layer.args[0]))
             elif m == "Index":
                 prev = saved[layer.f[-1]]
             elif m == "Classify":

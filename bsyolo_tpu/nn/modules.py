@@ -564,6 +564,90 @@ class PinwheelConv(nn.Module):
         return ConvBNRect(self.c2, (2, 2), 1, dtype=self.dtype, name="cat")(out, train)
 
 
+class GhostConv(nn.Module):
+    """Ghost convolution (reference conv.py:280): a primary k-conv producing
+    c2/2 channels plus a cheap 5x5 depthwise "ghost" branch, concatenated."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_ = self.c2 // 2
+        y = ConvBN(c_, self.k, self.s, g=self.g, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        z = ConvBN(c_, 5, 1, g=c_, act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, z], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (reference block.py:3384): pw GhostConv -> optional
+    stride-2 DW -> linear pw GhostConv, with a DW+pw shortcut when s=2.
+    Child names mirror the torch nn.Sequential indices (conv.0/1/2,
+    shortcut.0/1) for the weight converter."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="conv_0")(x, train)
+        if self.s == 2:
+            y = DWConvBN(c_, self.k, self.s, act=False, dtype=self.dtype, name="conv_1")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="conv_2")(y, train)
+        if self.s == 2:
+            sc = DWConvBN(x.shape[-1], self.k, self.s, act=False, dtype=self.dtype, name="shortcut_0")(x, train)
+            sc = ConvBN(self.c2, 1, 1, act=False, dtype=self.dtype, name="shortcut_1")(sc, train)
+        else:
+            sc = x
+        return y + sc
+
+
+class C3Ghost(C3):
+    """C3 whose inner blocks are GhostBottlenecks (reference block.py:3374)."""
+
+    def inner_block(self, c: int, i: int):
+        return GhostBottleneck(c, 3, 1, dtype=self.dtype, name=f"m_{i}")
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling, parallel k in (5,9,13) (reference block.py:155)."""
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c_ = x.shape[-1] // 2
+        y = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        pools = [
+            nn.max_pool(y, window_shape=(k, k), strides=(1, 1), padding=[(k // 2, k // 2)] * 2)
+            for k in self.k
+        ]
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([y] + pools, axis=-1), train
+        )
+
+
+def max_pool2d(x: Array, k: int, s: int, p: int = 0) -> Array:
+    """nn.MaxPool2d(k, s, p) as a stateless graph op (yolov3-tiny backbone)."""
+    pad = [(p, p), (p, p)]
+    return nn.max_pool(x, window_shape=(k, k), strides=(s, s), padding=pad)
+
+
+def zero_pad2d(x: Array, pad: Tuple[int, int, int, int]) -> Array:
+    """nn.ZeroPad2d((left, right, top, bottom)) on NHWC."""
+    l, r, t, b = pad
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
 def upsample2x_nearest(x: Array) -> Array:
     """nn.Upsample(scale_factor=2, mode='nearest') equivalent."""
     B, H, W, C = x.shape

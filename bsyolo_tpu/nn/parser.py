@@ -88,6 +88,8 @@ _CONVLIKE = {
     "RepC3",
     "Focus",
     "GhostConv",
+    "GhostBottleneck",
+    "C3Ghost",
     "RepNCSPELAN4",
     "ELAN1",
     "AConv",
@@ -96,7 +98,8 @@ _CONVLIKE = {
     "ConvTranspose2d",
 }
 # Modules that additionally get the repeat count inserted at args[2]
-_REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA", "C2fCIB", "RepC3"}
+_REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA", "C2fCIB", "RepC3",
+           "C3Ghost"}
 _HEADS = {"Detect", "Segment", "Pose", "OBB", "v10Detect"}
 
 
@@ -188,7 +191,7 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
                 if scale in "mlx" and len(args) >= 3:
                     args[2] = True  # c3k=True for m/l/x (tasks.py:1047-1050)
             s = 1
-            if m in ("Conv", "DWConv", "Pinwheel_shapedConv") and len(args) >= 3:
+            if m in ("Conv", "DWConv", "Pinwheel_shapedConv", "GhostConv") and len(args) >= 3:
                 s = args[2]
             elif m == "SCDown" and len(args) >= 3:
                 s = args[2]
@@ -266,6 +269,13 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
         elif m == "Concat":
             c2 = sum(channels[x] if x != -1 else channels[-1] for x in fl)
             out_stride = strides[fl[0]] if fl[0] != -1 else strides[-1]
+        elif m == "MaxPool2d":
+            # torch nn.MaxPool2d(k, s, p) used as a graph layer (yolov3-tiny)
+            c2 = c1
+            out_stride = in_stride * (args[1] if len(args) > 1 else args[0])
+        elif m == "ZeroPad2d":
+            # nn.ZeroPad2d([l, r, t, b]): +1px pre-pad for the stride-1 pool
+            c2 = c1
         elif m == "BatchNorm2d":
             c2 = c1
         elif m == "Classify":

@@ -88,7 +88,7 @@ def _ns():
          "multi_scale_deformable_attn_pytorch"],
     )
     pull("nn/modules/conv.py", ["autopad", "Conv", "DWConv", "Concat", "Pinwheel_shapedConv",
-                                "LightConv", "RepConv"])
+                                "LightConv", "RepConv", "GhostConv"])
     pull(
         "nn/modules/block.py",
         [
@@ -127,6 +127,9 @@ def _ns():
             "ImagePoolingAttn",
             "ContrastiveHead",
             "BNContrastiveHead",
+            "GhostBottleneck",
+            "C3Ghost",
+            "SPP",
             "PMSFA",
             "Bottleneck_gai",
             "C3k_gai",
@@ -204,8 +207,10 @@ class RefGraph(nn.Module):
             m, a = L.module, list(L.args)
             if m in ("Conv", "DWConv", "SCDown", "SPPF", "C2PSA", "PSA", "C2", "C2f", "C3",
                      "C3k2", "C3k2_gai", "C2fCIB", "Bottleneck", "Pinwheel_shapedConv",
-                     "RepNCSPELAN4", "ELAN1", "AConv", "ADown", "SPPELAN"):
-                mod = ns[m](L.c1, *a)
+                     "RepNCSPELAN4", "ELAN1", "AConv", "ADown", "SPPELAN",
+                     "GhostConv", "GhostBottleneck", "C3Ghost", "SPP"):
+                args_t = [list(x) if isinstance(x, tuple) else x for x in a]
+                mod = ns[m](L.c1, *args_t)
             elif m == "MSCAAttention":
                 mod = ns[m](a[0])
             elif m == "ELA":
@@ -218,6 +223,10 @@ class RefGraph(nn.Module):
                 mod = ns[m](list(a[0]))
             elif m == "Upsample":
                 mod = nn.Upsample(None, a[1], a[2])
+            elif m == "MaxPool2d":
+                mod = nn.MaxPool2d(a[0], a[1] if len(a) > 1 else None, a[2] if len(a) > 2 else 0)
+            elif m == "ZeroPad2d":
+                mod = nn.ZeroPad2d(list(a[0]))
             elif m == "ConvTranspose2d":
                 mod = nn.ConvTranspose2d(L.c1, a[0], a[1], a[2], a[3] if len(a) > 3 else 0)
             elif m == "Concat":
