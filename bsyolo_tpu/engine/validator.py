@@ -21,6 +21,76 @@ from bsyolo_tpu.ops.boxes import xywh2xyxy
 from bsyolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, _box_iou_np, match_predictions
 
 
+class _JsonCollector:
+    """Accumulates COCO-format prediction dicts during a val run and writes
+    predictions.json (the plumbing around pred_to_json in the reference
+    models/yolo/*/val.py). Maps letterboxed network coords back into
+    original image pixels; requires a shuffle=False loader whose dataset
+    exposes img_files (how val always runs)."""
+
+    def __init__(self, loader, save_dir=None, class_map=None):
+        self.jdict: list = []
+        self.save_dir = save_dir
+        self.class_map = class_map
+        self.im_files = getattr(getattr(loader, "dataset", None), "img_files", None)
+        self.n = len(self.im_files) if self.im_files else 0
+        if not self.im_files:
+            from bsyolo_tpu.utils import LOGGER
+
+            LOGGER.warning(
+                "save_json requested but the loader's dataset has no img_files; "
+                "no predictions.json will be written"
+            )
+
+    def unletterbox(self, k: int, input_hw):
+        """-> ((w0, h0), r, dw, dh) for image index k."""
+        from PIL import Image
+
+        from bsyolo_tpu.ops.letterbox import letterbox_params
+
+        with Image.open(self.im_files[k]) as im:
+            w0, h0 = im.size
+        r, (dw, dh), _ = letterbox_params((h0, w0), input_hw, scaleup=False)
+        return (w0, h0), r, dw, dh
+
+    def scale_boxes(self, dets: np.ndarray, k: int, input_hw):
+        (w0, h0), r, dw, dh = self.unletterbox(k, input_hw)
+        d = dets.copy()
+        d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / r, 0, w0)
+        d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / r, 0, h0)
+        return d
+
+    def save(self):
+        from pathlib import Path
+
+        from bsyolo_tpu.utils import LOGGER
+        from bsyolo_tpu.utils.coco import save_predictions_json
+
+        out = Path(self.save_dir or ".") / "predictions.json"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        save_predictions_json(self.jdict, out)
+        LOGGER.info(f"saved {len(self.jdict)} COCO-format predictions to {out}")
+        return out
+
+
+def _mask_to_original(mask: np.ndarray, input_hw, orig_wh, r: float, dw: float, dh: float) -> np.ndarray:
+    """Proto-resolution binary mask -> original-image-size binary mask:
+    nearest upsample to network input, crop the letterbox pad, nearest
+    resize to (h0, w0) (the reference's ops.scale_image, RLE-grade)."""
+    h, w = input_hw
+    w0, h0 = orig_wh
+    fh, fw = h // mask.shape[0], w // mask.shape[1]
+    mi = np.repeat(np.repeat(mask, fh, axis=0), fw, axis=1)
+    ch, cw = int(round(h0 * r)), int(round(w0 * r))
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    crop = mi[top : top + ch, left : left + cw]
+    if crop.size == 0:
+        return np.zeros((h0, w0), bool)
+    yi = np.clip((np.arange(h0) * crop.shape[0] / h0).astype(int), 0, crop.shape[0] - 1)
+    xi = np.clip((np.arange(w0) * crop.shape[1] / w0).astype(int), 0, crop.shape[1] - 1)
+    return crop[yi][:, xi].astype(bool)
+
+
 class OBBValidator:
     """Rotated-box validation: probIoU matching at 10 thresholds
     (reference models/yolo/obb/val.py)."""
@@ -123,13 +193,17 @@ class SegmentationValidator:
     positives use flattened mask IoU against the overlap-encoded gt masks."""
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 100,
-                 names: Optional[Dict[int, str]] = None):
+                 names: Optional[Dict[int, str]] = None, save_json: bool = False,
+                 save_dir=None, class_map=None):
         from bsyolo_tpu.nn.heads import decode_extras
         from bsyolo_tpu.ops.masks import process_mask
 
         self.spec = spec
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
+        self.save_json = save_json
+        self.save_dir = save_dir
+        self.class_map = class_map
         nc, strides = spec.nc, spec.head_strides
 
         def forward(variables, img):
@@ -155,6 +229,8 @@ class SegmentationValidator:
         from bsyolo_tpu.ops.boxes import xywh2xyxy as _xywh2xyxy
 
         stats = {k: [] for k in ("tp", "tp_m", "conf", "pred_cls", "target_cls")}
+        jc = _JsonCollector(loader, self.save_dir, self.class_map) if self.save_json else None
+        n_seen = 0
         for batch in loader:
             img = jnp.asarray(batch["img"])
             dets_d, masks_d = self._forward(variables, img)
@@ -169,6 +245,19 @@ class SegmentationValidator:
                 d = dets[i]
                 keep = d[:, 4] > 0
                 d, pm = d[keep], masks[i][keep]
+                k = n_seen
+                n_seen += 1
+                if jc is not None and jc.im_files and k < jc.n and len(d):
+                    from bsyolo_tpu.utils.coco import seg_pred_to_json
+
+                    (w0, h0), r, dw, dh = jc.unletterbox(k, (h, w))
+                    db = d.copy()
+                    db[:, [0, 2]] = np.clip((db[:, [0, 2]] - dw) / r, 0, w0)
+                    db[:, [1, 3]] = np.clip((db[:, [1, 3]] - dh) / r, 0, h0)
+                    m0 = np.stack(
+                        [_mask_to_original(mm, (h, w), (w0, h0), r, dw, dh) for mm in pm]
+                    )
+                    jc.jdict.extend(seg_pred_to_json(db, m0, jc.im_files[k], class_map=jc.class_map))
                 if len(d) == 0:
                     if len(gt_cls):
                         for k in ("tp", "tp_m"):
@@ -195,6 +284,8 @@ class SegmentationValidator:
                 stats["conf"].append(d[:, 4])
                 stats["pred_cls"].append(d[:, 5])
                 stats["target_cls"].append(gt_cls)
+        if jc is not None and jc.im_files:
+            jc.save()
         metrics = SegmentMetrics(names=self.names)
         if stats["tp"]:
             target_cls = np.concatenate(stats["target_cls"])
@@ -230,13 +321,17 @@ class PoseValidator:
     """Box mAP + OKS keypoint mAP (reference models/yolo/pose/val.py)."""
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 300,
-                 names: Optional[Dict[int, str]] = None):
+                 names: Optional[Dict[int, str]] = None, save_json: bool = False,
+                 save_dir=None, class_map=None):
         from bsyolo_tpu.losses.pose import OKS_SIGMA
         from bsyolo_tpu.nn.heads import decode_extras, decode_keypoints
 
         self.spec = spec
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
+        self.save_json = save_json
+        self.save_dir = save_dir
+        self.class_map = class_map
         nkpt, nd = spec.kpt_shape
         self.sigma = OKS_SIGMA if (nkpt == 17 and nd == 3) else np.ones(nkpt) / nkpt
         nc, strides = spec.nc, spec.head_strides
@@ -260,6 +355,8 @@ class PoseValidator:
         from bsyolo_tpu.utils.metrics import kpt_iou_np
 
         stats = {k: [] for k in ("tp", "tp_p", "conf", "pred_cls", "target_cls")}
+        jc = _JsonCollector(loader, self.save_dir, self.class_map) if self.save_json else None
+        n_seen = 0
         for batch in loader:
             img = jnp.asarray(batch["img"])
             dets_d, kpts_d = self._forward(variables, img)
@@ -276,6 +373,19 @@ class PoseValidator:
                 d = dets[i]
                 keep = d[:, 4] > 0
                 d, pk = d[keep], kpts[i][keep]
+                ki = n_seen
+                n_seen += 1
+                if jc is not None and jc.im_files and ki < jc.n and len(d):
+                    from bsyolo_tpu.utils.coco import pose_pred_to_json
+
+                    (w0, h0), r, dw, dh = jc.unletterbox(ki, (h, w))
+                    db = d.copy()
+                    db[:, [0, 2]] = np.clip((db[:, [0, 2]] - dw) / r, 0, w0)
+                    db[:, [1, 3]] = np.clip((db[:, [1, 3]] - dh) / r, 0, h0)
+                    k0 = pk.copy()
+                    k0[..., 0] = np.clip((k0[..., 0] - dw) / r, 0, w0)
+                    k0[..., 1] = np.clip((k0[..., 1] - dh) / r, 0, h0)
+                    jc.jdict.extend(pose_pred_to_json(db, k0, jc.im_files[ki], class_map=jc.class_map))
                 if len(d) == 0:
                     if len(gt_cls):
                         for k in ("tp", "tp_p"):
@@ -294,6 +404,8 @@ class PoseValidator:
                 stats["conf"].append(d[:, 4])
                 stats["pred_cls"].append(d[:, 5])
                 stats["target_cls"].append(gt_cls)
+        if jc is not None and jc.im_files:
+            jc.save()
         metrics = PoseMetrics(names=self.names)
         if stats["tp"]:
             target_cls = np.concatenate(stats["target_cls"])

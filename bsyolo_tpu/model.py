@@ -166,9 +166,15 @@ class YOLO:
         }.get(task, DetectionValidator)
         vkw = {}
         if kwargs.get("save_json"):
-            if validator_cls is DetectionValidator:
-                # COCO-format predictions.json (reference val.py save_json);
-                # official COCO category ids when validating a coco dataset
+            if validator_cls is OBBValidator:
+                from bsyolo_tpu.utils import LOGGER
+
+                LOGGER.warning("save_json is not defined for OBB (DOTA uses its own split format)")
+            else:
+                # COCO-format predictions.json (reference val.py save_json;
+                # segment adds self-contained RLE masks, pose adds keypoint
+                # triplets — utils/coco.py); official COCO category ids when
+                # validating a coco dataset
                 cm = None
                 if "coco" in str(data).lower() and self.spec.nc == 80:
                     from bsyolo_tpu.utils.coco import COCO80_TO_COCO91
@@ -176,13 +182,6 @@ class YOLO:
                     cm = COCO80_TO_COCO91
                 vkw = {"save_json": True, "save_dir": kwargs.get("save_dir", "runs/val"),
                        "class_map": cm}
-            else:
-                from bsyolo_tpu.utils import LOGGER
-
-                LOGGER.warning(
-                    f"save_json is supported for detection only (task={task}); "
-                    "mask/keypoint RLE serialization needs pycocotools (absent offline)"
-                )
         validator = validator_cls(self.model, self.spec, names=d.get("names"), **vkw)
         self.metrics = validator(self.variables, loader)
         return self.metrics

@@ -48,6 +48,116 @@ def pred_to_json(dets: np.ndarray, filename: str, class_map: Optional[List[int]]
     return out
 
 
+def encode_rle(mask: np.ndarray) -> Dict:
+    """Binary (H, W) mask -> COCO compressed RLE, self-contained.
+
+    Byte-identical to pycocotools.mask.encode (maskApi.c rleEncode +
+    rleToString): column-major run lengths starting with the zero run,
+    delta-coded from the 3rd count on, packed 5 bits per ASCII char
+    (offset 48, bit 0x20 = continuation). No pycocotools needed — the
+    reference's segment-val pred_to_json dependency
+    (reference models/yolo/segment/val.py) rebuilt offline.
+    """
+    h, w = mask.shape
+    pixels = np.asarray(mask, np.uint8).flatten(order="F")
+    # run-length: boundaries where the value changes
+    change = np.flatnonzero(pixels[1:] != pixels[:-1]) + 1
+    idx = np.concatenate([[0], change, [pixels.size]])
+    counts = np.diff(idx).tolist()
+    if pixels.size and pixels[0] == 1:
+        counts = [0] + counts  # counts always start with a zero-run
+    if not pixels.size:
+        counts = [0]
+    s = []
+    for i, c in enumerate(counts):
+        x = int(c)
+        if i > 2:
+            x -= int(counts[i - 2])
+        more = True
+        while more:
+            ch = x & 0x1F
+            x >>= 5  # Python >> is arithmetic, matching C signed shift
+            more = (x != -1) if (ch & 0x10) else (x != 0)
+            if more:
+                ch |= 0x20
+            s.append(chr(ch + 48))
+    return {"size": [int(h), int(w)], "counts": "".join(s)}
+
+
+def decode_rle(rle: Dict) -> np.ndarray:
+    """COCO compressed RLE -> binary (H, W) uint8 mask (maskApi.c rleFrString)."""
+    h, w = rle["size"]
+    s = rle["counts"]
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts: List[int] = []
+    p = 0
+    while p < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[p]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            p += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    vals = np.zeros(sum(counts), np.uint8)
+    pos = 0
+    v = 0
+    for c in counts:
+        vals[pos : pos + c] = v
+        pos += c
+        v = 1 - v
+    return vals.reshape((w, h)).T  # column-major
+
+
+def rle_iou(a: Dict, b: Dict) -> float:
+    """IoU of two RLE masks (decode-based; fine at test scale)."""
+    ma, mb = decode_rle(a).astype(bool), decode_rle(b).astype(bool)
+    inter = np.logical_and(ma, mb).sum()
+    union = np.logical_or(ma, mb).sum()
+    return float(inter) / float(union) if union else 0.0
+
+
+def seg_pred_to_json(
+    dets: np.ndarray,
+    masks: np.ndarray,
+    filename: str,
+    class_map: Optional[List[int]] = None,
+) -> List[Dict]:
+    """(n, 6) dets + (n, H0, W0) binary masks -> COCO segm results with
+    self-contained RLE (reference models/yolo/segment/val.py pred_to_json)."""
+    out = pred_to_json(dets, filename, class_map=class_map)
+    kept = [i for i, d in enumerate(np.asarray(dets, np.float64)) if d[4] > 0]
+    for rec, i in zip(out, kept):
+        rec["segmentation"] = encode_rle(np.asarray(masks[i]) > 0.5)
+    return out
+
+
+def pose_pred_to_json(
+    dets: np.ndarray,
+    kpts: np.ndarray,
+    filename: str,
+    class_map: Optional[List[int]] = None,
+) -> List[Dict]:
+    """(n, 6) dets + (n, K, 2|3) keypoints (original-image pixels) -> COCO
+    keypoint results (reference models/yolo/pose/val.py pred_to_json)."""
+    out = pred_to_json(dets, filename, class_map=class_map)
+    kept = [i for i, d in enumerate(np.asarray(dets, np.float64)) if d[4] > 0]
+    for rec, i in zip(out, kept):
+        k = np.asarray(kpts[i], np.float64)
+        if k.shape[-1] == 2:  # visibility defaults to 2 (labeled, visible)
+            k = np.concatenate([k, np.full((*k.shape[:-1], 1), 2.0)], axis=-1)
+        rec["keypoints"] = [round(float(v), 3) for v in k.reshape(-1)]
+    return out
+
+
 def save_predictions_json(jdict: List[Dict], path: str) -> str:
     Path(path).write_text(json.dumps(jdict))
     return str(path)
