@@ -297,18 +297,25 @@ class YOLOWorld(YOLO):
         self.txt_feats = None
 
     def set_classes(self, names: List[str], embeddings=None):
-        """Bind class names to text embeddings ((K, 512); CLIP where available)."""
+        """Bind class names to text embeddings ((K, 512)).
+
+        Without ``embeddings`` falls back to deterministic hashed n-gram
+        vectors (utils/text_embed.py) — a NON-CLIP stand-in that exercises
+        the full open-vocab path offline but carries no visual semantics;
+        pass CLIP ViT-B/32 embeddings for real quality (the reference's
+        encoder, models/yolo/world/train.py)."""
         import jax.numpy as jnp
 
         if embeddings is None:
-            try:
-                import clip  # noqa: F401
-            except ImportError as e:
-                raise ImportError(
-                    "CLIP is not available in this environment; pass precomputed "
-                    "embeddings=<(K, 512) array> to set_classes"
-                ) from e
-            raise NotImplementedError("wire your CLIP encoder output in via embeddings=")
+            from bsyolo_tpu.utils import LOGGER
+            from bsyolo_tpu.utils.text_embed import hashed_text_embeddings
+
+            LOGGER.warning(
+                "set_classes called without embeddings: using deterministic "
+                "hashed n-gram text vectors (NOT CLIP — lexical only; pass "
+                "embeddings= for semantically meaningful open-vocab detection)"
+            )
+            embeddings = hashed_text_embeddings(names)
         emb = np.asarray(embeddings, np.float32)
         if emb.ndim != 2 or emb.shape[0] != len(names):
             raise ValueError(f"embeddings must be ({len(names)}, embed); got {emb.shape}")

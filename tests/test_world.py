@@ -60,6 +60,27 @@ class TestWorldParity:
 
 
 class TestWorldFacade:
+    def test_set_classes_default_hashed_embeddings(self):
+        """set_classes without embeddings uses the bundled deterministic
+        hashed n-gram embedder (offline open-vocab demo, VERDICT r2 #10)."""
+        from bsyolo_tpu import YOLOWorld
+        from bsyolo_tpu.utils.text_embed import hashed_text_embeddings
+
+        m = YOLOWorld("yolov8-world.yaml")
+        m.set_classes(["person", "bus"])  # no embeddings kwarg
+        assert m.spec.nc == 2 and m.txt_feats.shape == (1, 2, 512)
+        # deterministic: same names -> same vectors
+        np.testing.assert_array_equal(
+            hashed_text_embeddings(["person", "bus"]), hashed_text_embeddings(["person", "bus"])
+        )
+        e = hashed_text_embeddings(["person", "personn", "zebra"])
+        np.testing.assert_allclose(np.linalg.norm(e, axis=-1), 1.0, rtol=1e-5)
+        # lexically close names are closer than unrelated ones
+        assert e[0] @ e[1] > e[0] @ e[2]
+        img = np.random.default_rng(1).integers(0, 255, (96, 128, 3), np.uint8)
+        res = m.predict(img, conf=0.0001, imgsz=96)
+        assert len(res) == 1
+
     def test_set_classes_and_predict(self):
         from bsyolo_tpu import YOLOWorld
 
