@@ -1,0 +1,166 @@
+"""Training-step benchmark: yolo11-BS train throughput on one TPU chip.
+
+Measures the REAL jitted training step (engine/train_step.py: forward +
+v8DetectionLoss with TAL assignment + backward + SGD/EMA update + BN stats),
+the reference's core product (reference engine/trainer.py:318 _do_train hot
+loop), in bf16 compute / f32 params at 640x640.
+
+Methodology: same relay-safe scan-diff protocol as bench.py — N full train
+steps inside ONE compiled lax.scan carrying the complete TrainState, with
+iteration-dependent images so nothing folds; per-step time is the slope
+between two N values. Also measures the multiprocess input pipeline
+(data/build.py fork worker pool) feeding rate on this host against the
+device step time, reporting the feed ratio (>1 means the loader can keep
+the chip busy).
+
+Prints ONE JSON line per config on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_step(scale: str, img_size: int, bs: int):
+    import jax.numpy as jnp
+
+    from bsyolo_tpu.cfg import model_yaml_path
+    from bsyolo_tpu.engine.optim import OptimConfig
+    from bsyolo_tpu.engine.train_step import StepConfig, init_train_state, make_train_step
+    from bsyolo_tpu.losses import DetectionLossConfig
+    from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+
+    d = load_model_yaml(model_yaml_path("yolo11.yaml"))
+    d["nc"] = 80
+    spec = parse_model_yaml(d, scale=scale)
+    model, variables = build_model(spec, img_size=img_size, dtype=jnp.bfloat16)
+    cfg = StepConfig(
+        loss=DetectionLossConfig(nc=spec.nc, strides=spec.head_strides),
+        optim=OptimConfig(name="SGD", lr0=0.01, epochs=100, nbs=64),
+        batch_size=bs,
+        nb=100,
+        nw=0,  # past warmup: the steady-state hot loop
+        use_adamw=False,
+        weight_decay=5e-4,
+    )
+    step_fn = make_train_step(model, cfg, jit=False)
+    state = init_train_state(variables)
+    return spec, step_fn, state
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    img_size = int(os.environ.get("BENCH_IMGSZ", 640))
+    scale = os.environ.get("BENCH_SCALE", "n")
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "16,32,64,128").split(",")]
+    M = 64  # padded gt slots per image (bsyolo-style detection batch)
+
+    # bf16 peak for v5e ~197 TFLOP/s; train FLOPs ~= 3x forward (fwd + 2x bwd);
+    # per-image forward GFLOPs are published @640 and scale with pixel count
+    GFLOPS_FWD = {"n": 6.5, "s": 21.5, "m": 68.0}.get(scale, 6.5) * (img_size / 640.0) ** 2
+    PEAK_TFLOPS = 197.0
+
+    results = []
+    for bs in batches:
+        spec, step_fn, state = build_step(scale, img_size, bs)
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (bs, img_size, img_size, 3)).astype(np.float32))
+        n_gt = 8
+        batch = {
+            "img": img,
+            "cls": jnp.asarray(rng.integers(0, 80, (bs, M)).astype(np.int32)),
+            "bboxes": jnp.asarray(
+                np.concatenate(
+                    [rng.uniform(0.3, 0.7, (bs, M, 2)), rng.uniform(0.05, 0.25, (bs, M, 2))], -1
+                ).astype(np.float32)
+            ),
+            "mask": jnp.asarray((np.arange(M)[None] < n_gt).astype(np.float32).repeat(bs, 0)),
+        }
+
+        @partial(jax.jit, static_argnames=("n",))
+        def train_loop(state, batch, n):
+            def body(carry, i):
+                st, acc = carry
+                b = dict(batch)
+                b["img"] = batch["img"] + (i * 1e-6).astype(batch["img"].dtype)
+                st, m = step_fn(st, b)
+                return (st, acc + m["loss"]), None
+
+            (st, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(n, dtype=jnp.float32))
+            return acc
+
+        def timed(n):
+            float(train_loop(state, batch, n))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(train_loop(state, batch, n))
+                best = min(best, time.perf_counter() - t0)
+            print(f"# train scan bs={bs} n={n}: {best*1000:.1f} ms", file=sys.stderr)
+            return best
+
+        n1, n2 = 2, 10
+        per_step = (timed(n2) - timed(n1)) / (n2 - n1)
+        ips = bs / per_step
+        tflops = ips * GFLOPS_FWD * 3 / 1000.0
+        results.append(
+            {
+                "metric": f"yolo11{scale}-BS train step @{img_size} "
+                f"(fwd+loss+bwd+SGD+EMA, bf16/f32, batch={bs}, scan-diff)",
+                "value": round(ips, 1),
+                "unit": "images/sec/chip",
+                "step_time_ms": round(per_step * 1000, 2),
+                "train_tflops": round(tflops, 1),
+                "train_mfu_pct": round(100 * tflops / PEAK_TFLOPS, 1),
+            }
+        )
+        print(json.dumps(results[-1]))
+
+    # input-pipeline feed check: the fork worker pool on THIS host vs the
+    # fastest device step above (reference concern: trainer.py dataloader
+    # keeping the accelerator busy)
+    try:
+        ips_loader = loader_throughput(img_size)
+        best = max(r["value"] for r in results)
+        print(
+            json.dumps(
+                {
+                    "metric": f"train input pipeline feed rate @{img_size} (host fork workers)",
+                    "value": round(ips_loader, 1),
+                    "unit": "images/sec",
+                    "feed_ratio_vs_best_device_step": round(ips_loader / best, 2),
+                }
+            )
+        )
+    except Exception as e:  # loader bench is best-effort on stripped CI hosts
+        print(f"# loader bench skipped: {e}", file=sys.stderr)
+
+
+def loader_throughput(img_size: int, n_images: int = 64, workers: int = 4) -> float:
+    """img/s of the real train loader (mosaic+affine+HSV pipeline) on this host."""
+    from bsyolo_tpu.data import DataLoader, YOLODataset
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "bsyolo8")
+    ds = YOLODataset(os.path.join(root, "images", "train"), imgsz=img_size, augment=True, max_gt=64)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, workers=workers, seed=0)
+    for _ in loader:  # warm epoch (worker pool spin-up, label cache)
+        pass
+    t0 = time.perf_counter()
+    seen = 0
+    while seen < n_images:
+        loader.epoch += 1
+        for b in loader:
+            seen += b["img"].shape[0]
+    return seen / (time.perf_counter() - t0)
+
+
+if __name__ == "__main__":
+    main()

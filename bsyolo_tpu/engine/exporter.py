@@ -3,8 +3,12 @@
 The reference fans out to 14 runtime formats from torch; the TPU-native
 equivalents are the XLA-ecosystem ones:
 
-- stablehlo: serialized StableHLO via jax.export — the portable artifact
-  (loadable from C++ via PjRt, the N3-N8 client analog)
+- stablehlo: serialized StableHLO via jax.export — the portable artifact.
+  (A PjRt-C-API C++ loader would be the natural consumer, but this image
+  ships no PJRT plugin .so exporting GetPjrtApi — the TPU is reached via a
+  Python-level proxy — so it is not executable from C++ here. The working
+  native-client path is saved_model + the TF C API: examples/cpp_client
+  executes it end to end, the N3-N8 analog.)
 - params: raw weights checkpoint (.ckpt)
 - saved_model / tflite: via jax2tf when tensorflow is present (gated)
 

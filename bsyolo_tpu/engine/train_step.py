@@ -71,8 +71,13 @@ def init_train_state(variables) -> TrainState:
     )
 
 
-def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_names=None) -> Callable:
+def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_names=None,
+                    jit: bool = True) -> Callable:
     """Build the jitted (state, batch) -> (state, metrics) function.
+
+    ``jit=False`` returns the raw traceable step for callers that embed it
+    in a larger compiled program (bench_train.py wraps N steps in one
+    lax.scan for relay-safe scan-diff timing).
 
     batch: dict(img (B,H,W,3) f32 in [0,1], cls (B,M) i32,
                 bboxes (B,M,4) normalized xywh, mask (B,M) f32)
@@ -186,4 +191,4 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
         }
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
