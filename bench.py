@@ -44,12 +44,31 @@ def main():
     img_size = int(os.environ.get("BENCH_IMGSZ", 640))
     scale = os.environ.get("BENCH_SCALE", "n")
     bs = int(os.environ.get("BENCH_BATCH", 128))
+    # BENCH_INT8: "" (off) | "1"/"dynamic" (in-graph per-tensor scales) |
+    # "static" (max-calibration pass first; scales become trace constants)
+    int8_mode = {"1": "dynamic"}.get(os.environ.get("BENCH_INT8", ""), os.environ.get("BENCH_INT8", ""))
 
-    d = load_model_yaml(model_yaml_path("yolo11.yaml"))
+    model_yaml = os.environ.get("BENCH_MODEL", "yolo11.yaml")  # e.g. yolo11-tpu.yaml
+    d = load_model_yaml(model_yaml_path(model_yaml))
     d["nc"] = 80
     spec = parse_model_yaml(d, scale=scale)
     model, variables = build_model(spec, img_size=img_size, dtype=jnp.bfloat16)
     variables = cast_inference_params(variables)
+
+    if int8_mode:
+        from bsyolo_tpu.nn.modules import set_int8_inference
+
+        scales = None
+        if int8_mode == "static":
+            from bsyolo_tpu.nn.quant import calibrate_int8
+
+            crng = np.random.default_rng(7)
+            scales = calibrate_int8(
+                model, variables,
+                [crng.uniform(0, 1, (2, img_size, img_size, 3)).astype(np.float32) for _ in range(2)],
+            )
+            print(f"# calibrated {len(scales)} convs", file=sys.stderr)
+        set_int8_inference(True, scales=scales)
 
     use_pallas = os.environ.get("BENCH_PALLAS")  # None=auto, "0"/"1" to force
 
@@ -103,8 +122,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"yolo11{scale}-BS e2e inference throughput @{img_size} "
-                f"(fwd+XLA-fused decode+NMS, bf16, batch={bs}, scan-diff timing)",
+                "metric": f"{model_yaml.removesuffix('.yaml').replace('yolo11', 'yolo11' + scale)}-BS "
+                f"e2e inference throughput @{img_size} "
+                f"(fwd+XLA-fused decode+NMS, {int8_mode + '-int8' if int8_mode else 'bf16'}, "
+                f"batch={bs}, scan-diff timing)",
                 "value": round(ips, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / baseline_ips, 3),

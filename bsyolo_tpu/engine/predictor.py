@@ -288,16 +288,31 @@ class DetectionPredictor:
             raise err[0]
 
     def stream(self, source, vid_stride: int = 1, verbose: bool = False) -> Iterator[Results]:
-        """Batched streaming inference (reference stream_inference:220)."""
-        for frames, paths, x, t_pre in self._batched_inputs(source, vid_stride):
-            n = len(frames)
-            pre_ms = t_pre * 1000 / n
-            t1 = time.perf_counter()
-            outs = self._forward(self.variables, x)
-            outs = jax.tree_util.tree_map(np.asarray, outs)  # one D2H per batch
-            inf_ms = (time.perf_counter() - t1) * 1000 / n
-            for i in range(n):
+        """Batched streaming inference (reference stream_inference:220).
+
+        Double-buffered: batch k+1 is dispatched (async, device-side) before
+        batch k's outputs are fetched, so the device->host copy (and any
+        transport RTT) overlaps the next batch's compute instead of
+        serializing with it. jax dispatch is asynchronous, so `_forward`
+        returns immediately; only the np.asarray fetch blocks.
+        """
+        pending = None  # (device outs, frames, paths, pre_ms, t_dispatch)
+
+        def drain():
+            outs_dev, frames, paths, pre_ms, t1 = pending
+            outs = jax.tree_util.tree_map(np.asarray, outs_dev)  # one D2H per batch
+            inf_ms = (time.perf_counter() - t1) * 1000 / len(frames)
+            for i in range(len(frames)):
                 yield self._emit(outs, i, frames[i], paths[i], pre_ms, inf_ms, verbose)
+
+        for frames, paths, x, t_pre in self._batched_inputs(source, vid_stride):
+            t1 = time.perf_counter()
+            outs_dev = self._forward(self.variables, x)  # async dispatch
+            if pending is not None:
+                yield from drain()
+            pending = (outs_dev, frames, paths, t_pre * 1000 / len(frames), t1)
+        if pending is not None:
+            yield from drain()
 
     def _emit(self, outs, i, frame, path, pre_ms, inf_ms, verbose) -> Results:
         """Host-side per-frame postprocess of batch outputs."""

@@ -230,6 +230,9 @@ class DetectionGraph(nn.Module):
                 prev = jnp.concatenate(xs, axis=-1)
             elif m == "Upsample":
                 prev = M.upsample2x_nearest(prev)
+            elif m == "SpaceToDepth":
+                src = saved[layer.f[0]] if layer.f[0] != -1 else prev
+                prev = M.space_to_depth(src, layer.args[0] if layer.args else 2)
             elif m == "MaxPool2d":
                 src = saved[layer.f[0]] if layer.f[0] != -1 else prev
                 a = layer.args

@@ -62,6 +62,104 @@ def default_act():
     return _DEFAULT_ACT["name"]
 
 
+# Trace-time int8-inference switch (docs/performance.md lever: the v5e MXU
+# runs int8 at ~2x bf16 peak, measured 355 vs 172 TFLOP/s on a saturating
+# conv). When enabled, ConvBN performs the convolution as an int8 matmul —
+# int8 x int8 -> int32 on the MXU, dequantized into the same BN + act tail.
+# Two activation-scale modes:
+#   dynamic — per-tensor scale computed in-graph from the live values (a
+#             full abs-max reduction per conv: correct anywhere, but the
+#             reduction + unfused quant pass makes it SLOWER end-to-end;
+#             kept as the measured negative + calibration-free fallback);
+#   static  — scale is a trace-time constant from a calibration pass
+#             (nn/quant.py:calibrate_int8), so XLA fuses the round/clip/
+#             cast into the previous layer's epilogue and the conv reads
+#             int8 from HBM (half the bytes of bf16).
+# Weight scales are per-out-channel from the live f32/bf16 params in both
+# modes — no separate checkpoint; composes with every converted model.
+_QUANT = {"int8": False, "scales": None, "calibrate": False}
+
+
+def set_int8_inference(enabled: bool, scales: dict = None):
+    """Enable/disable int8 conv inference graph-wide (trace-time).
+
+    ``scales``: optional {module_path: activation_absmax} from
+    ``nn.quant.calibrate_int8`` — supplies static per-conv activation
+    scales; convs missing from the dict fall back to dynamic scaling.
+
+    The switch is read at TRACE time: functions already traced/compiled
+    (jax.jit caches per function object + avals) keep the path they were
+    traced with. Flip the switch BEFORE the first jitted call, or jit a
+    fresh function afterwards — re-calling `jax.jit(same_fn)` silently
+    reuses the old trace.
+    """
+    _QUANT["int8"] = bool(enabled)
+    _QUANT["scales"] = dict(scales) if scales else None
+
+
+def int8_inference() -> bool:
+    return _QUANT["int8"]
+
+
+def set_int8_calibration(enabled: bool):
+    """During calibration, convs run float and sow their input abs-max
+    into the "intermediates" collection (harvested by calibrate_int8)."""
+    _QUANT["calibrate"] = bool(enabled)
+
+
+class _RawConv(nn.Module):
+    """Bias-free conv executing either the standard dtype path (identical
+    math to flax nn.Conv) or the dynamic-int8 MXU path. Lives under the
+    name "conv" inside ConvBN so parameter paths (m{i}/conv/kernel, HWIO)
+    stay converter- and checkpoint-compatible."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Any
+    feature_group_count: int = 1
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, int8: bool = False) -> Array:
+        c1 = x.shape[-1]
+        kshape = (*self.kernel_size, c1 // self.feature_group_count, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape, jnp.float32)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kshape, ("NHWC", "HWIO", "NHWC"))
+        if _QUANT["calibrate"] and self.feature_group_count == 1:
+            int8 = False
+            self.sow("intermediates", "act_absmax", jnp.max(jnp.abs(x.astype(jnp.float32))))
+        if int8 and self.feature_group_count == 1:
+            # int8 x int8 -> int32 on the MXU (v5e: ~2x bf16 peak), per-out-
+            # channel weight scale, dequantized straight into the BN tail.
+            # Depthwise/groups stay bf16 (VPU-bound; int8 wins nothing there).
+            xf = x.astype(jnp.float32)
+            kf = kernel.astype(jnp.float32)
+            amax = None
+            if _QUANT["scales"] is not None:
+                amax = _QUANT["scales"].get("/".join(self.scope.path))
+            if amax is not None:  # static: scale is a compile-time constant
+                sx = jnp.float32(max(float(amax), 1e-8) / 127.0)
+            else:  # dynamic: live per-tensor abs-max reduction
+                sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
+            wq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, window_strides=self.strides, padding=self.padding,
+                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                feature_group_count=1, preferred_element_type=jnp.int32,
+            )
+            return (y.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.strides, padding=self.padding,
+            rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+            feature_group_count=self.feature_group_count,
+        )
+
+
 class ConvBN(nn.Module):
     """Conv2d + BatchNorm + act (reference Conv, conv.py:133). ``act=True``
     uses the graph default (SiLU unless the YAML overrides `activation:`)."""
@@ -78,17 +176,16 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         pad = autopad(self.k, self.p, self.d)
-        x = nn.Conv(
+        x = _RawConv(
             features=self.c2,
             kernel_size=(self.k, self.k),
             strides=(self.s, self.s),
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=self.g,
             kernel_dilation=(self.d, self.d),
-            use_bias=False,
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )(x, int8=_QUANT["int8"] and not train)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -653,6 +750,21 @@ def upsample2x_nearest(x: Array) -> Array:
     B, H, W, C = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
     return x.reshape(B, H * 2, W * 2, C)
+
+
+def space_to_depth(x: Array, block: int) -> Array:
+    """Lossless (B,H,W,C) -> (B,H/b,W/b,b*b*C) pixel unshuffle.
+
+    The `-tpu` stem (cfg/models/11/yolo11-tpu.yaml): the standard stem conv
+    contracts over K = 3x3x3 = 27 of the MXU's 128 contraction lanes (~2.6%
+    fill, docs/performance.md). Re-laying the 640x640x3 image as 160x160x48
+    before the first conv lifts its contraction to 3x3x48 = 432 lanes (full)
+    at identical information content and FLOPs-per-pixel. Channel-last order
+    matches jnp.reshape row-major: out channel = (dy, dx, c)."""
+    B, H, W, C = x.shape
+    b = block
+    x = x.reshape(B, H // b, b, W // b, b, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // b, W // b, b * b * C)
 
 
 def dfl_decode(dist_logits: Array, reg_max: int = 16) -> Array:

@@ -269,6 +269,12 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
         elif m == "Concat":
             c2 = sum(channels[x] if x != -1 else channels[-1] for x in fl)
             out_stride = strides[fl[0]] if fl[0] != -1 else strides[-1]
+        elif m == "SpaceToDepth":
+            # lossless pixel-unshuffle: (H,W,C) -> (H/b, W/b, b*b*C); the
+            # MXU-fill stem of the -tpu model variants (docs/performance.md)
+            b = args[0] if args else 2
+            c2 = c1 * b * b
+            out_stride = in_stride * b
         elif m == "MaxPool2d":
             # torch nn.MaxPool2d(k, s, p) used as a graph layer (yolov3-tiny)
             c2 = c1
