@@ -28,7 +28,8 @@ class AutoBackend:
         p = Path(self.path)
         self.kind = (
             "saved_model" if p.is_dir() and (p / "saved_model.pb").exists()
-            else "stablehlo" if p.suffix == ".stablehlo"
+            else "stablehlo" if p.suffix in (".stablehlo", ".stablehlo-int8")
+            or p.name.endswith(".stablehlo-int8")
             else "tflite" if p.suffix == ".tflite"
             else "ckpt" if p.suffix == ".ckpt"
             else "yaml" if p.suffix in (".yaml", ".yml")

@@ -56,6 +56,43 @@ def export_model(
     name = Path(yolo.model_path).stem
     out = Path(output or f"{name}.{format}")
 
+    if format == "stablehlo-int8":
+        # the on-device int8 path (nn/modules._RawConv) baked into a portable
+        # artifact: calibrate activation scales on a short random sweep (or
+        # the caller can pre-set scales via set_int8_inference), then trace
+        # the SAME predict fn with the int8 mode on — quantize/dequantize and
+        # the int8 convs become part of the serialized StableHLO.
+        import numpy as _np
+
+        from bsyolo_tpu.nn.modules import int8_inference, set_int8_inference
+        from bsyolo_tpu.nn.quant import calibrate_int8
+
+        preset = int8_inference()
+        if not preset:
+            rng = _np.random.default_rng(0)
+            scales = calibrate_int8(
+                model, variables,
+                [rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(_np.float32) for _ in range(4)],
+            )
+            set_int8_inference(True, scales=scales)
+        try:
+            exported = jexport.export(jax.jit(predict))(x_spec)
+        finally:
+            if not preset:
+                set_int8_inference(False)
+        out = Path(output or f"{name}.stablehlo-int8")
+        blob = exported.serialize()
+        out.write_bytes(blob)
+        meta = {
+            "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
+            "nms": nms, "quant": "int8 convs, per-out-channel weight + static activation scales",
+            "input": "NHWC float32 [0,1] RGB",
+            "output": "(B, anchors, 4+nc) xywh+scores" if not nms else "(B, 300, 6) xyxy conf cls",
+        }
+        Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
+        LOGGER.info(f"exported int8 StableHLO to {out} ({len(blob)} bytes)")
+        return str(out)
+
     if format == "stablehlo":
         exported = jexport.export(jax.jit(predict))(x_spec)
         blob = exported.serialize()
@@ -128,7 +165,7 @@ def export_model(
 
     raise ValueError(
         f"unsupported export format: {format} "
-        "(available: stablehlo, params, saved_model, tflite, tflite-fp16, tflite-int8)"
+        "(available: stablehlo, stablehlo-int8, params, saved_model, tflite, tflite-fp16, tflite-int8)"
     )
 
 

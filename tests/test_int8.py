@@ -128,6 +128,26 @@ class TestModelInt8:
         assert txt0.count("xi8") == 0, "int8 leaked into the default path"
 
 
+class TestInt8Export:
+    def test_stablehlo_int8_roundtrip(self, tmp_path, rng):
+        """`export(format="stablehlo-int8")` bakes the calibrated int8 graph
+        into a portable artifact; AutoBackend reloads it and its output
+        matches a fresh in-process int8 trace (same calibration seed) and
+        stays near the float export."""
+        from bsyolo_tpu import YOLO
+        from bsyolo_tpu.engine.backend import AutoBackend
+
+        m = YOLO("tests/fixtures/tiny.yaml")
+        x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        p_f = m.export(format="stablehlo", imgsz=64, output=str(tmp_path / "t.stablehlo"))
+        p_8 = m.export(format="stablehlo-int8", imgsz=64, output=str(tmp_path / "t.stablehlo-int8"))
+        assert not M.int8_inference()  # export restores the global mode
+        y_f = np.asarray(AutoBackend(p_f)(x))
+        y_8 = np.asarray(AutoBackend(p_8)(x))
+        rel = float(np.max(np.abs(y_f - y_8)) / (np.max(np.abs(y_f)) + 1e-9))
+        assert 0 < rel < 0.1, rel  # quantized but bounded vs float
+
+
 @pytest.mark.slow
 class TestInt8Accuracy:
     def test_trained_tiny_model_keeps_map(self, tmp_path):

@@ -73,12 +73,12 @@ class TestTPUStemGraph:
         pytest.importorskip("PIL")
         from bsyolo_tpu.engine.trainer import DetectionTrainer
 
-        if not Path("tests/fixtures/bsyolo8/data.yaml").exists():
+        if not Path("tests/fixtures/bsyolo8/bsyolo8.yaml").exists():
             pytest.skip("bsyolo8 fixture absent")
         trainer = DetectionTrainer(
             overrides={
                 "model": "bsyolo_tpu/cfg/models/11/yolo11n-tpu.yaml",
-                "data": "tests/fixtures/bsyolo8/data.yaml", "epochs": 200,
+                "data": "tests/fixtures/bsyolo8/bsyolo8.yaml", "epochs": 200,
                 "batch": 8, "imgsz": 192, "optimizer": "SGD", "lr0": 0.03,
                 "warmup_epochs": 3.0, "close_mosaic": 150, "project": str(tmp_path),
                 "name": "tpu-stem", "max_gt": 16, "amp": False, "patience": 100,
