@@ -1,8 +1,10 @@
 """Benchmark: yolo11n-BS end-to-end inference on one TPU chip.
 
-Measures the full compiled predict path (forward + fused Pallas DFL decode +
-logit-domain NMS, kernels/postprocess.py) at 640x640 in bf16, at the
-throughput batch size and at batch 1 (p50 latency).
+Measures the full compiled predict path (forward + XLA-fused DFL decode +
+logit-domain NMS, kernels/postprocess.py; a Pallas decode kernel exists
+behind BENCH_PALLAS=1 but measured slower, so XLA fusion is the default)
+at 640x640 in bf16, at the throughput batch size and at batch 1 (p50
+latency).
 
 Methodology: the TPU here is reached through a relay where per-dispatch RTT
 is ~30-60 ms and `block_until_ready` does NOT reliably synchronize, so naive

@@ -128,15 +128,20 @@ def main():
     # fastest device step above (reference concern: trainer.py dataloader
     # keeping the accelerator busy)
     try:
+        cores = len(os.sched_getaffinity(0))
         ips_loader = loader_throughput(img_size)
         best = max(r["value"] for r in results)
+        per_core = ips_loader / max(cores, 1)
         print(
             json.dumps(
                 {
-                    "metric": f"train input pipeline feed rate @{img_size} (host fork workers)",
+                    "metric": f"train input pipeline feed rate @{img_size} "
+                    f"(host fork workers, {cores}-core host)",
                     "value": round(ips_loader, 1),
                     "unit": "images/sec",
+                    "per_core": round(per_core, 1),
                     "feed_ratio_vs_best_device_step": round(ips_loader / best, 2),
+                    "cores_to_saturate_device": round(best / per_core, 1),
                 }
             )
         )

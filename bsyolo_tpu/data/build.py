@@ -18,6 +18,7 @@ while the device runs the previous step. Three feeding modes:
 from __future__ import annotations
 
 import multiprocessing
+import os
 import queue
 import threading
 from typing import Dict, Iterator, Optional, Tuple
@@ -35,9 +36,12 @@ def _worker_init(loader):
 
 
 def _worker_assemble(args):
-    bi, idxs = args
+    # epoch/mosaic ride along with each job: the pool persists across epochs
+    # (fork cost is paid once, not per epoch), so worker-side loader state
+    # would otherwise be frozen at fork time.
+    bi, idxs, epoch, mosaic = args
     ld = _WORKER_LOADER
-    return ld._assemble(idxs, np.random.default_rng([ld.seed, ld.epoch, bi]))
+    return ld._assemble(idxs, np.random.default_rng([ld.seed, epoch, bi]), mosaic=mosaic)
 
 
 class DataLoader:
@@ -60,9 +64,41 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.mosaic = mosaic
-        self.workers = workers
+        # clamp to usable cores (reference build.py:117 nw = min(cpu//nd,
+        # workers)): oversubscribed fork workers on a small host collapse
+        # throughput (measured 25 -> 1.5 img/s going 1 -> 4 workers on 1 core)
+        try:
+            usable = len(os.sched_getaffinity(0))
+        except AttributeError:  # non-Linux
+            usable = os.cpu_count() or 1
+        # on a 1-core host a worker process adds only IPC cost over the
+        # in-process prefetch thread (measured 25 vs 43 img/s) -> workers=0
+        self.workers = min(workers, usable if usable > 1 else 0) if workers > 0 else workers
         self.shard = shard
         self.epoch = 0
+        self._pool = None
+
+    def _get_pool(self):
+        """Persistent fork pool, created on first use and reused across
+        epochs — forking the (JAX-loaded, multi-GB) parent per epoch costs
+        more than assembling a small epoch's batches."""
+        if self._pool is None:
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ctx.Pool(self.workers, initializer=_worker_init, initargs=(self,))
+        return self._pool
+
+    def close(self):
+        """Tear down the worker pool (idempotent)."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _epoch_order(self) -> np.ndarray:
         n = len(self.dataset)
@@ -88,8 +124,9 @@ class DataLoader:
         """Disable mosaic for the final epochs (reference trainer.py:750)."""
         self.mosaic = False
 
-    def _assemble(self, idxs, rng) -> Dict[str, np.ndarray]:
-        samples = [self.dataset.get_sample(int(i), rng, mosaic=self.mosaic) for i in idxs]
+    def _assemble(self, idxs, rng, mosaic: Optional[bool] = None) -> Dict[str, np.ndarray]:
+        mosaic = self.mosaic if mosaic is None else mosaic
+        samples = [self.dataset.get_sample(int(i), rng, mosaic=mosaic) for i in idxs]
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
     def _batches(self) -> list:
@@ -109,27 +146,22 @@ class DataLoader:
         batches = self._batches()
 
         if self.workers > 0:
-            ctx = multiprocessing.get_context("fork")
-            pool = ctx.Pool(self.workers, initializer=_worker_init, initargs=(self,))
-            try:
-                # bounded in-flight window (2x workers) so assembled batches
-                # never pile up in the parent when the device step is slower
-                # than the assemblers (imap has no output backpressure: a
-                # ~75 MB batch x hundreds queued = host OOM)
-                window = self.workers * 2
-                pending = []
-                items = list(enumerate(batches))
-                for job in items[:window]:
-                    pending.append(pool.apply_async(_worker_assemble, (job,)))
-                next_submit = window
-                while pending:
-                    yield pending.pop(0).get()
-                    if next_submit < len(items):
-                        pending.append(pool.apply_async(_worker_assemble, (items[next_submit],)))
-                        next_submit += 1
-            finally:
-                pool.terminate()
-                pool.join()
+            pool = self._get_pool()
+            # bounded in-flight window (2x workers) so assembled batches
+            # never pile up in the parent when the device step is slower
+            # than the assemblers (imap has no output backpressure: a
+            # ~75 MB batch x hundreds queued = host OOM)
+            window = self.workers * 2
+            pending = []
+            items = [(bi, idxs, self.epoch, self.mosaic) for bi, idxs in enumerate(batches)]
+            for job in items[:window]:
+                pending.append(pool.apply_async(_worker_assemble, (job,)))
+            next_submit = window
+            while pending:
+                yield pending.pop(0).get()
+                if next_submit < len(items):
+                    pending.append(pool.apply_async(_worker_assemble, (items[next_submit],)))
+                    next_submit += 1
             return
 
         if self.prefetch <= 0:

@@ -65,6 +65,7 @@ class YOLODataset:
         task: str = "detect",
         mask_ratio: int = 4,
         flip_idx: Optional[List[int]] = None,
+        cache: object = False,
     ):
         self.task = task
         self.mask_ratio = mask_ratio
@@ -86,6 +87,16 @@ class YOLODataset:
         if not self._load_cache():
             self.labels = [self._load_label(i) for i in range(len(self.img_files))]
             self._save_cache()
+        # decoded-image cache (reference base.py cache_images, cache: ram|disk).
+        # "ram": eager preload of the pre-resized images — done at init so
+        # fork workers inherit the pages copy-on-write (shared, zero-copy).
+        # "disk": .npy sibling per image, decoded+resized once, mmap-read after.
+        if cache is True:
+            cache = "ram"
+        self._cache_mode = cache if cache in ("ram", "disk") else None
+        self._ims: Optional[List[np.ndarray]] = None
+        if self._cache_mode == "ram":
+            self._ims = [self._read_image(i) for i in range(len(self.img_files))]
 
     # --- label cache (reference data/base.py *.cache semantics) -------------
     def _cache_path(self) -> Path:
@@ -223,6 +234,21 @@ class YOLODataset:
         return len(self.img_files)
 
     def load_image(self, i: int) -> np.ndarray:
+        if self._ims is not None:
+            return self._ims[i].copy()  # downstream transforms may write in place
+        if self._cache_mode == "disk":
+            npy = Path(self.img_files[i]).with_suffix(".npy")
+            if npy.exists():
+                return np.load(npy)
+            im = self._read_image(i)
+            try:
+                np.save(npy, im)
+            except OSError:  # read-only dataset dir: fall back to plain reads
+                pass
+            return im
+        return self._read_image(i)
+
+    def _read_image(self, i: int) -> np.ndarray:
         im = cv2.imread(self.img_files[i])  # BGR
         if im is None:
             raise FileNotFoundError(self.img_files[i])

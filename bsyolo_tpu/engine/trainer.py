@@ -60,6 +60,38 @@ def save_checkpoint(path: Path, state: TrainState, meta: Dict, full: bool = Fals
         f.write(blob)
 
 
+def strip_optimizer(path: Path, prefer_ema: bool = True) -> float:
+    """Shrink a finished checkpoint for deployment (reference
+    torch_utils.py:540 strip_optimizer): drop the embedded full TrainState
+    (optimizer slots, grad accumulators) and, like the reference's
+    ``model = ema``, promote the EMA weights to the canonical params.
+
+    Returns the on-disk size reduction in MB. Idempotent; no-op on files
+    that were saved without ``full=True``. Unlike the reference this is NOT
+    run automatically at train end: this trainer supports resuming a
+    completed run to more epochs (the reference refuses), which needs the
+    optimizer slots in last.ckpt. Call it when a run is truly final.
+    """
+    import json
+
+    from flax import serialization
+
+    path = Path(path)
+    before = path.stat().st_size
+    payload, meta = load_checkpoint(path)
+    payload.pop("train_state", None)
+    if prefer_ema and payload.get("ema_params") is not None:
+        payload["params"] = payload["ema_params"]
+    meta["stripped"] = True
+    blob = serialization.to_bytes(payload)
+    header = json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(blob)
+    return (before - path.stat().st_size) / 1e6
+
+
 def load_checkpoint(path, template=None):
     """Returns (payload, meta). With a template pytree, restores typed arrays."""
     import json
@@ -128,6 +160,7 @@ class DetectionTrainer:
             task=task,
             mask_ratio=args.mask_ratio,
             flip_idx=data.get("flip_idx"),
+            cache=getattr(args, "cache", False),
         )
         val_ds = YOLODataset(
             data["val"], imgsz=args.imgsz, augment=False, max_gt=args.max_gt,

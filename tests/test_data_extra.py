@@ -278,3 +278,44 @@ class TestValidatorSaveJson:
             x, y, w, bh = r["bbox"]
             assert 0 <= x <= 128 and 0 <= y <= 96
             assert x + w <= 128 + 1e-6 and y + bh <= 96 + 1e-6
+
+
+class TestImageCache:
+    """cache: ram|disk decoded-image cache (reference base.py cache_images)."""
+
+    def test_ram_and_disk_match_plain(self, tmp_path):
+        import shutil
+
+        cv2 = pytest.importorskip("cv2")  # noqa: F841
+        from bsyolo_tpu.data import YOLODataset
+
+        src = Path("tests/fixtures/bsyolo8")
+        if not src.exists():
+            pytest.skip("bsyolo8 fixture absent")
+        shutil.copytree(src, tmp_path / "d")
+        root = str(tmp_path / "d" / "images" / "train")
+        plain = YOLODataset(root, imgsz=320, augment=True, max_gt=32)
+        ram = YOLODataset(root, imgsz=320, augment=True, max_gt=32, cache="ram")
+        disk = YOLODataset(root, imgsz=320, augment=True, max_gt=32, cache="disk")
+        for i in range(len(plain.img_files)):
+            a = plain.get_sample(i, np.random.default_rng(i))
+            b = ram.get_sample(i, np.random.default_rng(i))
+            c = disk.get_sample(i, np.random.default_rng(i))
+            for k in a:
+                assert np.array_equal(a[k], b[k]), ("ram", i, k)
+                assert np.array_equal(a[k], c[k]), ("disk", i, k)
+        # disk cache materialized .npy siblings and re-reads them
+        assert list(Path(root).glob("*.npy"))
+        d2 = plain.get_sample(0, np.random.default_rng(0))
+        e2 = disk.get_sample(0, np.random.default_rng(0))
+        for k in d2:
+            assert np.array_equal(d2[k], e2[k])
+
+    def test_cache_true_means_ram(self, tmp_path):
+        from bsyolo_tpu.data import YOLODataset
+
+        src = Path("tests/fixtures/bsyolo8")
+        if not src.exists():
+            pytest.skip("bsyolo8 fixture absent")
+        ds = YOLODataset(str(src / "images" / "train"), imgsz=160, augment=False, cache=True)
+        assert ds._ims is not None and len(ds._ims) == len(ds.img_files)

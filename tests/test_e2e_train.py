@@ -429,3 +429,38 @@ def test_pose_flip_idx(tmp_path):
     )
     k2 = ds2.get_sample(0, np.random.default_rng(1))["keypoints"][0]
     assert abs(k2[0, 0] - 0.50) < 0.02 and abs(k2[1, 0] - 0.70) < 0.02, k2
+
+
+def test_strip_optimizer(tmp_path):
+    """strip_optimizer drops the embedded TrainState and promotes EMA
+    (reference torch_utils.py:540); stripped files still load and resume
+    degrades to weights-only."""
+    import jax
+    import jax.numpy as jnp
+
+    from bsyolo_tpu.engine.train_step import init_train_state
+    from bsyolo_tpu.engine.trainer import load_checkpoint, save_checkpoint, strip_optimizer
+
+    params = {"m0": {"conv": {"kernel": jnp.ones((3, 3, 4, 8), jnp.float32)}}}
+    stats = {"m0": {"bn": {"mean": jnp.zeros((8,)), "var": jnp.ones((8,))}}}
+    state = init_train_state({"params": params, "batch_stats": stats})
+    state = state.replace(ema_params=jax.tree_util.tree_map(lambda t: t * 2.0, state.params))
+
+    p = tmp_path / "last.ckpt"
+    save_checkpoint(p, state, {"epoch": 7}, full=True)
+    full_size = p.stat().st_size
+
+    saved = strip_optimizer(p)
+    assert saved > 0 and p.stat().st_size < full_size
+    payload, meta = load_checkpoint(p)
+    assert "train_state" not in payload and meta["stripped"] is True
+    assert meta["epoch"] == 7
+    # EMA promoted to canonical params
+    np.testing.assert_allclose(
+        payload["params"]["m0"]["conv"]["kernel"], payload["ema_params"]["m0"]["conv"]["kernel"]
+    )
+    assert float(np.asarray(payload["params"]["m0"]["conv"]["kernel"]).mean()) == 2.0
+    # idempotent
+    size2 = p.stat().st_size
+    strip_optimizer(p)
+    assert p.stat().st_size == size2
