@@ -115,15 +115,12 @@ class TestTaskGraphs:
         ],
     )
     def test_param_parity(self, name, scale):
-        import torch
-
         from ref_torch_model import build_ref_model
-        from bsyolo_tpu.nn.model import build_model, count_params
+        from test_zoo_all import shape_param_count
 
         path = f"bsyolo_tpu/cfg/models/11/{name}"
         ref, spec = build_ref_model(path, scale=scale)
-        model, variables = build_model(spec, img_size=64)
-        got = count_params(variables["params"])
+        got = shape_param_count(spec)  # eval_shape: no compile (cold-host budget)
         want = ref.num_params()
         # reference counts include the fixed 16-entry DFL conv (absent for cls)
         dfl = 0 if spec.task == "classify" else 16
@@ -173,12 +170,11 @@ class TestModelZooFamilies:
     )
     def test_param_parity(self, name, scale):
         from ref_torch_model import build_ref_model
-        from bsyolo_tpu.nn.model import build_model, count_params
+        from test_zoo_all import shape_param_count
 
         path = f"bsyolo_tpu/cfg/models/{name}"
         ref, spec = build_ref_model(path, scale=scale)
-        model, variables = build_model(spec, img_size=64)
-        got = count_params(variables["params"])
+        got = shape_param_count(spec)  # eval_shape: no compile (cold-host budget)
         want = ref.num_params()
         assert got == want - 16, f"{name}: {got} vs {want}"
 
@@ -213,11 +209,10 @@ class TestYolov3:
     def test_param_parity_with_repeats(self):
         """Stacked plain Bottlenecks (Sequential repeat path) match torch."""
         from ref_torch_model import build_ref_model
-        from bsyolo_tpu.nn.model import build_model, count_params
+        from test_zoo_all import shape_param_count
 
         ref, spec = build_ref_model("bsyolo_tpu/cfg/models/v3/yolov3.yaml", scale="", img_size=64)
-        model, variables = build_model(spec, img_size=64)
-        assert count_params(variables["params"]) == ref.num_params() - 16
+        assert shape_param_count(spec) == ref.num_params() - 16
 
 
 class TestYolov6:
