@@ -134,7 +134,63 @@ def _build_module(spec: LayerSpec, dtype, name: Optional[str] = None) -> Optiona
         return M.ELA(a[0], dtype=dtype, name=name)
     if m in ("Upsample", "Concat", "Index"):
         return None  # stateless
+    mod = _build_extra_module(m, a, dtype, name)
+    if mod is not None:
+        return mod
     raise NotImplementedError(f"module {m} not wired into the graph builder")
+
+
+def _build_extra_module(m: str, a, dtype, name: str) -> Optional[nn.Module]:
+    """Experimental-zoo blocks (reference tasks.py:972-1066 + the sys/ copy's
+    parser registrations) — see bsyolo_tpu/nn/modules_extra.py."""
+    from bsyolo_tpu.nn import modules_extra as X
+
+    def opt(i, default):
+        return a[i] if len(a) > i else default
+
+    if m == "SimSPPF":
+        return X.SimSPPF(a[0], opt(1, 5), dtype=dtype, name=name)
+    if m == "SPPFCSPC":
+        return X.SPPFCSPC(a[0], opt(1, 1), opt(2, False), opt(3, 1), opt(4, 0.5),
+                          opt(5, 5), dtype=dtype, name=name)
+    if m == "BottleneckCSP":
+        return X.BottleneckCSP(a[0], a[1], opt(2, True), opt(3, 1), opt(4, 0.5),
+                               dtype=dtype, name=name)
+    if m == "C3TR":
+        return X.C3TR(a[0], a[1], opt(2, True), opt(3, 1), opt(4, 0.5),
+                      dtype=dtype, name=name)
+    if m == "GSConv":
+        return X.GSConv(a[0], opt(1, 1), opt(2, 1), opt(3, 1), dtype=dtype, name=name)
+    if m == "DWConvTranspose2d":
+        return X.DWConvTranspose2dLayer(a[0], opt(1, 1), opt(2, 1), opt(3, 0),
+                                        opt(4, 0), dtype=dtype, name=name)
+    if m == "FocalModulation":
+        return X.FocalModulation(a[0], opt(1, 3), opt(2, 2), opt(3, 2),
+                                 dtype=dtype, name=name)
+    if m in ("C3k2_LRSA", "C3K2_OAtention", "C3K2_MultiOGA"):
+        cls = {"C3k2_LRSA": X.C3k2_LRSA, "C3K2_OAtention": X.C3K2_OAtention,
+               "C3K2_MultiOGA": X.C3K2_MultiOGA}[m]
+        c2, n = a[0], a[1]
+        c3k = opt(2, False)
+        e = opt(3, 0.5)
+        g = opt(4, 1)
+        shortcut = opt(5, True)
+        return cls(c2, n, shortcut, g, e, c3k=c3k, dtype=dtype, name=name)
+    if m == "CoordAtt":
+        return X.CoordAtt(a[0], opt(1, 32), dtype=dtype, name=name)
+    if m == "C2f_SCConv":
+        return X.C2f_SCConv(a[0], a[1], opt(2, False), opt(3, 1), opt(4, 0.5),
+                            dtype=dtype, name=name)
+    if m == "C3k2_SCConv":
+        return X.C3k2_SCConv(a[0], a[1], opt(5, True), opt(4, 1), opt(3, 0.5),
+                             c3k=opt(2, False), dtype=dtype, name=name)
+    if m == "C3k2_IEL":
+        return X.C3k2_IEL(a[0], a[1], opt(5, True), opt(4, 1), opt(3, 0.5),
+                          c3k=opt(2, False), dtype=dtype, name=name)
+    if m == "C3k2_RetBlock":
+        return X.C3k2_RetBlock(a[0], a[1], opt(2, "chunk"), opt(3, 8),
+                               c3k=opt(4, False), e=opt(5, 0.5), dtype=dtype, name=name)
+    return None
 
 
 class _RepeatSeq(nn.Module):

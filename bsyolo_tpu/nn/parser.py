@@ -96,10 +96,27 @@ _CONVLIKE = {
     "ADown",
     "SPPELAN",
     "ConvTranspose2d",
+    # experimental zoo (reference tasks.py:972-1046 + sys/ copy's parser)
+    "SimSPPF",
+    "SPPFCSPC",
+    "BottleneckCSP",
+    "C3TR",
+    "GSConv",
+    "DWConvTranspose2d",
+    "C3k2_LRSA",
+    "C3K2_OAtention",
+    "C3K2_MultiOGA",  # reference registers it incompletely (repeat-set only,
+    # tasks.py:1041) making it unusable from YAML there; full rule here
+    "CoordAtt",
+    "C2f_SCConv",
+    "C3k2_SCConv",
+    "C3k2_IEL",
+    "C3k2_RetBlock",
 }
 # Modules that additionally get the repeat count inserted at args[2]
 _REPEAT = {"C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_gai", "C2fPSA", "C2PSA", "C2fCIB", "RepC3",
-           "C3Ghost"}
+           "C3Ghost", "BottleneckCSP", "C3TR", "C3k2_LRSA", "C3K2_OAtention", "C3K2_MultiOGA",
+           "C2f_SCConv", "C3k2_SCConv", "C3k2_IEL", "C3k2_RetBlock"}
 _HEADS = {"Detect", "Segment", "Pose", "OBB", "v10Detect"}
 
 
@@ -191,7 +208,7 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
                 if scale in "mlx" and len(args) >= 3:
                     args[2] = True  # c3k=True for m/l/x (tasks.py:1047-1050)
             s = 1
-            if m in ("Conv", "DWConv", "Pinwheel_shapedConv", "GhostConv") and len(args) >= 3:
+            if m in ("Conv", "DWConv", "Pinwheel_shapedConv", "GhostConv", "GSConv") and len(args) >= 3:
                 s = args[2]
             elif m == "SCDown" and len(args) >= 3:
                 s = args[2]
@@ -199,7 +216,7 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
                 s = 2  # both are stride-2 downsamples (reference block.py:3692/3706)
             elif m == "Focus":
                 s = 2
-            if m == "ConvTranspose2d":
+            if m in ("ConvTranspose2d", "DWConvTranspose2d"):
                 # (c2, k, s, p): stride-s UPSAMPLE (yolov6 neck)
                 out_stride = in_stride // (args[2] if len(args) > 2 else 2)
             else:
@@ -256,6 +273,10 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
             task = "detect"
             out_stride = 0
         elif m == "MSCAAttention":
+            c2 = c1
+            args = [c1, *args]
+        elif m == "FocalModulation":
+            # reference tasks.py:1055: args = [ch[f], *args]; channel-preserving
             c2 = c1
             args = [c1, *args]
         elif m == "ELA":

@@ -58,6 +58,10 @@ def _translate_component(comp: str) -> Tuple[str, ...]:
     m = re.match(r"^fuser_layers_(\d+)$", comp)
     if m:  # SAM2 MemoryEncoder fuser: fuser.layers.<i>
         return ("fuser", "layers", m.group(1))
+    if comp in ("proj_1", "proj_2"):
+        # MogaNet MultiOrderGatedAggregation attributes with literal
+        # underscores in the torch name (Addmodules/Moganet.py:113-124)
+        return (comp,)
     # generic: split trailing _<int> groups off snake-case prefixes (m_0 ->
     # m.0, cv2_1_2 -> cv2.1.2, input_proj_0_1 -> input_proj.0.1) but keep
     # digit-embedded names like conv0_1 (MSCA strip convs) intact
