@@ -215,7 +215,7 @@ class DetectionGraph(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False, text: Array = None, targets=None,
-                 perturb: bool = False):
+                 perturb: bool = False, return_saved: bool = False):
         spec = self.spec
         if getattr(spec, "act", "silu") != M.default_act():
             # yaml `activation:` override (yolov6's nn.ReLU); trace-time
@@ -320,6 +320,11 @@ class DetectionGraph(nn.Module):
                 prev = self.perturb(f"l{layer.i}", prev)
             if layer.i in spec.save:
                 saved[layer.i] = prev
+        if return_saved:
+            # (output, save-list features) — used by the per-stage profiler so
+            # a truncated prefix graph keeps every branch observable (XLA
+            # would otherwise dead-code-eliminate saved-but-unconsumed layers)
+            return prev, saved
         return prev
 
     def _head(self, layer: LayerSpec, feats, train: bool):
