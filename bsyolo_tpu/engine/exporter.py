@@ -3,12 +3,15 @@
 The reference fans out to 14 runtime formats from torch; the TPU-native
 equivalents are the XLA-ecosystem ones:
 
-- stablehlo: serialized StableHLO via jax.export — the portable artifact.
-  (A PjRt-C-API C++ loader would be the natural consumer, but this image
-  ships no PJRT plugin .so exporting GetPjrtApi — the TPU is reached via a
-  Python-level proxy — so it is not executable from C++ here. The working
-  native-client path is saved_model + the TF C API: examples/cpp_client
-  executes it end to end, the N3-N8 analog.)
+- stablehlo: serialized StableHLO via jax.export — the portable artifact —
+  plus a `.stablehlo.mlir` sidecar (the raw module bytecode, params baked as
+  constants) that examples/cpp_client/pjrt_main.cpp hands straight to
+  PJRT_Client_Compile: a generic PJRT-C-API C++ runner that works against
+  any plugin exporting GetPjrtApi (libtpu.so, this image's relay plugin).
+  tests/test_pjrt_client.py checks box parity vs the Python path (the TPU
+  leg is relay-gated). The second native-client path is saved_model + the
+  TF C API: examples/cpp_client/main.cpp executes it end to end (N3-N8
+  analog).
 - params: raw weights checkpoint (.ckpt)
 - saved_model / tflite: via jax2tf when tensorflow is present (gated)
 
@@ -97,6 +100,10 @@ def export_model(
         exported = jexport.export(jax.jit(predict))(x_spec)
         blob = exported.serialize()
         out.write_bytes(blob)
+        # PJRT-consumable sidecar: the raw StableHLO module bytecode (params
+        # baked in as constants). examples/cpp_client/pjrt_main.cpp hands
+        # this straight to PJRT_Client_Compile on any PJRT plugin.
+        Path(str(out) + ".mlir").write_bytes(exported.mlir_module_serialized)
         meta = {
             "imgsz": imgsz,
             "batch": batch,
