@@ -409,3 +409,47 @@ head:
             variables, jnp.zeros((1, 64, 64, 3))
         )
         assert len(feats) == 3
+
+
+class TestGradFlow:
+    @pytest.mark.parametrize("name", [
+        "C3k2_LRSA", "C3K2_OAtention", "C3K2_MultiOGA", "C3k2_IEL",
+        "C3k2_RetBlock", "C2f_SCConv", "FocalModulation", "WTConv2d",
+        "CondConv2D", "CoordAtt", "SPPFCSPC", "C3TR",
+    ])
+    def test_gradients_finite_and_nonzero(self, name):
+        """Every new block trains: finite, non-zero grads through train mode."""
+        import jax
+
+        from bsyolo_tpu.nn import modules_extra as X
+
+        mods = {
+            "C3k2_LRSA": lambda: X.C3k2_LRSA(32, 1, True),
+            "C3K2_OAtention": lambda: X.C3K2_OAtention(32, 1, True),
+            "C3K2_MultiOGA": lambda: X.C3K2_MultiOGA(32, 1, True),
+            "C3k2_IEL": lambda: X.C3k2_IEL(32, 1, True),
+            "C3k2_RetBlock": lambda: X.C3k2_RetBlock(32, 1, True, num_heads=8),
+            "C2f_SCConv": lambda: X.C2f_SCConv(32, 1),
+            "FocalModulation": lambda: X.FocalModulation(32),
+            "WTConv2d": lambda: X.WTConv2d(32, wt_levels=2),
+            "CondConv2D": lambda: X.CondConv2D(16, 3, padding=1),
+            "CoordAtt": lambda: X.CoordAtt(32),
+            "SPPFCSPC": lambda: X.SPPFCSPC(32),
+            "C3TR": lambda: X.C3TR(32, 1),
+        }
+        m = mods[name]()
+        x = jnp.asarray(_rng((1, 16, 16, 32), seed=1))
+        variables = m.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(params):
+            out = m.apply({"params": params, **{k: v for k, v in variables.items()
+                                                if k != "params"}},
+                          x, train=True,
+                          mutable=[k for k in variables if k != "params"])[0]
+            return jnp.sum(out ** 2)
+
+        g = jax.jit(jax.grad(loss))(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(t))) for t in leaves)
+        total = sum(float(jnp.sum(jnp.abs(t))) for t in leaves)
+        assert total > 0
