@@ -237,12 +237,22 @@ class YOLODataset:
         if self._ims is not None:
             return self._ims[i].copy()  # downstream transforms may write in place
         if self._cache_mode == "disk":
-            npy = Path(self.img_files[i]).with_suffix(".npy")
+            # key includes imgsz — the cached array is pre-resized, so a run
+            # at a different imgsz must not reuse stale-resolution bytes
+            npy = Path(self.img_files[i]).with_suffix(f".{self.imgsz}.npy")
             if npy.exists():
-                return np.load(npy)
+                try:
+                    return np.load(npy)
+                except (ValueError, EOFError, OSError):
+                    pass  # partial/corrupt file from an interrupted writer
             im = self._read_image(i)
             try:
-                np.save(npy, im)
+                # atomic publish: fork-pool workers race on the same uncached
+                # image (mosaic samples random indices) — write to a per-pid
+                # tmp sibling and rename so readers never see partial bytes
+                tmp = npy.with_suffix(f".{os.getpid()}.tmp.npy")
+                np.save(tmp, im)
+                os.replace(tmp, npy)
             except OSError:  # read-only dataset dir: fall back to plain reads
                 pass
             return im

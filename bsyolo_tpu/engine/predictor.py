@@ -321,21 +321,26 @@ class DetectionPredictor:
         serializing with it. jax dispatch is asynchronous, so `_forward`
         returns immediately; only the np.asarray fetch blocks.
         """
-        pending = None  # (device outs, frames, paths, pre_ms, t_dispatch)
+        pending = None  # (device outs, frames, paths, pre_ms, dispatch_ms)
 
         def drain():
-            outs_dev, frames, paths, pre_ms, t1 = pending
+            outs_dev, frames, paths, pre_ms, disp_ms = pending
+            t1 = time.perf_counter()
             outs = jax.tree_util.tree_map(np.asarray, outs_dev)  # one D2H per batch
-            inf_ms = (time.perf_counter() - t1) * 1000 / len(frames)
+            # inference time = dispatch + the fetch block (the time this batch
+            # held the critical path); the wait for the NEXT batch's inputs
+            # happens between the two and must not be attributed to the device
+            inf_ms = (disp_ms + (time.perf_counter() - t1) * 1000) / len(frames)
             for i in range(len(frames)):
                 yield self._emit(outs, i, frames[i], paths[i], pre_ms, inf_ms, verbose)
 
         for frames, paths, x, t_pre in self._batched_inputs(source, vid_stride):
             t1 = time.perf_counter()
             outs_dev = self._forward(self.variables, x)  # async dispatch
+            disp_ms = (time.perf_counter() - t1) * 1000
             if pending is not None:
                 yield from drain()
-            pending = (outs_dev, frames, paths, t_pre * 1000 / len(frames), t1)
+            pending = (outs_dev, frames, paths, t_pre * 1000 / len(frames), disp_ms)
         if pending is not None:
             yield from drain()
 

@@ -82,6 +82,10 @@ def strip_optimizer(path: Path, prefer_ema: bool = True) -> float:
     payload.pop("train_state", None)
     if prefer_ema and payload.get("ema_params") is not None:
         payload["params"] = payload["ema_params"]
+    # drop the now-duplicate EMA tree — otherwise the "shrunk" artifact
+    # stores every weight twice (loaders fall back to params, which are
+    # the EMA weights after the promotion above)
+    payload.pop("ema_params", None)
     meta["stripped"] = True
     blob = serialization.to_bytes(payload)
     header = json.dumps(meta).encode()

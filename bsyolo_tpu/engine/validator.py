@@ -44,21 +44,7 @@ class _JsonCollector:
 
     def unletterbox(self, k: int, input_hw):
         """-> ((w0, h0), r, dw, dh) for image index k."""
-        from PIL import Image
-
-        from bsyolo_tpu.ops.letterbox import letterbox_params
-
-        with Image.open(self.im_files[k]) as im:
-            w0, h0 = im.size
-        r, (dw, dh), _ = letterbox_params((h0, w0), input_hw, scaleup=False)
-        return (w0, h0), r, dw, dh
-
-    def scale_boxes(self, dets: np.ndarray, k: int, input_hw):
-        (w0, h0), r, dw, dh = self.unletterbox(k, input_hw)
-        d = dets.copy()
-        d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / r, 0, w0)
-        d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / r, 0, h0)
-        return d
+        return _unletterbox_file(self.im_files[k], input_hw)
 
     def save(self):
         from pathlib import Path
@@ -71,6 +57,29 @@ class _JsonCollector:
         save_predictions_json(self.jdict, out)
         LOGGER.info(f"saved {len(self.jdict)} COCO-format predictions to {out}")
         return out
+
+
+def _unletterbox_file(im_file, input_hw):
+    """((w0, h0), r, dw, dh) mapping network-input coords back to the
+    original pixels of ``im_file`` (val letterboxes scaleup=False, centered)."""
+    from PIL import Image
+
+    from bsyolo_tpu.ops.letterbox import letterbox_params
+
+    with Image.open(im_file) as im:
+        w0, h0 = im.size
+    r, (dw, dh), _ = letterbox_params((h0, w0), input_hw, scaleup=False)
+    return (w0, h0), r, dw, dh
+
+
+def _boxes_to_original(dets: np.ndarray, ub) -> np.ndarray:
+    """Un-letterbox xyxy columns of (N, 6+) dets using ``ub`` from
+    :func:`_unletterbox_file` (the one place this clip-and-scale lives)."""
+    (w0, h0), r, dw, dh = ub
+    d = dets.copy()
+    d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / r, 0, w0)
+    d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / r, 0, h0)
+    return d
 
 
 def _mask_to_original(mask: np.ndarray, input_hw, orig_wh, r: float, dw: float, dh: float) -> np.ndarray:
@@ -250,10 +259,9 @@ class SegmentationValidator:
                 if jc is not None and jc.im_files and k < jc.n and len(d):
                     from bsyolo_tpu.utils.coco import seg_pred_to_json
 
-                    (w0, h0), r, dw, dh = jc.unletterbox(k, (h, w))
-                    db = d.copy()
-                    db[:, [0, 2]] = np.clip((db[:, [0, 2]] - dw) / r, 0, w0)
-                    db[:, [1, 3]] = np.clip((db[:, [1, 3]] - dh) / r, 0, h0)
+                    ub = jc.unletterbox(k, (h, w))
+                    (w0, h0), r, dw, dh = ub
+                    db = _boxes_to_original(d, ub)
                     m0 = np.stack(
                         [_mask_to_original(mm, (h, w), (w0, h0), r, dw, dh) for mm in pm]
                     )
@@ -378,10 +386,9 @@ class PoseValidator:
                 if jc is not None and jc.im_files and ki < jc.n and len(d):
                     from bsyolo_tpu.utils.coco import pose_pred_to_json
 
-                    (w0, h0), r, dw, dh = jc.unletterbox(ki, (h, w))
-                    db = d.copy()
-                    db[:, [0, 2]] = np.clip((db[:, [0, 2]] - dw) / r, 0, w0)
-                    db[:, [1, 3]] = np.clip((db[:, [1, 3]] - dh) / r, 0, h0)
+                    ub = jc.unletterbox(ki, (h, w))
+                    (w0, h0), r, dw, dh = ub
+                    db = _boxes_to_original(d, ub)
                     k0 = pk.copy()
                     k0[..., 0] = np.clip((k0[..., 0] - dw) / r, 0, w0)
                     k0[..., 1] = np.clip((k0[..., 1] - dh) / r, 0, h0)
@@ -513,22 +520,14 @@ class DetectionValidator:
                 confusion.process_batch(d, gt_xyxy, gt_cls)
             if jdict is not None:
                 from bsyolo_tpu.utils.coco import pred_to_json
-                from bsyolo_tpu.ops.letterbox import letterbox_params
 
                 for i in range(b):
                     k = n_img - b + i
                     if k >= n_total:  # skip wrap-padded tail duplicates
                         continue
-                    # un-letterbox into ORIGINAL image pixels (the dataset's
-                    # val path letterboxes with scaleup=False, centered)
-                    from PIL import Image as _Image
-
-                    with _Image.open(im_files[k]) as _im:
-                        w0, h0 = _im.size
-                    r, (dw, dh), _ = letterbox_params((h0, w0), (h, w), scaleup=False)
-                    d = dets[i][dets[i][:, 4] > 0].copy()
-                    d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / r, 0, w0)
-                    d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / r, 0, h0)
+                    d = _boxes_to_original(
+                        dets[i][dets[i][:, 4] > 0], _unletterbox_file(im_files[k], (h, w))
+                    )
                     jdict.extend(pred_to_json(d, im_files[k], class_map=self.class_map))
 
         if jdict is not None:

@@ -232,11 +232,17 @@ int main(int argc, char** argv) {
   uint32_t ndim;
   std::memcpy(&ndim, p, 4);
   p += 4;
+  if (ndim > 8 || in_blob.size() < 4 + static_cast<size_t>(ndim) * 8)
+    Die("input.bin truncated or bad ndim");
   std::vector<int64_t> dims(ndim);
   std::memcpy(dims.data(), p, ndim * 8);
   p += ndim * 8;
   size_t n_elems = 1;
-  for (auto d : dims) n_elems *= static_cast<size_t>(d);
+  for (auto d : dims) {
+    if (d <= 0 || n_elems > (1ull << 40) / static_cast<size_t>(d))
+      Die("input.bin has bad dims");
+    n_elems *= static_cast<size_t>(d);
+  }
   if (in_blob.size() < 4 + ndim * 8 + n_elems * 4) Die("input.bin truncated");
 
   PJRT_Client_BufferFromHostBuffer_Args hb;

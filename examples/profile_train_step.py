@@ -58,7 +58,6 @@ def main():
     d["nc"] = 80
     spec2 = parse_model_yaml(d, scale=scale)
     model, variables = build_model(spec2, img_size=img_size, dtype=jnp.bfloat16)
-    loss_cfg = None
     from bsyolo_tpu.losses import DetectionLossConfig
 
     loss_cfg = DetectionLossConfig(nc=spec2.nc, strides=spec2.head_strides)

@@ -310,6 +310,18 @@ class TestImageCache:
         e2 = disk.get_sample(0, np.random.default_rng(0))
         for k in d2:
             assert np.array_equal(d2[k], e2[k])
+        # no leftover tmp files from the atomic-rename publish
+        assert not list(Path(root).glob("*.tmp.npy"))
+        # the cache key is imgsz-specific: a run at a different imgsz must
+        # decode fresh full-res images, not reuse stale 320px bytes
+        disk640 = YOLODataset(root, imgsz=640, augment=True, max_gt=32, cache="disk")
+        im = disk640.load_image(0)
+        assert max(im.shape[:2]) > 320
+        # a corrupt/partial cache file degrades to a fresh decode
+        victim = sorted(Path(root).glob("*.320.npy"))[0]
+        victim.write_bytes(b"\x93NUMPY garbage")
+        im = disk.load_image(disk.img_files.index(str(victim).replace(".320.npy", ".jpg")))
+        assert im is not None and im.ndim == 3
 
     def test_cache_true_means_ram(self, tmp_path):
         from bsyolo_tpu.data import YOLODataset
