@@ -24,12 +24,31 @@ IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp",
 
 
 def load_dataset_yaml(path) -> Dict:
-    """Load + resolve a dataset YAML (reference data/utils.py check_det_dataset)."""
+    """Load + resolve a dataset YAML (reference data/utils.py check_det_dataset).
+
+    A bare name like ``coco8.yaml`` resolves against the bundled
+    cfg/datasets tree, mirroring the reference's packaged-config lookup.
+    """
     path = Path(path)
+    bundled = False
+    if not path.exists() and path.name == str(path):
+        from bsyolo_tpu.cfg import CFG_ROOT
+
+        cand = CFG_ROOT / "datasets" / path.name
+        if cand.exists():
+            path, bundled = cand, True
     d = yaml.safe_load(path.read_text())
     root = Path(d.get("path", path.parent))
     if not root.is_absolute():
-        root = (path.parent / root).resolve()
+        if bundled:
+            # bundled configs carry the reference's "../datasets/<name>"
+            # convention: resolve against the user's datasets_dir setting
+            # (reference check_det_dataset + DATASETS_DIR semantics)
+            from bsyolo_tpu.utils.settings import SettingsManager
+
+            root = Path(SettingsManager()["datasets_dir"]) / root.name
+        else:
+            root = (path.parent / root).resolve()
     out = dict(d)
     out["path"] = root
     for split in ("train", "val", "test"):

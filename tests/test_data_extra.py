@@ -331,3 +331,32 @@ class TestImageCache:
             pytest.skip("bsyolo8 fixture absent")
         ds = YOLODataset(str(src / "images" / "train"), imgsz=160, augment=False, cache=True)
         assert ds._ims is not None and len(ds._ims) == len(ds.img_files)
+
+
+class TestBundledDatasetConfigs:
+    """The reference's 31 dataset configs ship here too (cfg/datasets)."""
+
+    def test_all_reference_dataset_configs_present_and_parse(self):
+        import yaml
+
+        ref = sorted(p.name for p in Path("/root/reference/ultralytics/cfg/datasets").glob("*.yaml"))
+        ours = Path("bsyolo_tpu/cfg/datasets")
+        for name in ref:
+            f = ours / name
+            assert f.exists(), f"missing bundled dataset config {name}"
+            d = yaml.safe_load(f.read_text())
+            assert isinstance(d["names"], dict) and d["names"], name
+            rd = yaml.safe_load((Path("/root/reference/ultralytics/cfg/datasets") / name).read_text())
+            rnames = rd["names"]
+            if isinstance(rnames, list):
+                rnames = {i: n for i, n in enumerate(rnames)}
+            assert d["names"] == rnames, f"{name}: class map drift"
+            if "kpt_shape" in rd:
+                assert list(d["kpt_shape"]) == list(rd["kpt_shape"]), name
+
+    def test_bare_name_resolves_against_bundled_tree(self):
+        from bsyolo_tpu.data import load_dataset_yaml
+
+        d = load_dataset_yaml("coco8.yaml")
+        assert len(d["names"]) == 80
+        assert "datasets" in str(d["path"])  # resolved via datasets_dir setting
