@@ -71,6 +71,35 @@ def main(argv=None) -> int:
         print(f"bsyolo_tpu {bsyolo_tpu.__version__}")
         print(f"jax {jax.__version__}, devices: {jax.devices()}")
         return 0
+    if argv[0] == "settings":
+        # view / update / reset the persisted settings (reference
+        # cfg/__init__.py:580 handle_yolo_settings)
+        from bsyolo_tpu.utils.settings import SettingsManager
+
+        s = SettingsManager()
+        rest = argv[1:]
+        if rest and rest[0] == "reset":
+            s.reset()
+            LOGGER.info("settings reset to defaults")
+        elif rest:
+            s.update(parse_kv(rest))
+        import json as _json
+
+        print(_json.dumps(dict(s), indent=2))
+        return 0
+    if argv[0] == "copy-cfg":
+        # copy the packaged default.yaml for editing (reference copy_default_cfg)
+        import shutil
+        from pathlib import Path
+
+        from bsyolo_tpu.cfg import DEFAULT_CFG_PATH
+
+        dst = Path.cwd() / "default_copy.yaml"
+        shutil.copy2(DEFAULT_CFG_PATH, dst)
+        LOGGER.info(f"copied default cfg to {dst} — use with: cfg={dst.name}")
+        return 0
+    if argv[0] == "solutions":
+        return _run_solution(argv[1:])
 
     task = "detect"
     mode = None
@@ -123,6 +152,51 @@ def main(argv=None) -> int:
         import subprocess
 
         subprocess.run([sys.executable, "bench.py"], check=False)
+    return 0
+
+
+def _run_solution(argv) -> int:
+    """`solutions NAME k=v ...` verb (reference cfg/__init__.py:621
+    handle_yolo_solutions): runs a video-analytics solution over a source."""
+    from bsyolo_tpu import YOLO
+    from bsyolo_tpu import solutions as S
+
+    # (class, per-frame method) per solution name
+    table = {
+        "count": (S.ObjectCounter, "count"),
+        "heatmap": (S.Heatmap, "generate_heatmap"),
+        "speed": (S.SpeedEstimator, "estimate_speed"),
+        "queue": (S.QueueManager, "process_queue"),
+        "workout": (S.AIGym, "monitor"),
+        "analytics": (S.Analytics, "update"),
+        "trackzone": (S.TrackZone, "trackzone"),
+    }
+    name = argv[0] if argv and "=" not in argv[0] else "count"
+    rest = argv[1:] if argv and "=" not in argv[0] else argv
+    if name not in table:
+        raise SyntaxError(f"unknown solution '{name}'; available: {sorted(table)}")
+    kv = parse_kv(rest)
+    source = kv.pop("source", None)
+    if source is None:
+        raise SyntaxError("solutions requires source=<video|dir>")
+    model = YOLO(kv.pop("model", None) or "yolo11n.yaml")
+    region = kv.pop("region", None)
+    cls, method = table[name]
+    needs_region = name in ("count", "queue", "trackzone")
+    if needs_region and region is None:
+        region = [(0, 0), (10_000, 0), (10_000, 10_000), (0, 10_000)]
+    # remaining k=v flow to the solution: constructor options (up_angle,
+    # analytics_type, ...) are consumed there; the rest (conf, iou, imgsz,
+    # ...) ride BaseSolution.kwargs into model.track()
+    sol = cls(model=model, region=region, **kv)
+    from bsyolo_tpu.engine.predictor import iter_source
+
+    n = 0
+    last = None
+    for frame, _path, _is_video in iter_source(source):
+        last = getattr(sol, method)(frame)
+        n += 1
+    LOGGER.info(f"solution '{name}' processed {n} frames; final: {last}")
     return 0
 
 

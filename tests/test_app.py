@@ -206,3 +206,50 @@ class TestCLI:
         )
         assert rc == 0
         assert (tmp_path / "runs" / "p" / "x.jpg").exists()
+
+
+class TestCLIVerbs:
+    """settings / copy-cfg / solutions verbs (reference cfg/__init__.py:580-680)."""
+
+    def test_settings_view_update_reset(self, tmp_path, capsys, monkeypatch):
+        monkeypatch.setenv("HOME", str(tmp_path))
+        from bsyolo_tpu.cli import main
+
+        assert main(["settings"]) == 0
+        out = capsys.readouterr().out
+        assert "datasets_dir" in out
+        assert main(["settings", f"datasets_dir={tmp_path / 'ds'}"]) == 0
+        assert str(tmp_path / "ds") in capsys.readouterr().out
+        assert main(["settings", "reset"]) == 0
+        assert str(tmp_path / "ds") not in capsys.readouterr().out
+
+    def test_copy_cfg(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from bsyolo_tpu.cli import main
+
+        assert main(["copy-cfg"]) == 0
+        assert (tmp_path / "default_copy.yaml").exists()
+
+    def test_solutions_count(self, tmp_path):
+        import cv2
+
+        from bsyolo_tpu.cli import main
+
+        img = np.full((96, 96, 3), 40, np.uint8)
+        img[20:70, 20:70] = 220
+        cv2.imwrite(str(tmp_path / "a.jpg"), img)
+        cv2.imwrite(str(tmp_path / "b.jpg"), img)
+        rc = main([
+            "solutions", "count",
+            f"model={Path(__file__).parent / 'fixtures' / 'tiny.yaml'}",
+            f"source={tmp_path}", "conf=0.0001", "imgsz=96",
+        ])
+        assert rc == 0
+
+    def test_solutions_unknown_name(self):
+        import pytest as _pytest
+
+        from bsyolo_tpu.cli import main
+
+        with _pytest.raises(SyntaxError):
+            main(["solutions", "nosuch", "source=x"])
