@@ -72,3 +72,36 @@ def convert_coco(
         n += 1
     LOGGER.info(f"converted {n} images -> {save}")
     return save
+
+
+def autosplit(path, weights=(0.9, 0.1, 0.0), annotated_only: bool = False, seed: int = 0):
+    """Split an images dir into autosplit_{train,val,test}.txt listings
+    (reference data/utils.py:620; xView.yaml's split convention).
+
+    Each image is assigned to a split by weighted draw (seeded for
+    reproducibility). With ``annotated_only`` images lacking a label txt
+    (images/ -> labels/ sibling convention) are skipped.
+    """
+    import random
+
+    from bsyolo_tpu.utils import LOGGER
+
+    exts = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff"}
+    path = Path(path)
+    files = sorted(x for x in path.rglob("*.*") if x.suffix.lower() in exts)
+    rng = random.Random(seed)
+    names = ["autosplit_train.txt", "autosplit_val.txt", "autosplit_test.txt"]
+    for n in names:
+        (path.parent / n).unlink(missing_ok=True)
+    counts = [0, 0, 0]
+    for img in files:
+        if annotated_only:
+            lbl = Path(str(img.parent).replace("images", "labels")) / (img.stem + ".txt")
+            if not lbl.exists():
+                continue
+        i = rng.choices([0, 1, 2], weights=weights, k=1)[0]
+        with open(path.parent / names[i], "a") as f:
+            f.write(f"./{img.relative_to(path.parent).as_posix()}\n")
+        counts[i] += 1
+    LOGGER.info(f"autosplit {sum(counts)} images -> train/val/test = {counts}")
+    return counts

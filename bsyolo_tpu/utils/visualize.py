@@ -78,9 +78,15 @@ def grad_cam(
     strides=None,
     nc: Optional[int] = None,
     imgsz: int = 640,
+    method: str = "gradcam",
 ):
-    """Grad-CAM heatmap for a detection model (the TPU-native equivalent of
-    reference sys/heatmap.py:22 ActivationsAndGradients + yolov8_heatmap).
+    """CAM heatmap for a detection model (the TPU-native equivalent of
+    reference sys/heatmap.py:22 ActivationsAndGradients + yolov8_heatmap,
+    which fans out to the external pytorch_grad_cam methods).
+
+    ``method``: "gradcam" (GAP-weighted gradients), "gradcampp" (GradCAM++
+    alpha-weighted positive gradients), or "eigencam" (gradient-free first
+    principal component of the activations).
 
     ``layer`` is the graph index (0-based, the YAML row). The score is the
     summed top-class confidence over anchors above ``conf_thres`` (optionally
@@ -129,17 +135,34 @@ def grad_cam(
             sc = jnp.max(cls_scores, axis=-1)
         return jnp.sum(jnp.where(sc > conf_thres, sc, 0.0)), feats
 
-    grads, _ = jax.grad(score_fn, has_aux=True)(zeros)
-    g = np.asarray(grads[key][0], np.float32)  # (h, w, c)
-
     acts = capture_features(model, variables, x, layer_names=[f"m{layer}"])
     act = next((v for k, v in acts.items() if k == f"m{layer}" or k.endswith(f"/m{layer}")), None)
     if act is None:  # fall back to any prefix match
         act = next(v for k, v in acts.items() if f"m{layer}" in k)
     a = act[0].astype(np.float32)
 
-    w = g.mean(axis=(0, 1))  # GAP over space -> per-channel weight
-    cam = np.maximum((a * w).sum(-1), 0.0)
+    if method == "eigencam":
+        # gradient-free: project activations onto their first principal
+        # component (pytorch_grad_cam EigenCAM semantics)
+        flat = a.reshape(-1, a.shape[-1])
+        flat = flat - flat.mean(axis=0)
+        _, _, vt = np.linalg.svd(flat, full_matrices=False)
+        cam = (flat @ vt[0]).reshape(a.shape[:2])
+        cam = np.maximum(cam, 0.0) if cam.max() > -cam.min() else np.maximum(-cam, 0.0)
+    else:
+        grads, _ = jax.grad(score_fn, has_aux=True)(zeros)
+        g = np.asarray(grads[key][0], np.float32)  # (h, w, c)
+        if method == "gradcampp":
+            # alpha-weighted positive gradients (Grad-CAM++ eq. 19)
+            g2, g3 = g * g, g * g * g
+            denom = 2.0 * g2 + (a * g3).sum(axis=(0, 1), keepdims=True)
+            alpha = g2 / np.where(denom != 0, denom, 1e-8)
+            w = (alpha * np.maximum(g, 0.0)).sum(axis=(0, 1))
+        elif method == "gradcam":
+            w = g.mean(axis=(0, 1))  # GAP over space -> per-channel weight
+        else:
+            raise ValueError(f"unknown CAM method '{method}'")
+        cam = np.maximum((a * w).sum(-1), 0.0)
     if cam.max() > 0:
         cam = cam / cam.max()
 

@@ -360,3 +360,43 @@ class TestBundledDatasetConfigs:
         d = load_dataset_yaml("coco8.yaml")
         assert len(d["names"]) == 80
         assert "datasets" in str(d["path"])  # resolved via datasets_dir setting
+
+
+class TestAutosplitAndCAMs:
+    def test_autosplit(self, tmp_path):
+        from bsyolo_tpu.data.converter import autosplit
+
+        imgs = tmp_path / "images" / "train"
+        imgs.mkdir(parents=True)
+        lbls = tmp_path / "labels" / "train"
+        lbls.mkdir(parents=True)
+        for i in range(20):
+            (imgs / f"{i}.jpg").write_bytes(b"x")
+            if i % 2 == 0:
+                (lbls / f"{i}.txt").write_text("0 .5 .5 .1 .1")
+        c = autosplit(tmp_path / "images", (0.8, 0.2, 0.0))
+        assert sum(c) == 20 and c[2] == 0
+        lines = (tmp_path / "autosplit_train.txt").read_text().splitlines()
+        assert lines and all(l.startswith("./train/") or l.startswith("./") for l in lines)
+        # annotated_only keeps only labeled images, and is deterministic
+        c2 = autosplit(tmp_path / "images", (0.5, 0.5, 0.0), annotated_only=True)
+        c3 = autosplit(tmp_path / "images", (0.5, 0.5, 0.0), annotated_only=True)
+        assert sum(c2) == 10 and c2 == c3
+
+    @pytest.mark.parametrize("method", ["gradcampp", "eigencam"])
+    def test_cam_variants(self, method):
+        import jax.numpy as jnp  # noqa: F401
+
+        from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+        from bsyolo_tpu.utils.visualize import grad_cam
+
+        d = load_model_yaml("tests/fixtures/tiny.yaml")
+        spec = parse_model_yaml(d)
+        model, variables = build_model(spec, img_size=96)
+        img = np.random.default_rng(0).integers(0, 255, (80, 96, 3), np.uint8)
+        cam, overlay = grad_cam(
+            model, variables, img, layer=6, conf_thres=0.0,
+            strides=spec.head_strides, nc=spec.nc, imgsz=96, method=method,
+        )
+        assert cam.ndim == 2 and 0.0 <= cam.min() and cam.max() <= 1.0
+        assert overlay.shape == img.shape
