@@ -43,7 +43,14 @@ def parse_kv(args: List[str]) -> Dict:
                 try:
                     v = float(v)
                 except ValueError:
-                    pass
+                    if v and v[0] in "[({":
+                        # structured values: region="[(0,360),(1280,360)]" etc.
+                        import ast
+
+                        try:
+                            v = ast.literal_eval(v)
+                        except (ValueError, SyntaxError):
+                            pass
         out[k] = v
     return out
 
