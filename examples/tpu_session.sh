@@ -1,0 +1,36 @@
+#!/bin/bash
+# One-shot TPU measurement session: run every hardware-gated number in order
+# the moment the relay is reachable. Each step appends to /tmp/tpu_session.log.
+# Usage: bash examples/tpu_session.sh [quick]
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/tpu_session.log
+echo "=== tpu session $(date -u +%FT%TZ) ===" | tee -a $LOG
+
+run() {
+  echo "--- $* ---" | tee -a $LOG
+  timeout 1800 "$@" 2>&1 | tee -a $LOG
+}
+
+# 0. liveness (fail fast if the relay is down)
+timeout 300 python -c "import jax; print(jax.devices())" 2>&1 | tee -a $LOG || {
+  echo "relay unreachable; aborting" | tee -a $LOG; exit 1; }
+
+# 1. headline inference bench (writes the BENCH json line)
+run python bench.py
+
+# 2. per-stage forward profile (docs/performance.md lane-fill decomposition)
+run python examples/profile_forward.py
+
+# 3. train-step bench (batch sweep happens inside)
+run python bench_train.py
+
+if [ "${1:-}" != "quick" ]; then
+  # 4. train-step slice profile
+  run python examples/profile_train_step.py
+  # 5. predictor on real sources
+  run python examples/bench_predictor.py
+  # 6. PJRT C++ client box parity on the TPU
+  run python -m pytest tests/test_pjrt_client.py --slow -q -p no:cacheprovider
+fi
+echo "=== done $(date -u +%FT%TZ) ===" | tee -a $LOG
