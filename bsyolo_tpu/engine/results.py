@@ -283,6 +283,91 @@ class Results:
             counts[name] = counts.get(name, 0) + 1
         return ", ".join(f"{v} {k}{'s' if v > 1 else ''}" for k, v in counts.items())
 
+    def summary(self, normalize: bool = False) -> list:
+        """List-of-dicts summary (reference results.py summary); the shared
+        substrate of to_df/to_csv."""
+        rows = []
+        h, w = self.orig_shape
+        div = (w, h, w, h) if normalize else (1, 1, 1, 1)
+        if self.probs is not None:
+            top = int(self.probs.top1)
+            return [{"name": self.names.get(top, str(top)), "class": top,
+                     "confidence": round(float(self.probs.top1conf), 5)}]
+        if self.boxes is not None:
+            for i, row in enumerate(self.boxes.data):
+                cls = int(row[-1])
+                rec = {
+                    "name": self.names.get(cls, str(cls)),
+                    "class": cls,
+                    "confidence": round(float(row[-2]), 5),
+                    "box": {k: round(float(v) / d, 5 if normalize else 2)
+                            for k, v, d in zip("x1 y1 x2 y2".split(), row[:4],
+                                               div)},
+                }
+                if self.boxes.is_track:
+                    rec["track_id"] = int(row[4])
+                if self.keypoints is not None and i < len(self.keypoints.data):
+                    k = self.keypoints.data[i]
+                    rec["keypoints"] = {
+                        "x": [round(float(v) / div[0], 5 if normalize else 2) for v in k[:, 0]],
+                        "y": [round(float(v) / div[1], 5 if normalize else 2) for v in k[:, 1]],
+                    }
+                rows.append(rec)
+        return rows
+
+    def to_df(self):
+        """pandas DataFrame of summary() rows (reference to_df; import-gated)."""
+        import pandas as pd
+
+        return pd.json_normalize(self.summary())
+
+    def to_csv(self) -> str:
+        return self.to_df().to_csv(index=False)
+
+    def save_crop(self, save_dir, file_name: str = None) -> int:
+        """Save per-detection crops under save_dir/<class name>/ (reference
+        results.py save_crop). Returns the number of crops written."""
+        import cv2
+
+        n = 0
+        if self.boxes is None:
+            return 0
+        stem = Path(file_name or self.path or "im").stem or "im"
+        h, w = self.orig_shape
+        for i, row in enumerate(self.boxes.data):
+            cls = int(row[-1])
+            name = self.names.get(cls, str(cls))
+            x1, y1, x2, y2 = (int(max(0, row[0])), int(max(0, row[1])),
+                              int(min(w, row[2])), int(min(h, row[3])))
+            if x2 <= x1 or y2 <= y1:
+                continue
+            d = Path(save_dir) / name
+            d.mkdir(parents=True, exist_ok=True)
+            out = d / f"{stem}_{i}.jpg"
+            cv2.imwrite(str(out), self.orig_img[y1:y2, x1:x2])
+            n += 1
+        return n
+
+    def update(self, boxes: Optional[np.ndarray] = None, masks: Optional[np.ndarray] = None,
+               probs: Optional[np.ndarray] = None, obb: Optional[np.ndarray] = None):
+        """In-place replacement of prediction tensors (reference results.py update)."""
+        if boxes is not None:
+            self.boxes = Boxes(boxes, self.orig_shape)
+        if masks is not None:
+            self.masks = Masks(masks, self.orig_shape)
+        if probs is not None:
+            self.probs = Probs(probs)
+        if obb is not None:
+            self.obb = OBBoxes(obb, self.orig_shape)
+        return self
+
+    # torch-API compat shims: Results here is numpy/host-backed already
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
 
 def _class_color(cls: int):
     palette = [

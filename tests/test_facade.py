@@ -226,3 +226,41 @@ def test_autobatch_wiring(tmp_path):
     )
     trainer.setup()
     assert int(trainer.args.batch) >= 1, "autobatch did not resolve batch=-1"
+
+
+class TestResultsExtras:
+    """summary / to_df / to_csv / save_crop / update / compat shims."""
+
+    def _res(self):
+        from bsyolo_tpu.engine.results import Results
+
+        img = np.zeros((100, 120, 3), np.uint8)
+        boxes = np.asarray([[10, 10, 60, 60, 0.9, 0], [70, 20, 110, 90, 0.5, 1]], np.float32)
+        return Results(img, "street.jpg", {0: "person", 1: "car"}, boxes=boxes)
+
+    def test_summary_and_df(self):
+        r = self._res()
+        s = r.summary()
+        assert [x["name"] for x in s] == ["person", "car"]
+        assert s[0]["box"]["x2"] == 60.0
+        sn = r.summary(normalize=True)
+        assert sn[0]["box"]["x2"] == 0.5  # 60/120
+        df = r.to_df()
+        assert len(df) == 2 and "confidence" in df.columns
+        assert "person" in r.to_csv()
+
+    def test_save_crop(self, tmp_path):
+        r = self._res()
+        n = r.save_crop(tmp_path)
+        assert n == 2
+        assert (tmp_path / "person").exists() and (tmp_path / "car").exists()
+        import cv2
+
+        crop = cv2.imread(str(next((tmp_path / "person").glob("*.jpg"))))
+        assert crop.shape[:2] == (50, 50)
+
+    def test_update_and_shims(self):
+        r = self._res()
+        assert r.cpu() is r and r.numpy() is r
+        r.update(boxes=np.asarray([[0, 0, 5, 5, 0.1, 1]], np.float32))
+        assert len(r) == 1 and int(r.boxes.cls[0]) == 1
