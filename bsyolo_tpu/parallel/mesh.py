@@ -70,3 +70,27 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
     """Device-put a pytree of host arrays with batch-dim sharding."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def dp_sp_shardings(mesh: Optional[Mesh] = None):
+    """Shardings for a data x spatial (sequence-parallel analog) train step.
+
+    Images shard over ("data", "tile") on (batch, H); labels shard over
+    "data" only. GSPMD inserts the convolution halo exchanges along the
+    sharded H axis and the cross-shard reductions the loss needs — the whole
+    BS-YOLO train step runs unchanged (tests/test_spatial_parallel.py pins
+    loss parity vs plain DP). Use when a single image's activations are the
+    memory bottleneck (large-imgsz training), the training-side counterpart
+    of engine/tiled.py inference.
+
+    Returns (image_sharding, label_sharding, replicated).
+    """
+    mesh = mesh or get_mesh()
+    assert "tile" in mesh.axis_names and "data" in mesh.axis_names, (
+        'dp_sp_shardings needs a 2D mesh: make_mesh(n, axis_names=("data", "tile"))'
+    )
+    return (
+        NamedSharding(mesh, P("data", "tile")),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P()),
+    )
