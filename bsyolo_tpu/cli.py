@@ -89,7 +89,15 @@ def main(argv=None) -> int:
             s.reset()
             LOGGER.info("settings reset to defaults")
         elif rest:
-            s.update(parse_kv(rest))
+            kv = parse_kv(rest)
+            unknown = [k for k in kv if k not in s]
+            if unknown:
+                # reference handle_yolo_settings raises on unknown keys too —
+                # a typo must not silently persist junk
+                raise SyntaxError(
+                    f"unknown settings key(s) {unknown}; valid: {sorted(s)}"
+                )
+            s.update(kv)
         import json as _json
 
         print(_json.dumps(dict(s), indent=2))
@@ -194,8 +202,14 @@ def _run_solution(argv) -> int:
         region = [(0, 0), (10_000, 0), (10_000, 10_000), (0, 10_000)]
     # remaining k=v flow to the solution: constructor options (up_angle,
     # analytics_type, ...) are consumed there; the rest (conf, iou, imgsz,
-    # ...) ride BaseSolution.kwargs into model.track()
-    sol = cls(model=model, region=region, **kv)
+    # ...) ride BaseSolution.kwargs into model.track(). Heatmap/SpeedEstimator/
+    # AIGym/Analytics pin region themselves — region only goes to the
+    # region-parameterized solutions.
+    if region is not None and needs_region:
+        kv["region"] = region
+    elif region is not None:
+        LOGGER.warning(f"solution '{name}' does not take a region; ignoring it")
+    sol = cls(model=model, **kv)
     from bsyolo_tpu.engine.predictor import iter_source
 
     n = 0

@@ -94,10 +94,11 @@ def autosplit(path, weights=(0.9, 0.1, 0.0), annotated_only: bool = False, seed:
     for n in names:
         (path.parent / n).unlink(missing_ok=True)
     counts = [0, 0, 0]
+    from bsyolo_tpu.data.dataset import img2label_path
+
     for img in files:
         if annotated_only:
-            lbl = Path(str(img.parent).replace("images", "labels")) / (img.stem + ".txt")
-            if not lbl.exists():
+            if not Path(img2label_path(str(img))).exists():
                 continue
         i = rng.choices([0, 1, 2], weights=weights, k=1)[0]
         with open(path.parent / names[i], "a") as f:

@@ -51,10 +51,16 @@ def load_dataset_yaml(path) -> Dict:
             root = (path.parent / root).resolve()
     out = dict(d)
     out["path"] = root
+
+    def _resolve(v):
+        if isinstance(v, (list, tuple)):  # multi-dir splits (VOC.yaml etc.)
+            return [_resolve(x) for x in v]
+        p = Path(v)
+        return str(p if p.is_absolute() else root / p)
+
     for split in ("train", "val", "test"):
         if d.get(split):
-            p = Path(d[split])
-            out[split] = str(p if p.is_absolute() else root / p)
+            out[split] = _resolve(d[split])
     names = d.get("names", {})
     if isinstance(names, list):
         names = dict(enumerate(names))
@@ -170,7 +176,12 @@ class YOLODataset:
             return False
 
     @staticmethod
-    def _list_images(img_path: str) -> List[str]:
+    def _list_images(img_path) -> List[str]:
+        if isinstance(img_path, (list, tuple)):  # multi-dir splits (VOC.yaml)
+            out: List[str] = []
+            for p in img_path:
+                out.extend(YOLODataset._list_images(p))
+            return out
         p = Path(img_path)
         files: List[str] = []
         if p.is_dir():

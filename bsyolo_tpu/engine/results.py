@@ -293,6 +293,25 @@ class Results:
             top = int(self.probs.top1)
             return [{"name": self.names.get(top, str(top)), "class": top,
                      "confidence": round(float(self.probs.top1conf), 5)}]
+        if self.boxes is None and self.obb is not None:
+            # OBB predictions carry no axis-aligned boxes (reference summary
+            # falls back to obb the same way)
+            # OBBoxes columns: x, y, w, h, [track_id], conf, cls, angle
+            for row in self.obb.data:
+                cls = int(row[-2])
+                rows.append({
+                    "name": self.names.get(cls, str(cls)),
+                    "class": cls,
+                    "confidence": round(float(row[-3]), 5),
+                    "box": {
+                        "cx": round(float(row[0]) / div[0], 5 if normalize else 2),
+                        "cy": round(float(row[1]) / div[1], 5 if normalize else 2),
+                        "w": round(float(row[2]) / div[0], 5 if normalize else 2),
+                        "h": round(float(row[3]) / div[1], 5 if normalize else 2),
+                        "angle": round(float(row[-1]), 5),
+                    },
+                })
+            return rows
         if self.boxes is not None:
             for i, row in enumerate(self.boxes.data):
                 cls = int(row[-1])

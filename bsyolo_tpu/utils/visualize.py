@@ -153,10 +153,13 @@ def grad_cam(
         grads, _ = jax.grad(score_fn, has_aux=True)(zeros)
         g = np.asarray(grads[key][0], np.float32)  # (h, w, c)
         if method == "gradcampp":
-            # alpha-weighted positive gradients (Grad-CAM++ eq. 19)
+            # alpha-weighted positive gradients (Grad-CAM++ eq. 19 /
+            # pytorch_grad_cam: denom = 2g^2 + (sum_space a) * g^3, pointwise)
             g2, g3 = g * g, g * g * g
-            denom = 2.0 * g2 + (a * g3).sum(axis=(0, 1), keepdims=True)
+            sum_a = a.sum(axis=(0, 1), keepdims=True)
+            denom = 2.0 * g2 + sum_a * g3
             alpha = g2 / np.where(denom != 0, denom, 1e-8)
+            alpha = np.where(g != 0, alpha, 0.0)
             w = (alpha * np.maximum(g, 0.0)).sum(axis=(0, 1))
         elif method == "gradcam":
             w = g.mean(axis=(0, 1))  # GAP over space -> per-channel weight

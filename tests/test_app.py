@@ -246,6 +246,30 @@ class TestCLIVerbs:
         ])
         assert rc == 0
 
+    def test_solutions_heatmap_no_region(self, tmp_path):
+        """heatmap/speed pin their own region; the verb must not crash."""
+        import cv2
+
+        from bsyolo_tpu.cli import main
+
+        img = np.full((96, 96, 3), 60, np.uint8)
+        cv2.imwrite(str(tmp_path / "a.jpg"), img)
+        rc = main([
+            "solutions", "heatmap",
+            f"model={Path(__file__).parent / 'fixtures' / 'tiny.yaml'}",
+            f"source={tmp_path}", "conf=0.0001", "imgsz=96",
+        ])
+        assert rc == 0
+
+    def test_settings_rejects_unknown_key(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("HOME", str(tmp_path))
+        import pytest as _pytest
+
+        from bsyolo_tpu.cli import main
+
+        with _pytest.raises(SyntaxError):
+            main(["settings", "datasets_dri=/data"])
+
     def test_solutions_unknown_name(self):
         import pytest as _pytest
 

@@ -400,3 +400,59 @@ class TestAutosplitAndCAMs:
         )
         assert cam.ndim == 2 and 0.0 <= cam.min() and cam.max() <= 1.0
         assert overlay.shape == img.shape
+
+
+class TestListSplitsAndObbSummary:
+    def test_voc_style_list_splits_resolve_and_load(self, tmp_path):
+        """Dataset yaml with list-valued train (VOC.yaml convention)."""
+        import shutil
+
+        import yaml
+
+        from bsyolo_tpu.data import YOLODataset, load_dataset_yaml
+
+        src = Path("tests/fixtures/bsyolo8")
+        if not src.exists():
+            pytest.skip("bsyolo8 fixture absent")
+        shutil.copytree(src / "images" / "train", tmp_path / "images" / "a")
+        shutil.copytree(src / "images" / "train", tmp_path / "images" / "b")
+        shutil.copytree(src / "labels" / "train", tmp_path / "labels" / "a")
+        shutil.copytree(src / "labels" / "train", tmp_path / "labels" / "b")
+        cfgp = tmp_path / "d.yaml"
+        cfgp.write_text(yaml.safe_dump({
+            "path": ".", "train": ["images/a", "images/b"],
+            "names": {0: "x", 1: "y"},
+        }))
+        d = load_dataset_yaml(cfgp)
+        assert isinstance(d["train"], list) and len(d["train"]) == 2
+        ds = YOLODataset(d["train"], imgsz=64, augment=False, max_gt=8)
+        assert len(ds) == 16  # both dirs listed
+
+    def test_bundled_voc_resolves(self):
+        from bsyolo_tpu.data import load_dataset_yaml
+
+        d = load_dataset_yaml("VOC.yaml")  # list-valued splits must not crash
+        assert isinstance(d["train"], list)
+
+    def test_obb_summary(self):
+        from bsyolo_tpu.engine.results import Results
+
+        img = np.zeros((100, 100, 3), np.uint8)
+        obb = np.asarray([[50, 50, 20, 10, 0.9, 0, 0.3]], np.float32)
+        r = Results(img, "x.jpg", {0: "plane"}, obb=obb)
+        s = r.summary()
+        assert s and s[0]["name"] == "plane" and s[0]["confidence"] == 0.9
+        assert s[0]["box"]["angle"] == 0.3
+
+    def test_autosplit_nested_images_dirname(self, tmp_path):
+        """'images' appearing earlier in the path must not break label lookup."""
+        from bsyolo_tpu.data.converter import autosplit
+
+        root = tmp_path / "product_images"
+        (root / "images" / "train").mkdir(parents=True)
+        (root / "labels" / "train").mkdir(parents=True)
+        for i in range(4):
+            (root / "images" / "train" / f"{i}.jpg").write_bytes(b"x")
+            (root / "labels" / "train" / f"{i}.txt").write_text("0 .5 .5 .1 .1")
+        c = autosplit(root / "images", (1.0, 0.0, 0.0), annotated_only=True)
+        assert sum(c) == 4
