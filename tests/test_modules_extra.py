@@ -453,3 +453,45 @@ class TestGradFlow:
         assert all(np.all(np.isfinite(np.asarray(t))) for t in leaves)
         total = sum(float(jnp.sum(jnp.abs(t))) for t in leaves)
         assert total > 0
+
+
+@pytest.mark.slow
+class TestExperimentalGraphTraining:
+    def test_train_run_with_exotic_blocks(self, tmp_path):
+        """A detect graph mixing experimental blocks trains to a real mAP on
+        the synthetic 2-class set (same bar as the stock tiny graph)."""
+        from test_e2e_train import make_synthetic_dataset
+
+        from bsyolo_tpu.engine.trainer import DetectionTrainer
+
+        graph = tmp_path / "exotic.yaml"
+        graph.write_text(
+            """
+nc: 2
+backbone:
+  - [-1, 1, Conv, [16, 3, 2]]
+  - [-1, 1, GSConv, [32, 3, 2]]
+  - [-1, 1, C3K2_OAtention, [32, False]]
+  - [-1, 1, CoordAtt, [32]]
+  - [-1, 1, Conv, [64, 3, 2]]
+  - [-1, 1, C3k2_IEL, [64, False]]
+  - [-1, 1, Conv, [128, 3, 2]]
+  - [-1, 1, C3K2_MultiOGA, [128, False]]
+  - [-1, 1, SimSPPF, [128, 5]]
+head:
+  - [[5, 7, 8], 1, Detect, [nc]]
+"""
+        )
+        data_yaml = make_synthetic_dataset(tmp_path / "ds")
+        trainer = DetectionTrainer(
+            overrides={
+                "model": str(graph), "data": str(data_yaml), "epochs": 20,
+                "batch": 8, "imgsz": 96, "optimizer": "SGD", "lr0": 0.02,
+                "warmup_epochs": 1.0, "close_mosaic": 8,
+                "project": str(tmp_path / "runs"), "name": "x", "max_gt": 32,
+                "amp": False, "patience": 100, "nbs": 8,
+            }
+        )
+        metrics = trainer.train()
+        assert metrics is not None
+        assert metrics.box.map50 > 0.4, f"mAP50 too low: {metrics.box.map50}"
