@@ -2,10 +2,15 @@
 
 from bsyolo_tpu.parallel.mesh import (
     batch_sharding,
+    dp_sp_shardings,
     get_mesh,
     make_mesh,
     replicated_sharding,
     shard_batch,
 )
+from bsyolo_tpu.parallel.tp import apply_tp, sam_encoder_tp_shardings
 
-__all__ = ["make_mesh", "get_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh", "get_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+    "dp_sp_shardings", "apply_tp", "sam_encoder_tp_shardings",
+]
