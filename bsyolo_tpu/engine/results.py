@@ -238,25 +238,8 @@ class Results:
         return filename
 
     def to_json(self) -> str:
-        rows = []
-        if self.boxes is not None:
-            for row in self.boxes.data:
-                cls = int(row[-1])
-                rec = {
-                    "name": self.names.get(cls, str(cls)),
-                    "class": cls,
-                    "confidence": round(float(row[-2]), 5),
-                    "box": {
-                        "x1": round(float(row[0]), 2),
-                        "y1": round(float(row[1]), 2),
-                        "x2": round(float(row[2]), 2),
-                        "y2": round(float(row[3]), 2),
-                    },
-                }
-                if self.boxes.is_track:
-                    rec["track_id"] = int(row[4])
-                rows.append(rec)
-        return json.dumps(rows, indent=2)
+        # one row builder for json/df/csv (summary handles boxes, OBB, probs)
+        return json.dumps(self.summary(), indent=2)
 
     def save_txt(self, txt_file: str, save_conf: bool = False):
         """YOLO-format txt (reference results.py:716)."""
@@ -299,18 +282,21 @@ class Results:
             # OBBoxes columns: x, y, w, h, [track_id], conf, cls, angle
             for row in self.obb.data:
                 cls = int(row[-2])
-                rows.append({
+                rec = {
                     "name": self.names.get(cls, str(cls)),
                     "class": cls,
                     "confidence": round(float(row[-3]), 5),
-                    "box": {
-                        "cx": round(float(row[0]) / div[0], 5 if normalize else 2),
-                        "cy": round(float(row[1]) / div[1], 5 if normalize else 2),
-                        "w": round(float(row[2]) / div[0], 5 if normalize else 2),
-                        "h": round(float(row[3]) / div[1], 5 if normalize else 2),
-                        "angle": round(float(row[-1]), 5),
-                    },
-                })
+                }
+                if self.obb.is_track:
+                    rec["track_id"] = int(row[4])
+                rows.append(rec)
+                rec["box"] = {
+                    "cx": round(float(row[0]) / div[0], 5 if normalize else 2),
+                    "cy": round(float(row[1]) / div[1], 5 if normalize else 2),
+                    "w": round(float(row[2]) / div[0], 5 if normalize else 2),
+                    "h": round(float(row[3]) / div[1], 5 if normalize else 2),
+                    "angle": round(float(row[-1]), 5),
+                }
             return rows
         if self.boxes is not None:
             for i, row in enumerate(self.boxes.data):

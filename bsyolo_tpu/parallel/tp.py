@@ -3,22 +3,28 @@
 The reference has no tensor parallelism anywhere (its only strategy is DDP;
 SURVEY.md §2.7). It does, however, ship SAM ViT-H — a 632M-parameter
 encoder, by far the largest graph in the zoo — and on TPU the natural way to
-scale it is Megatron-style sharding expressed as GSPMD annotations:
+scale it is GSPMD parameter sharding. This module shards every attention and
+MLP weight on its CONTRACTION dimension (row-parallel):
 
-- attention qkv: kernel (C, 3C) sharded on the output dim -> each device
-  computes a head subset
-- attention proj: kernel (C, C) sharded on the input dim -> XLA inserts the
-  all-reduce of the partial sums
-- MLP lin1 (C, 4C) out-sharded / lin2 (4C, C) in-sharded -> one all-reduce
-  per block
+- qkv (C, 3C) and MLP lin1 (C, 4C): kernel sharded on the input dim — each
+  device multiplies its slice of the contraction and XLA all-reduces the
+  partial sums
+- proj (C, C) and lin2 (4C, C): likewise in-dim sharded
+
+Contraction sharding distributes BOTH the weight memory (each device holds
+1/axis of every sharded kernel — the lever that fits ViT-H's attention+MLP
+weights into small-HBM chips) and the matmul FLOPs. What it does NOT split
+is the attention-score/softmax stage itself: the checkpoint's fused qkv
+layout orders the output dim as (3, heads, head_dim), and a contiguous
+GSPMD shard of 3C cannot express a per-head split (classic Megatron
+column-parallel needs unfused or head-major weights — checkpoint surgery
+this framework deliberately avoids to keep torch->flax conversion exact).
 
 No model changes: `sam_encoder_tp_shardings` walks the parameter tree and
 assigns a NamedSharding per leaf; jit with those in_shardings and XLA
 propagates the rest (tests/test_spatial_parallel.py::TestSamTensorParallel
 pins numerics vs the replicated run and that the weights are actually
-distributed). Per-device parameter memory for the sharded layers drops by
-the mesh axis size — the lever that fits ViT-H attention+MLP weights into
-small-HBM chips.
+distributed).
 """
 
 from __future__ import annotations
@@ -30,16 +36,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bsyolo_tpu.parallel.mesh import get_mesh
 
-# (path-suffix match, leaf name) -> PartitionSpec over the model axis
+# (path-suffix match, leaf name) -> PartitionSpec over the model axis.
+# All kernels shard the contraction (input) dim; biases stay replicated
+# (they add to the post-all-reduce full activation).
 _RULES = [
-    (("qkv",), "kernel", P(None, "model")),
-    (("qkv",), "bias", P("model")),
+    (("qkv",), "kernel", P("model", None)),
     (("proj",), "kernel", P("model", None)),
-    (("proj",), "bias", P()),
-    (("mlp", "lin1"), "kernel", P(None, "model")),
-    (("mlp", "lin1"), "bias", P("model")),
+    (("mlp", "lin1"), "kernel", P("model", None)),
     (("mlp", "lin2"), "kernel", P("model", None)),
-    (("mlp", "lin2"), "bias", P()),
 ]
 
 

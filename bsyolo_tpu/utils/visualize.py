@@ -158,7 +158,10 @@ def grad_cam(
             g2, g3 = g * g, g * g * g
             sum_a = a.sum(axis=(0, 1), keepdims=True)
             denom = 2.0 * g2 + sum_a * g3
-            alpha = g2 / np.where(denom != 0, denom, 1e-8)
+            # exact-zero denom -> divide by 1 (pytorch_grad_cam's ones_like
+            # substitution); 1e-8 here would inflate alpha ~1e8x at
+            # cancelling pixels and let one location dominate the CAM
+            alpha = g2 / np.where(denom != 0, denom, 1.0)
             alpha = np.where(g != 0, alpha, 0.0)
             w = (alpha * np.maximum(g, 0.0)).sum(axis=(0, 1))
         elif method == "gradcam":

@@ -428,11 +428,13 @@ class TestListSplitsAndObbSummary:
         ds = YOLODataset(d["train"], imgsz=64, augment=False, max_gt=8)
         assert len(ds) == 16  # both dirs listed
 
-    def test_bundled_voc_resolves(self):
+    def test_bundled_voc_resolves(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("HOME", str(tmp_path))  # SettingsManager writes there
         from bsyolo_tpu.data import load_dataset_yaml
 
         d = load_dataset_yaml("VOC.yaml")  # list-valued splits must not crash
         assert isinstance(d["train"], list)
+        assert all(str(tmp_path) in str(x) for x in d["train"])
 
     def test_obb_summary(self):
         from bsyolo_tpu.engine.results import Results

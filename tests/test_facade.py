@@ -264,3 +264,18 @@ class TestResultsExtras:
         assert r.cpu() is r and r.numpy() is r
         r.update(boxes=np.asarray([[0, 0, 5, 5, 0.1, 1]], np.float32))
         assert len(r) == 1 and int(r.boxes.cls[0]) == 1
+
+
+class TestObbTrackSummary:
+    def test_obb_track_rows_carry_track_id_and_json_matches_summary(self):
+        import json as _json
+
+        from bsyolo_tpu.engine.results import Results
+
+        img = np.zeros((100, 100, 3), np.uint8)
+        # 8-col tracked OBB: x, y, w, h, track_id, conf, cls, angle
+        obb = np.asarray([[50, 50, 20, 10, 7, 0.9, 0, 0.3]], np.float32)
+        r = Results(img, "x.jpg", {0: "plane"}, obb=obb)
+        s = r.summary()
+        assert s[0]["track_id"] == 7 and s[0]["box"]["angle"] == 0.3
+        assert _json.loads(r.to_json()) == s

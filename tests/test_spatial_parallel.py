@@ -58,7 +58,6 @@ class TestSpatialTrainStep:
         from bsyolo_tpu.engine.optim import OptimConfig
         from bsyolo_tpu.engine.train_step import StepConfig, init_train_state, make_train_step
         from bsyolo_tpu.losses import DetectionLossConfig
-        from bsyolo_tpu.parallel import make_mesh
         from bsyolo_tpu.parallel.mesh import dp_sp_shardings
 
         img_size, batch, M = 64, 4, 8
@@ -78,7 +77,8 @@ class TestSpatialTrainStep:
             "mask": np.pad(np.ones((batch, 1), np.float32), ((0, 0), (0, M - 1))),
         }
 
-        mesh = make_mesh(8, axis_names=("data", "tile"))
+        # direct Mesh (no make_mesh): avoid polluting the get_mesh() cache
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "tile"))
         img_sh, lbl_sh, rep = dp_sp_shardings(mesh)
         state = jax.device_put(init_train_state(variables), rep)
         b = {k: jax.device_put(v, img_sh if k == "img" else lbl_sh) for k, v in hb.items()}
@@ -108,7 +108,6 @@ class TestSamTensorParallel:
 
     def test_tp_encoder_matches_replicated(self):
         from bsyolo_tpu.models.sam.modules import ImageEncoderViT
-        from bsyolo_tpu.parallel import make_mesh
         from bsyolo_tpu.parallel.tp import apply_tp
 
         enc = ImageEncoderViT(img_size=64, patch_size=16, embed_dim=64, depth=2,
@@ -127,7 +126,10 @@ class TestSamTensorParallel:
         )
         ref = jax.jit(enc.apply)(variables, x)
 
-        mesh = make_mesh(8, axis_names=("model",))
+        # construct the Mesh directly: make_mesh would cache a ("model",)-only
+        # mesh in the module-global used by get_mesh(), breaking later tests
+        # in the same process that build P("data") shardings off it
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
         placed, shardings = apply_tp(variables, mesh)
         rep = NamedSharding(mesh, P())
         out = jax.jit(enc.apply, in_shardings=(shardings, rep), out_shardings=rep)(
@@ -136,10 +138,10 @@ class TestSamTensorParallel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
         # the attention/MLP weights are actually distributed: each device
-        # holds 1/8 of the qkv kernel's output dim
+        # holds 1/8 of the qkv kernel's contraction dim
         flat = jax.tree_util.tree_leaves_with_path(placed)
         qkv = [v for p, v in flat if any(getattr(k, "key", "") == "qkv" for k in p)
                and v.ndim == 2]
         assert qkv, "no qkv kernels found"
         shard_shape = qkv[0].sharding.shard_shape(qkv[0].shape)
-        assert shard_shape[1] == qkv[0].shape[1] // 8
+        assert shard_shape[0] == qkv[0].shape[0] // 8
