@@ -257,6 +257,20 @@ class YOLO:
 
         return export_model(self, format=format, **kwargs)
 
+    def benchmark(self, imgsz: int = 320, out_dir: str = "runs/benchmark"):
+        """Export to every supported format and verify each artifact runs
+        (reference Model.benchmark, engine/model.py:643)."""
+        from bsyolo_tpu.utils.benchmarks import benchmark
+
+        return benchmark(self, imgsz=imgsz, out_dir=out_dir)
+
+    def tune(self, iterations: int = 10, space=None, tune_dir: str = "runs/tune", **overrides):
+        """Mutation-evolution hyperparameter search (reference Model.tune)."""
+        from bsyolo_tpu.engine.tuner import Tuner
+
+        overrides.setdefault("model", self.model_path)
+        return Tuner(overrides, space=space, tune_dir=tune_dir)(iterations=iterations)
+
     def info(self):
         from bsyolo_tpu.nn.model import count_params
 

@@ -279,3 +279,39 @@ class TestObbTrackSummary:
         s = r.summary()
         assert s[0]["track_id"] == 7 and s[0]["box"]["angle"] == 0.3
         assert _json.loads(r.to_json()) == s
+
+
+class TestBenchmarkTuneVerbs:
+    def test_model_benchmark_exports_all_formats(self, tmp_path):
+        from bsyolo_tpu import YOLO
+
+        m = YOLO(str(Path(__file__).parent / "fixtures" / "tiny.yaml"))
+        m._img_size = 96
+        rows = m.benchmark(imgsz=96, out_dir=str(tmp_path))
+        by_fmt = {r["format"]: r for r in rows}
+        assert by_fmt["stablehlo"]["status"] == "ok"
+        assert by_fmt["params"]["status"] == "ok"
+        assert all(r["size_mb"] for r in rows if r["status"] == "ok")
+
+    def test_model_tune_binds_tuner(self, monkeypatch):
+        """facade tune() passes model/overrides/iterations into the Tuner."""
+        import bsyolo_tpu.engine.tuner as T
+        from bsyolo_tpu import YOLO
+
+        calls = {}
+
+        class FakeTuner:
+            def __init__(self, overrides, space=None, tune_dir="runs/tune"):
+                calls["overrides"] = overrides
+
+            def __call__(self, iterations=10):
+                calls["iterations"] = iterations
+                return {"best": True}
+
+        monkeypatch.setattr(T, "Tuner", FakeTuner)
+        m = YOLO(str(Path(__file__).parent / "fixtures" / "tiny.yaml"))
+        out = m.tune(iterations=3, data="car.yaml")
+        assert out == {"best": True}
+        assert calls["iterations"] == 3
+        assert calls["overrides"]["data"] == "car.yaml"
+        assert "tiny.yaml" in str(calls["overrides"]["model"])
