@@ -7,9 +7,12 @@ Same grammar as the reference `yolo` tool:
     python -m bsyolo_tpu predict model=best.ckpt source=img.jpg
     python -m bsyolo_tpu val model=best.ckpt data=car.yaml
     python -m bsyolo_tpu export model=best.ckpt format=stablehlo
-    python -m bsyolo_tpu cfg | version | help | checks
+    python -m bsyolo_tpu cfg | version | help | checks | settings | copy-cfg
+    python -m bsyolo_tpu settings datasets_dir=/data/datasets
+    python -m bsyolo_tpu solutions count source=video.mp4 region="[(0,360),(1280,360)]"
 
 TASK defaults to detect; MODE is required (train/val/predict/track/export/benchmark).
+Solutions: count, heatmap, speed, queue, workout, analytics, trackzone.
 """
 
 from __future__ import annotations
