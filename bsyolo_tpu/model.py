@@ -49,7 +49,9 @@ class YOLO:
         import jax.numpy as jnp
 
         from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+        from bsyolo_tpu.utils.settings import enable_compilation_cache
 
+        enable_compilation_cache()  # repeat processes skip the first compile
         path = model_yaml_path(yaml_name)
         d = load_model_yaml(path)
         self.spec = parse_model_yaml(d, scale=d.get("scale", ""))

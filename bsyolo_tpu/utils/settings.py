@@ -25,7 +25,29 @@ def _defaults(root: Path) -> Dict[str, Any]:
         "tensorboard": True,
         "jsonl": True,
         "sync": False,  # no telemetry in this build
+        # persistent XLA compilation cache: repeat predict/train processes
+        # skip the 25-60s first-compile; "" disables
+        "compilation_cache_dir": str(root.parent / "bsyolo_tpu" / "jax_cache"),
     }
+
+
+def enable_compilation_cache(settings=None) -> str:
+    """Point jax at the persistent compilation cache (idempotent; respects an
+    explicit JAX_COMPILATION_CACHE_DIR env or jax.config already set)."""
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:  # already configured (tests, env)
+        return jax.config.jax_compilation_cache_dir
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or (
+        (settings or SettingsManager()).get("compilation_cache_dir") or ""
+    )
+    if not d:
+        return ""
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return d
 
 
 class SettingsManager(dict):

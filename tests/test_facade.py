@@ -315,3 +315,25 @@ class TestBenchmarkTuneVerbs:
         assert calls["iterations"] == 3
         assert calls["overrides"]["data"] == "car.yaml"
         assert "tiny.yaml" in str(calls["overrides"]["model"])
+
+
+class TestCompilationCache:
+    def test_persistent_cache_enabled_and_respected(self, tmp_path, monkeypatch):
+        import jax
+
+        from bsyolo_tpu.utils.settings import enable_compilation_cache
+
+        # explicit config (the test conftest sets one) is respected untouched
+        before = jax.config.jax_compilation_cache_dir
+        assert enable_compilation_cache() == before
+
+        # with no prior config, the settings value is applied
+        monkeypatch.setenv("HOME", str(tmp_path))
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            d = enable_compilation_cache()
+            assert d and "jax_cache" in d
+            assert jax.config.jax_compilation_cache_dir == d
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
