@@ -34,9 +34,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _require_device(timeout_s: int = 600):
+    """Fail fast with a diagnostic if the TPU relay is unreachable.
+
+    jax.devices() through the relay BLOCKS forever when the terminal is down
+    (observed round 3: multi-hour outage); a bounded probe turns a silent
+    driver-timeout into an explanation. os._exit because the hung probe
+    thread cannot be cancelled."""
+    import threading
+
+    devs = []
+
+    def probe():
+        import jax
+
+        devs.extend(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(
+            f"bench.py: jax.devices() did not return within {timeout_s}s — "
+            "TPU relay unreachable; no measurement possible on this host",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(3)
+    return devs
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _require_device(int(os.environ.get("BENCH_DEVICE_TIMEOUT", 600)))
 
     from bsyolo_tpu.cfg import model_yaml_path
     from bsyolo_tpu.kernels.postprocess import detect_postprocess
