@@ -107,7 +107,7 @@ class YOLO:
             self.trainer = trainer
             self._predictor = None
             return self.metrics
-        trainer = DetectionTrainer(overrides=overrides)
+        trainer = DetectionTrainer(overrides=overrides, callbacks=getattr(self, "_callbacks", None))
         self.metrics = trainer.train()
         # adopt trained EMA weights + spec
         self.spec = trainer.spec
@@ -229,6 +229,68 @@ class YOLO:
 
     def __call__(self, source, **kwargs):
         return self.predict(source, **kwargs)
+
+    def embed(self, source, stream: bool = False, **kwargs):
+        """Pooled per-image feature embeddings (reference Model.embed,
+        engine/model.py:465-497): global-average-pool the requested layers'
+        activations (default: the second-to-last layer, like the reference)
+        and return one 1-D vector per image (nn/tasks.py:161-164 semantics).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.engine.predictor import iter_source
+        from bsyolo_tpu.ops.letterbox import letterbox_image
+
+        assert self.model is not None, "no model loaded"
+        idxs = tuple(kwargs.get("embed") or (len(self.spec.layers) - 2,))
+        imgsz = kwargs.get("imgsz") or self._img_size
+
+        @jax.jit
+        def fwd(variables, x):
+            return self.model.apply(
+                variables, x.astype(jnp.float32) / 255.0, train=False, embed=idxs
+            )
+
+        def gen():
+            for frame, _path, _isvid in iter_source(source, kwargs.get("vid_stride", 1)):
+                lb, _, _ = letterbox_image(frame, (imgsz, imgsz))
+                rgb = np.ascontiguousarray(lb[..., ::-1]) if lb.ndim == 3 else lb
+                yield np.asarray(fwd(self.variables, jnp.asarray(rgb[None])))[0]
+
+        return gen() if stream else list(gen())
+
+    def fuse(self):
+        """Reference Model.fuse folds BN into conv weights for inference
+        (torch_utils.py:242). Here the BN is already a per-channel affine that
+        XLA fuses into the conv epilogue at compile time (nn/modules.py:14),
+        so there is nothing to do at the parameter level — kept for API parity.
+        """
+        return self
+
+    def reset_weights(self) -> "YOLO":
+        """Re-initialize all parameters (reference Model.reset_weights)."""
+        from bsyolo_tpu.nn import build_model
+
+        assert self.spec is not None, "no model loaded"
+        self.model, self.variables = build_model(self.spec, img_size=self._img_size)
+        self._predictor = None
+        return self
+
+    # --- callback bus (reference Model.add_callback/clear_callback) ---------
+    def add_callback(self, event: str, fn):
+        if not hasattr(self, "_callbacks") or self._callbacks is None:
+            from bsyolo_tpu.utils.callbacks import default_callbacks
+
+            self._callbacks = default_callbacks()
+        self._callbacks.add(event, fn)
+
+    def clear_callback(self, event: str):
+        if getattr(self, "_callbacks", None) is not None:
+            self._callbacks._cbs.pop(event, None)
+
+    def reset_callbacks(self):
+        self._callbacks = None
 
     def track(self, source, persist: bool = False, tracker: str = "bytetrack.yaml", **kwargs):
         """Detection + multi-object tracking (reference engine/model.py:560)."""

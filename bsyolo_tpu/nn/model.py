@@ -215,13 +215,15 @@ class DetectionGraph(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False, text: Array = None, targets=None,
-                 perturb: bool = False, return_saved: bool = False):
+                 perturb: bool = False, return_saved: bool = False,
+                 embed: tuple = ()):
         spec = self.spec
         if getattr(spec, "act", "silu") != M.default_act():
             # yaml `activation:` override (yolov6's nn.ReLU); trace-time
             # global, the analog of reference Conv.default_act
             M.set_default_act(spec.act)
         saved: Dict[int, Array] = {}
+        embeddings: list = []  # pooled per-layer features when embed is set
         prev: Array = x
         txt = ori_txt = None
         if any(l.module in ("C2fAttn", "ImagePoolingAttn", "WorldDetect") for l in spec.layers):
@@ -320,6 +322,18 @@ class DetectionGraph(nn.Module):
                 prev = self.perturb(f"l{layer.i}", prev)
             if layer.i in spec.save:
                 saved[layer.i] = prev
+            if embed and layer.i in embed:
+                # reference nn/tasks.py:161-164: adaptive_avg_pool2d(x,(1,1))
+                # per embed layer, concatenated over channels; the graph walk
+                # stops at the last requested layer (static tuple -> static
+                # trace, later layers never enter the compiled program)
+                e = prev
+                embeddings.append(
+                    jnp.mean(e, axis=(1, 2)) if getattr(e, "ndim", 0) == 4
+                    else jnp.reshape(e, (e.shape[0], -1))
+                )
+                if layer.i == max(embed):
+                    return jnp.concatenate(embeddings, axis=1)
         if return_saved:
             # (output, save-list features) — used by the per-stage profiler so
             # a truncated prefix graph keeps every branch observable (XLA

@@ -337,3 +337,36 @@ class TestCompilationCache:
             assert jax.config.jax_compilation_cache_dir == d
         finally:
             jax.config.update("jax_compilation_cache_dir", before)
+
+
+class TestEmbedAndApiParity:
+    def test_embed_returns_pooled_vectors(self, yolo):
+        """Model.embed (reference engine/model.py:465): one 1-D vector per
+        image, default tap = second-to-last layer, stable across calls."""
+        img = square_image()
+        embs = yolo.embed([img, img])
+        assert len(embs) == 2
+        assert embs[0].ndim == 1 and embs[0].shape[0] > 0
+        np.testing.assert_allclose(embs[0], embs[1], rtol=1e-5)
+        # explicit multi-layer tap concatenates channel pools (tasks.py:161-164)
+        multi = yolo.embed(img, embed=[2, len(yolo.spec.layers) - 2])[0]
+        assert multi.shape[0] > embs[0].shape[0]
+        # streaming variant yields lazily
+        gen = yolo.embed(img, stream=True)
+        assert next(iter(gen)).shape == embs[0].shape
+
+    def test_fuse_reset_weights_callbacks(self, yolo):
+        assert yolo.fuse() is yolo  # API parity no-op (BN folded by XLA)
+        import jax
+
+        before = jax.tree_util.tree_leaves(yolo.variables["params"])[0].copy()
+        yolo.reset_weights()
+        after = jax.tree_util.tree_leaves(yolo.variables["params"])[0]
+        assert before.shape == after.shape  # same graph, fresh init
+        seen = []
+        yolo.add_callback("on_train_start", lambda t: seen.append(1))
+        assert yolo._callbacks.get("on_train_start")
+        yolo.clear_callback("on_train_start")
+        assert not yolo._callbacks.get("on_train_start")
+        yolo.reset_callbacks()
+        assert yolo._callbacks is None
