@@ -48,6 +48,11 @@ class StepConfig(NamedTuple):
     weight_decay: float  # already scaled by batch*accumulate/nbs
     max_grad_norm: float = 10.0
     pass_targets: bool = False  # feed gt into model.apply (RT-DETR CDN)
+    frozen: tuple = ()  # top-level param keys ("m0", ...) excluded from updates
+    #   (reference trainer.py:252 freeze-layers: requires_grad=False params
+    #   are absent from the torch optimizer step, so here their grads are
+    #   zeroed before clipping AND their values restored after the update —
+    #   decoupled weight decay must not erode frozen weights either)
 
 
 def init_train_state(variables) -> TrainState:
@@ -116,6 +121,12 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
             state.params
         )
 
+        if cfg.frozen:
+            grads = {
+                k: jax.tree_util.tree_map(jnp.zeros_like, v) if k in cfg.frozen else v
+                for k, v in grads.items()
+            }
+
         acc = jax.tree_util.tree_map(jnp.add, state.acc_grads, grads)
         ni = state.step
         accumulate = O.warmup_accumulate(
@@ -148,6 +159,11 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
                     state.params, clipped, state.slot0, grp, lr_main, lr_bias, mom, cfg.weight_decay
                 )
                 s1 = state.slot1
+            if cfg.frozen:
+                new_params = {
+                    k: state.params[k] if k in cfg.frozen else v
+                    for k, v in new_params.items()
+                }
             new_updates = state.ema_updates + 1
             new_ema = O.ema_update(state.ema_params, new_params, new_updates)
             zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)

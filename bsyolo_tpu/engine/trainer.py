@@ -16,6 +16,7 @@ from types import SimpleNamespace
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from bsyolo_tpu.cfg import get_cfg, model_yaml_path
@@ -148,6 +149,8 @@ class DetectionTrainer:
         self.model, variables = build_model(
             self.spec, img_size=args.imgsz, dtype=dtype, seed=args.seed
         )
+        if isinstance(args.pretrained, str) and args.pretrained.lower() not in ("true", "false", ""):
+            variables = self._load_pretrained(variables, args.pretrained)
 
         if args.batch is not None and int(args.batch) < 1:
             args.batch = self._autobatch(variables)
@@ -222,6 +225,7 @@ class DetectionTrainer:
             nw=nw,
             use_adamw=opt.name in ("AdamW", "Adam", "NAdam", "RAdam"),
             weight_decay=wd,
+            frozen=self._frozen_keys(variables),
         )
         criterion = None
         item_names = None
@@ -307,8 +311,106 @@ class DetectionTrainer:
             self.validator = DetectionValidator(self.model, self.spec, names=data.get("names"))
         self.csv_path = self.save_dir / "results.csv"
 
+        # multi_scale (reference detect/train.py preprocess_batch): the
+        # reference draws a continuous size in [0.5, 1.5]*imgsz each step —
+        # on TPU that is a recompile per novel shape, so the TPU-native form
+        # is a small static bucket set (each bucket compiles once, cached
+        # persistently). Detect-family only: rescaling imgs without the
+        # proto-res mask tensors would silently corrupt segment training.
+        self._ms_sizes = None
+        self._ms_fns = {}
+        if args.multi_scale and task == "detect":
+            self._ms_sizes = sorted(
+                {max(32, int(round(args.imgsz * f / 32)) * 32) for f in (0.5, 0.75, 1.0, 1.25, 1.5)}
+            )
+            LOGGER.info(f"multi_scale: bucketed sizes {self._ms_sizes}")
+
         if self.args.resume:
             self._resume()
+
+    def _apply_multi_scale(self, batch, ni: int):
+        """Device-side bilinear rescale of the image batch to a random
+        bucket size; normalized xywh labels are scale-invariant so only the
+        pixels move. One compile per bucket (jit caches by shape)."""
+        sz = int(self._ms_sizes[np.random.default_rng((self.args.seed, ni)).integers(len(self._ms_sizes))])
+        if sz == int(batch["img"].shape[1]):
+            return batch
+        fn = self._ms_fns.get(sz)
+        if fn is None:
+            import jax.image
+
+            def resize(x, _sz=sz):
+                b = x.shape[0]
+                return jax.image.resize(x, (b, _sz, _sz, x.shape[3]), method="bilinear")
+
+            fn = self._ms_fns[sz] = jax.jit(resize)
+        out = dict(batch)
+        out["img"] = fn(batch["img"])
+        return out
+
+    def _load_pretrained(self, variables, path: str):
+        """args.pretrained=<path>: warm-start from a .ckpt (EMA preferred,
+        reference-style) or a reference .pt via the torch converter. Leaves
+        whose path or shape differ (e.g. a different-nc head) keep their
+        fresh init — the reference's shape-filtered intersect_dicts load."""
+        if path.endswith(".pt"):
+            from bsyolo_tpu.utils.torch_weights import convert_state_dict, load_torch_checkpoint
+
+            sd, _ = load_torch_checkpoint(path)
+            variables, report = convert_state_dict(sd, variables, strict=False)
+            LOGGER.info(
+                f"pretrained {path}: {len(report.get('missing', ()))} params kept fresh init"
+            )
+            return variables
+        payload, _ = load_checkpoint(path)
+        src = {"params": payload.get("ema_params", payload.get("params")),
+               "batch_stats": payload.get("batch_stats", {})}
+
+        def flat(tree, prefix=()):
+            out = {}
+            for k, v in (tree.items() if hasattr(tree, "items") else ()):
+                if hasattr(v, "items"):
+                    out.update(flat(v, prefix + (k,)))
+                else:
+                    out[prefix + (k,)] = v
+            return out
+
+        srcf = {c: flat(src[c]) for c in src}
+        copied = skipped = 0
+
+        def merge(tree, col, prefix=()):
+            nonlocal copied, skipped
+            out = {}
+            for k, v in tree.items():
+                if hasattr(v, "items"):
+                    out[k] = merge(v, col, prefix + (k,))
+                else:
+                    s = srcf.get(col, {}).get(prefix + (k,))
+                    if s is not None and getattr(s, "shape", None) == v.shape:
+                        out[k] = jnp.asarray(s, v.dtype)
+                        copied += 1
+                    else:
+                        out[k] = v
+                        skipped += 1
+            return out
+
+        variables = {c: merge(variables[c], c) for c in variables}
+        LOGGER.info(f"pretrained {path}: {copied} tensors loaded, {skipped} kept fresh init")
+        return variables
+
+    def _frozen_keys(self, variables) -> tuple:
+        """Resolve args.freeze (int = first-N layers, or list of layer
+        indices; reference trainer.py:252-262) to top-level param keys."""
+        fz = getattr(self.args, "freeze", None)
+        if not fz:
+            return ()
+        idxs = range(int(fz)) if isinstance(fz, (int, float)) or str(fz).isdigit() else [
+            int(i) for i in (fz if isinstance(fz, (list, tuple)) else str(fz).split(","))
+        ]
+        keys = tuple(k for k in ({f"m{i}" for i in idxs} & set(variables["params"].keys())))
+        if keys:
+            LOGGER.info(f"freezing layers {sorted(keys)} (no grads, no decay)")
+        return keys
 
     def _autobatch(self, variables) -> int:
         """Resolve batch=-1 via the compiler memory model (reference
@@ -383,6 +485,8 @@ class DetectionTrainer:
                     batch = pdist.host_local_batch_to_global(batch, self.mesh)
                 else:
                     batch = shard_batch(batch, self.mesh)
+                if self._ms_sizes:
+                    batch = self._apply_multi_scale(batch, epoch * self.nb + n)
                 self.state, m = self.train_step(self.state, batch)
                 n += 1
                 for k, v in m.items():
@@ -423,6 +527,10 @@ class DetectionTrainer:
                 save_checkpoint(self.save_dir / "weights" / "last.ckpt", self.state, meta, full=True)
                 if fitness >= self.best_fitness:
                     save_checkpoint(self.save_dir / "weights" / "best.ckpt", self.state, meta)
+                sp = int(getattr(args, "save_period", -1) or -1)
+                if sp > 0 and epoch % sp == 0:
+                    # periodic epoch{N} snapshot (reference trainer.py:547)
+                    save_checkpoint(self.save_dir / "weights" / f"epoch{epoch}.ckpt", self.state, meta)
                 self.callbacks.run("on_model_save", self)
 
             if self.stopper(epoch, fitness):
