@@ -118,6 +118,7 @@ class DetectionPredictor:
         agnostic_nms: bool = False,
         names: Optional[Dict[int, str]] = None,
         batch: int = 1,
+        augment: bool = False,
     ):
         self.model = model
         self.spec = spec
@@ -132,6 +133,17 @@ class DetectionPredictor:
         self.task = spec.task
         nc = spec.nc
         strides = spec.head_strides
+        if augment and (
+            spec.task != "detect"
+            or getattr(spec.head, "module", "") in ("v10Detect", "RTDETRDecoder")
+        ):
+            # reference tasks.py:354-358: only the plain Detect graph
+            # supports TTA; others warn and revert to single-scale
+            LOGGER.warning(
+                "augment=True is only supported for Detect-head models; "
+                "reverting to single-scale prediction"
+            )
+            augment = False
 
         if spec.task == "classify":
 
@@ -212,6 +224,50 @@ class DetectionPredictor:
                         jnp.where(ok, dets[..., 5], -1.0)[..., None],
                     ],
                     axis=-1,
+                )
+
+        elif augment:  # detect with test-time augmentation
+            import math as _math
+
+            from bsyolo_tpu.nn.heads import decode_detections
+            from bsyolo_tpu.ops.nms import non_max_suppression
+
+            def forward(variables, x):
+                """TTA (reference tasks.py:354-392 _predict_augment /
+                _descale_pred / _clip_augmented): identity, 0.83x+lr-flip and
+                0.67x passes, boxes de-scaled/de-flipped to original pixels,
+                tails clipped, merged through ONE NMS. All three shapes are
+                static so the whole ensemble is a single compiled program."""
+                b, ih, iw = x.shape[0], x.shape[1], x.shape[2]
+                outs = []
+                for si, fl in ((1.0, False), (0.83, True), (0.67, False)):
+                    xi = x[:, :, ::-1, :] if fl else x
+                    if si != 1.0:
+                        nh, nw = int(ih * si), int(iw * si)
+                        xi = jax.image.resize(xi, (b, nh, nw, x.shape[3]), method="bilinear")
+                        ph = _math.ceil(ih * si / 32) * 32 - nh
+                        pw = _math.ceil(iw * si / 32) * 32 - nw
+                        # 0.447 = the reference's imagenet-mean pad value
+                        # (torch_utils.py:430 scale_img)
+                        xi = jnp.pad(xi, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                     constant_values=0.447)
+                    p = decode_detections(model.apply(variables, xi, train=False), strides, nc)
+                    xy = p[..., :2] / si
+                    wh = p[..., 2:4] / si
+                    if fl:
+                        xy = jnp.concatenate([iw - xy[..., :1], xy[..., 1:]], axis=-1)
+                    outs.append(jnp.concatenate([xy, wh, p[..., 4:]], axis=-1))
+                # each pass votes only at the scales it is best at: the
+                # unscaled pass drops its stride-32 anchors (tail), the most
+                # downscaled pass its stride-8 anchors (front)
+                nl = len(strides)
+                g = sum(4 ** i for i in range(nl))
+                outs[0] = outs[0][:, : -(outs[0].shape[1] // g)]
+                outs[-1] = outs[-1][:, (outs[-1].shape[1] // g) * 4 ** (nl - 1):]
+                merged = jnp.concatenate(outs, axis=1)
+                return non_max_suppression(
+                    merged, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                    nc=nc, agnostic=agnostic_nms,
                 )
 
         else:  # detect

@@ -196,7 +196,9 @@ class YOLO:
         conf = 0.25 if conf is None else conf  # 0.0 is a valid threshold
         imgsz = kwargs.get("imgsz") or self._img_size
         batch = int(kwargs.get("batch", 1) or 1)
-        key = (conf, kwargs.get("iou", 0.7), imgsz, tuple(kwargs.get("classes") or ()), batch)
+        augment = bool(kwargs.get("augment", False))
+        key = (conf, kwargs.get("iou", 0.7), imgsz, tuple(kwargs.get("classes") or ()), batch,
+               augment)
         if self._predictor is None or self._predictor_key != key:
             self._predictor = DetectionPredictor(
                 self.model,
@@ -210,6 +212,7 @@ class YOLO:
                 agnostic_nms=kwargs.get("agnostic_nms", False),
                 names=self.names,
                 batch=batch,
+                augment=augment,
             )
             self._predictor_key = key
         else:

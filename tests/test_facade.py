@@ -370,3 +370,36 @@ class TestEmbedAndApiParity:
         assert not yolo._callbacks.get("on_train_start")
         yolo.reset_callbacks()
         assert yolo._callbacks is None
+
+
+class TestTTA:
+    def test_augment_predict_detect(self, yolo):
+        """predict(augment=True): 3-pass TTA (reference tasks.py:354
+        _predict_augment) — same image, boxes land in original pixel space,
+        and the identity pass keeps the plain-predict detections findable."""
+        img = square_image()
+        plain = yolo.predict(img, conf=0.0001)
+        tta = yolo.predict(img, conf=0.0001, augment=True)
+        assert len(tta) == 1
+        r = tta[0]
+        assert r.orig_shape == (200, 200)
+        if len(r):
+            xyxy = r.boxes.xyxy
+            assert (xyxy[:, [0, 2]] <= 200.01).all() and (xyxy[:, [1, 3]] >= -0.01).all()
+        if len(plain) and len(plain[0]) and len(r):
+            # the top plain box should have a close TTA counterpart (the
+            # identity pass is one of the ensemble members)
+            pb = plain[0].boxes.xyxy[0]
+            d = np.abs(r.boxes.xyxy - pb).max(axis=1).min()
+            assert d < 12, f"no TTA box near the plain top box (min max-coord delta {d})"
+
+    def test_augment_reverts_for_non_detect(self, tmp_path):
+        from bsyolo_tpu import YOLO
+
+        seg = str(Path(__file__).parent / "fixtures" / "tinyseg.yaml")
+        if not Path(seg).exists():
+            pytest.skip("no tinyseg fixture")
+        m = YOLO(seg)
+        m._new(seg, img_size=96)
+        r = m.predict(square_image(), conf=0.0001, augment=True)  # warns, runs single-scale
+        assert len(r) == 1
