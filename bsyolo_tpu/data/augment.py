@@ -313,6 +313,10 @@ def train_transform(
     img, boxes = random_flip(
         img, boxes, rng, fliplr=hyp.get("fliplr", 0.5), flipud=hyp.get("flipud", 0.0)
     )
+    if hyp.get("bgr", 0.0) and rng.random() < hyp.get("bgr", 0.0):
+        # channel-order swap augmentation (reference augment.py Format/bgr
+        # arg wired from cfg `bgr:`): geometry untouched
+        img = np.ascontiguousarray(img[..., ::-1])
     return img, cls, boxes
 
 

@@ -46,7 +46,7 @@ def _stack_batch(lbs) -> np.ndarray:
     return np.stack(lbs).astype(np.float32) / 255.0
 
 
-def iter_source(source, vid_stride: int = 1) -> Iterator[tuple]:
+def iter_source(source, vid_stride: int = 1, stream_buffer: bool = False) -> Iterator[tuple]:
     """Yield (frame BGR ndarray, path, is_video_frame)."""
     import cv2
 
@@ -55,7 +55,7 @@ def iter_source(source, vid_stride: int = 1) -> Iterator[tuple]:
         return
     if isinstance(source, (list, tuple)):
         for s in source:
-            yield from iter_source(s, vid_stride)
+            yield from iter_source(s, vid_stride, stream_buffer)
         return
     p = Path(str(source))
     if p.is_dir():
@@ -76,7 +76,9 @@ def iter_source(source, vid_stride: int = 1) -> Iterator[tuple]:
         # (reference LoadStreams, data/loaders.py)
         from bsyolo_tpu.data.streams import LoadStreams
 
-        streams = LoadStreams(source, vid_stride=vid_stride)
+        # stream_buffer (cfg key): True keeps every frame, False keeps the
+        # latest only (reference loaders.py LoadStreams buffer arg)
+        streams = LoadStreams(source, vid_stride=vid_stride, buffer=stream_buffer)
         try:
             for frames, paths in streams:
                 for frame, path in zip(frames, paths):
@@ -119,6 +121,8 @@ class DetectionPredictor:
         names: Optional[Dict[int, str]] = None,
         batch: int = 1,
         augment: bool = False,
+        stream_buffer: bool = False,
+        retina_masks: bool = False,
     ):
         self.model = model
         self.spec = spec
@@ -130,6 +134,8 @@ class DetectionPredictor:
         self.batch = max(int(batch), 1)
         self.classes = classes
         self.names = names or {i: n for i, n in enumerate(spec.names)}
+        self.stream_buffer = stream_buffer
+        self.retina_masks = retina_masks
         self.task = spec.task
         nc = spec.nc
         strides = spec.head_strides
@@ -164,6 +170,12 @@ class DetectionPredictor:
                 )
                 mc = decode_extras(feats, nc)  # (B, A, nm)
                 coeffs = jnp.take_along_axis(mc, jnp.maximum(idx, 0)[..., None], axis=1)
+                if retina_masks:
+                    # retina_masks=True (reference segment/predict.py
+                    # process_mask_native): mask assembly happens on the host
+                    # at the ORIGINAL image resolution — ship coefficients +
+                    # prototypes instead of an imgsz-resolution mask stack
+                    return dets, coeffs * (idx >= 0)[..., None], proto
                 img_hw = (x.shape[1], x.shape[2])
                 masks = jax.vmap(lambda p, c, b: process_mask(p, c, b, img_hw))(
                     proto, coeffs, dets[..., :4]
@@ -323,7 +335,7 @@ class DetectionPredictor:
             frames, paths, lbs = [], [], []
             t_pre = 0.0
             try:
-                for frame, path, _ in iter_source(source, vid_stride):
+                for frame, path, _ in iter_source(source, vid_stride, self.stream_buffer):
                     t0 = time.perf_counter()
                     lb, _, _ = letterbox_image(frame, (self.imgsz, self.imgsz))
                     # BGR->RGB as a contiguous uint8 copy (1.2 MB): batches
@@ -453,7 +465,10 @@ class DetectionPredictor:
             res.speed = _speed()
             return res
         if self.task == "segment":
-            res = self._to_results(outs[0][i], frame, path, masks=outs[1][i])
+            if self.retina_masks:
+                res = self._to_results_retina(outs[0][i], outs[1][i], outs[2][i], frame, path)
+            else:
+                res = self._to_results(outs[0][i], frame, path, masks=outs[1][i])
             res.speed = _speed()
             if verbose:
                 LOGGER.info(f"{path}: {res.verbose_line}")
@@ -499,6 +514,47 @@ class DetectionPredictor:
         else:
             d = np.zeros((0, 6), np.float32)
         return Results(frame, path, self.names, boxes=d, masks=out_masks)
+
+    def _to_results_retina(
+        self, dets: np.ndarray, coeffs: np.ndarray, proto: np.ndarray, frame: np.ndarray, path: str
+    ) -> Results:
+        """Native-resolution mask assembly (reference ops.py:696
+        process_mask_native): sigmoid(coeffs @ proto) at prototype res, the
+        letterbox padding stripped at that res, bilinear up to the ORIGINAL
+        image size, then box-cropped in original pixels — sharper mask edges
+        than the imgsz-resolution device path."""
+        import cv2
+
+        keep = dets[:, 4] > 0
+        d, c = dets[keep], coeffs[keep]
+        if self.classes is not None and len(d):
+            sel = np.isin(d[:, 5].astype(int), self.classes)
+            d, c = d[sel], c[sel]
+        if not len(d):
+            return Results(frame, path, self.names, boxes=np.zeros((0, 6), np.float32))
+        h0, w0 = frame.shape[:2]
+        boxes = np.asarray(
+            scale_boxes((self.imgsz, self.imgsz), jnp.asarray(d[:, :4]), frame.shape[:2])
+        )
+        d = np.concatenate([boxes, d[:, 4:6]], -1)
+        ph, pw, nm = proto.shape
+        m = c.astype(np.float32) @ proto.reshape(-1, nm).T.astype(np.float32)
+        m = 1.0 / (1.0 + np.exp(-m.reshape(-1, ph, pw)))
+        gain = min(self.imgsz / h0, self.imgsz / w0)
+        top = int(round((self.imgsz - h0 * gain) / 2 / self.imgsz * ph - 0.1))
+        left = int(round((self.imgsz - w0 * gain) / 2 / self.imgsz * pw - 0.1))
+        bottom = ph - max(top, 0)
+        right = pw - max(left, 0)
+        m = m[:, max(top, 0) : bottom, max(left, 0) : right]
+        m = np.stack([cv2.resize(x, (w0, h0), interpolation=cv2.INTER_LINEAR) for x in m])
+        yy = np.arange(h0, dtype=np.float32)[None, :, None]
+        xx = np.arange(w0, dtype=np.float32)[None, None, :]
+        x1 = boxes[:, 0].reshape(-1, 1, 1)
+        y1 = boxes[:, 1].reshape(-1, 1, 1)
+        x2 = boxes[:, 2].reshape(-1, 1, 1)
+        y2 = boxes[:, 3].reshape(-1, 1, 1)
+        m = m * ((xx >= x1) & (xx < x2) & (yy >= y1) & (yy < y2))
+        return Results(frame, path, self.names, boxes=d, masks=(m > 0.5).astype(np.float32))
 
     def __call__(self, source, **kwargs) -> List[Results]:
         return list(self.stream(source, **kwargs))

@@ -211,30 +211,76 @@ class Results:
     def new(self, boxes: Optional[np.ndarray] = None):
         return Results(self.orig_img, self.path, self.names, boxes=boxes)
 
-    def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5) -> np.ndarray:
-        """Draw boxes/labels on a copy of the original image (BGR)."""
+    def plot(
+        self,
+        line_width: Optional[int] = None,
+        font_scale: float = 0.5,
+        conf: bool = True,
+        labels: bool = True,
+        boxes: bool = True,
+        masks: bool = True,
+        kpts: bool = True,
+        kpt_radius: int = 3,
+    ) -> np.ndarray:
+        """Draw detections on a copy of the original image (BGR).
+
+        Mirrors reference Results.plot (engine/results.py) toggles: conf /
+        labels / boxes / masks / kpts map to the cfg show_conf / show_labels /
+        show_boxes keys; mask overlays are alpha-blended per class color,
+        keypoints drawn as filled circles, OBBs as 4-point polylines."""
         import cv2
 
         img = self.orig_img.copy()
         lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
-        if self.boxes is not None:
+        if masks and self.masks is not None and len(self.masks.data):
+            overlay = img.copy()
+            for j, m in enumerate(self.masks.data):
+                cls_j = (
+                    int(self.boxes.data[j][-1])
+                    if self.boxes is not None and j < len(self.boxes.data)
+                    else j
+                )
+                overlay[m > 0.5] = _class_color(cls_j)
+            img = cv2.addWeighted(img, 0.55, overlay, 0.45, 0)
+        if boxes and self.boxes is not None:
             for row in self.boxes.data:
                 x1, y1, x2, y2 = row[:4].astype(int)
-                conf, cls = row[-2], int(row[-1])
+                cf, cls = row[-2], int(row[-1])
                 color = _class_color(cls)
                 cv2.rectangle(img, (x1, y1), (x2, y2), color, lw)
-                tid = f"id:{int(row[4])} " if self.boxes.is_track else ""
-                label = f"{tid}{self.names.get(cls, cls)} {conf:.2f}"
-                cv2.putText(
-                    img, label, (x1, max(y1 - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, max(lw - 1, 1)
-                )
+                if labels:
+                    tid = f"id:{int(row[4])} " if self.boxes.is_track else ""
+                    label = f"{tid}{self.names.get(cls, cls)}" + (f" {cf:.2f}" if conf else "")
+                    cv2.putText(
+                        img, label, (x1, max(y1 - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX,
+                        font_scale, color, max(lw - 1, 1),
+                    )
+        if boxes and self.obb is not None:
+            for row in self.obb.data:
+                # OBBoxes columns: x, y, w, h, [track_id], conf, cls, angle(rad)
+                cx, cy, w, h = row[:4]
+                ang, cls, cf = row[-1], int(row[-2]), row[-3]
+                color = _class_color(cls)
+                pts = cv2.boxPoints(((float(cx), float(cy)), (float(w), float(h)),
+                                     float(np.degrees(ang))))
+                cv2.polylines(img, [pts.astype(np.int32)], True, color, lw)
+                if labels:
+                    label = f"{self.names.get(cls, cls)}" + (f" {cf:.2f}" if conf else "")
+                    cv2.putText(img, label, (int(cx), max(int(cy) - 4, 12)),
+                                cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, max(lw - 1, 1))
+        if kpts and self.keypoints is not None:
+            for inst in self.keypoints.data:
+                for p in inst:
+                    if len(p) > 2 and p[2] < 0.5:
+                        continue
+                    cv2.circle(img, (int(p[0]), int(p[1])), kpt_radius, (0, 0, 255), -1)
         return img
 
-    def save(self, filename: str):
+    def save(self, filename: str, **plot_kwargs):
         import cv2
 
         Path(filename).parent.mkdir(parents=True, exist_ok=True)
-        cv2.imwrite(str(filename), self.plot())
+        cv2.imwrite(str(filename), self.plot(**plot_kwargs))
         return filename
 
     def to_json(self) -> str:

@@ -198,7 +198,8 @@ class YOLO:
         batch = int(kwargs.get("batch", 1) or 1)
         augment = bool(kwargs.get("augment", False))
         key = (conf, kwargs.get("iou", 0.7), imgsz, tuple(kwargs.get("classes") or ()), batch,
-               augment)
+               augment, bool(kwargs.get("stream_buffer", False)),
+               bool(kwargs.get("retina_masks", False)))
         if self._predictor is None or self._predictor_key != key:
             self._predictor = DetectionPredictor(
                 self.model,
@@ -213,6 +214,8 @@ class YOLO:
                 names=self.names,
                 batch=batch,
                 augment=augment,
+                stream_buffer=bool(kwargs.get("stream_buffer", False)),
+                retina_masks=bool(kwargs.get("retina_masks", False)),
             )
             self._predictor_key = key
         else:
@@ -225,9 +228,14 @@ class YOLO:
         results = list(gen)
         if kwargs.get("save"):
             out_dir = Path(kwargs.get("project", "runs/detect")) / kwargs.get("name", "predict")
+            plot_kw = {
+                "labels": bool(kwargs.get("show_labels", True)),
+                "conf": bool(kwargs.get("show_conf", True)),
+                "boxes": bool(kwargs.get("show_boxes", True)),
+            }
             for i, r in enumerate(results):
                 stem = Path(r.path).stem if r.path not in ("array",) else f"image{i}"
-                r.save(out_dir / f"{stem}.jpg")
+                r.save(out_dir / f"{stem}.jpg", **plot_kw)
         return results
 
     def __call__(self, source, **kwargs):

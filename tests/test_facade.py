@@ -403,3 +403,63 @@ class TestTTA:
         m._new(seg, img_size=96)
         r = m.predict(square_image(), conf=0.0001, augment=True)  # warns, runs single-scale
         assert len(r) == 1
+
+
+class TestPredictFlags:
+    def test_retina_masks_native_resolution(self):
+        from bsyolo_tpu import YOLO
+
+        seg = str(Path(__file__).parent / "fixtures" / "tinyseg.yaml")
+        m = YOLO(seg)
+        m._new(seg, img_size=96)
+        img = square_image()
+        r_dev = m.predict(img, conf=0.0001)[0]
+        r_ret = m.predict(img, conf=0.0001, retina_masks=True)[0]
+        assert len(r_ret) == len(r_dev)
+        if r_ret.masks is not None and len(r_ret.masks.data):
+            assert r_ret.masks.data.shape[1:] == (200, 200)  # original-res masks
+            assert set(np.unique(r_ret.masks.data)) <= {0.0, 1.0}
+            # masks confined to their boxes
+            b = r_ret.boxes.xyxy[0]
+            m0 = r_ret.masks.data[0]
+            ys, xs = np.nonzero(m0)
+            if len(xs):
+                assert xs.min() >= b[0] - 1 and xs.max() <= b[2] + 1
+
+    def test_plot_toggles(self, yolo):
+        img = square_image()
+        r = yolo.predict(img, conf=0.0001)[0]
+        full = r.plot()
+        bare = r.plot(boxes=False, labels=False)
+        assert full.shape == bare.shape
+        if len(r):
+            # no boxes drawn -> bare must equal the original image
+            np.testing.assert_array_equal(bare, r.orig_img)
+            assert np.abs(full.astype(int) - r.orig_img.astype(int)).sum() > 0
+            no_conf = r.plot(conf=False)
+            assert no_conf.shape == full.shape
+
+    def test_bgr_augmentation_flag(self):
+        from bsyolo_tpu.data.augment import train_transform
+
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[:, :, 0] = 200  # blue-heavy in BGR
+        labels = [(np.zeros((0,), np.float32), np.zeros((0, 4), np.float32))] * 4
+        hyp = {"bgr": 1.0, "mosaic9": 0.0, "hsv_h": 0, "hsv_s": 0, "hsv_v": 0,
+               "fliplr": 0, "flipud": 0, "translate": 0, "scale": 0,
+               "albumentations": 0.0}
+        out, _, _ = train_transform([img] * 4, labels, 64, np.random.default_rng(0),
+                                    hyp=hyp, mosaic=False)
+        # channel swap moved the heavy channel from index 0 to index 2
+        assert out[..., 2].mean() > out[..., 0].mean()
+        hyp["bgr"] = 0.0
+        out2, _, _ = train_transform([img] * 4, labels, 64, np.random.default_rng(0),
+                                     hyp=hyp, mosaic=False)
+        assert out2[..., 0].mean() > out2[..., 2].mean()
+
+    def test_stream_buffer_plumbs_to_loader(self, yolo):
+        from bsyolo_tpu.engine.predictor import DetectionPredictor
+
+        p = DetectionPredictor(yolo.model, yolo.spec, yolo.variables, imgsz=96,
+                               stream_buffer=True)
+        assert p.stream_buffer is True
