@@ -12,7 +12,8 @@ from bsyolo_tpu.data.dataset import IMG_FORMATS
 
 
 class ClassificationDataset:
-    def __init__(self, root: str, imgsz: int = 224, augment: bool = True, fliplr: float = 0.5):
+    def __init__(self, root: str, imgsz: int = 224, augment: bool = True, fliplr: float = 0.5,
+                 auto_augment: Optional[str] = None, erasing: float = 0.0):
         self.root = Path(root)
         classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
         if not classes:
@@ -26,6 +27,8 @@ class ClassificationDataset:
         self.imgsz = imgsz
         self.augment = augment
         self.fliplr = fliplr
+        self.auto_augment = auto_augment
+        self.erasing = erasing
 
     def __len__(self):
         return len(self.samples)
@@ -41,9 +44,12 @@ class ClassificationDataset:
             raise FileNotFoundError(path)
         im = np.ascontiguousarray(im[..., ::-1])  # BGR->RGB
         if self.augment:
-            # RandomResizedCrop + flips + HSV (reference classify_augmentations,
-            # augment.py:2400)
-            img = classify_train_transform(im, rng, size=self.imgsz, hflip=self.fliplr)
+            # RandomResizedCrop + flips + RandAugment-or-HSV + erasing
+            # (reference classify_augmentations, augment.py:2400)
+            img = classify_train_transform(
+                im, rng, size=self.imgsz, hflip=self.fliplr,
+                auto_augment=self.auto_augment, erasing=self.erasing,
+            )
         else:
             # shortest-edge resize + center crop (reference classify_transforms)
             img = classify_eval_transform(im, size=self.imgsz)

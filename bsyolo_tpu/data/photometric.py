@@ -95,6 +95,90 @@ DEFAULT_STD = (1.0, 1.0, 1.0)
 DEFAULT_CROP_FRACTION = 1.0
 
 
+def rand_augment(img: np.ndarray, rng: np.random.Generator, num_ops: int = 2,
+                 magnitude: int = 9) -> np.ndarray:
+    """RandAugment on uint8 RGB (the numpy/cv2 analog of torchvision
+    T.RandAugment, which the reference attaches for auto_augment=randaugment,
+    augment.py:2400 classify_augmentations). num_ops=2 / magnitude=9 are the
+    torchvision defaults; magnitude is on the standard 31-bin scale."""
+    import cv2
+
+    m = magnitude / 31.0
+    h, w = img.shape[:2]
+
+    def _affine(mat):
+        return cv2.warpAffine(img, mat, (w, h), borderValue=(128, 128, 128))
+
+    def shear_x():
+        s = m * 0.3 * (1 if rng.random() < 0.5 else -1)
+        return _affine(np.float32([[1, s, 0], [0, 1, 0]]))
+
+    def shear_y():
+        s = m * 0.3 * (1 if rng.random() < 0.5 else -1)
+        return _affine(np.float32([[1, 0, 0], [s, 1, 0]]))
+
+    def translate_x():
+        t = m * 150 / 331 * w * (1 if rng.random() < 0.5 else -1)
+        return _affine(np.float32([[1, 0, t], [0, 1, 0]]))
+
+    def translate_y():
+        t = m * 150 / 331 * h * (1 if rng.random() < 0.5 else -1)
+        return _affine(np.float32([[1, 0, 0], [0, 1, t]]))
+
+    def rotate():
+        deg = m * 30 * (1 if rng.random() < 0.5 else -1)
+        return _affine(cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0))
+
+    def _blend(other, factor):
+        return np.clip(
+            img.astype(np.float32) * factor + other.astype(np.float32) * (1 - factor), 0, 255
+        ).astype(np.uint8)
+
+    def brightness():
+        return _blend(np.zeros_like(img), 1 + m * 0.9 * (1 if rng.random() < 0.5 else -1))
+
+    def contrast():
+        mean = np.full_like(img, int(img.astype(np.float32).mean()))
+        return _blend(mean, 1 + m * 0.9 * (1 if rng.random() < 0.5 else -1))
+
+    def color():
+        gray = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY), cv2.COLOR_GRAY2RGB)
+        return _blend(gray, 1 + m * 0.9 * (1 if rng.random() < 0.5 else -1))
+
+    def sharpness():
+        blurred = cv2.GaussianBlur(img, (5, 5), 0)
+        return _blend(blurred, 1 + m * 0.9 * (1 if rng.random() < 0.5 else -1))
+
+    def posterize():
+        bits = max(8 - int(round(m * 4)), 4)
+        shift = 8 - bits
+        return ((img >> shift) << shift).astype(np.uint8)
+
+    def solarize():
+        thr = int(255 * (1 - m))
+        return np.where(img >= thr, 255 - img, img).astype(np.uint8)
+
+    def autocontrast():
+        out = img.astype(np.float32)
+        for c in range(3):
+            lo, hi = out[..., c].min(), out[..., c].max()
+            if hi > lo:
+                out[..., c] = (out[..., c] - lo) * 255.0 / (hi - lo)
+        return out.astype(np.uint8)
+
+    def equalize():
+        out = img.copy()
+        for c in range(3):
+            out[..., c] = cv2.equalizeHist(out[..., c])
+        return out
+
+    ops = (lambda: img, autocontrast, equalize, rotate, solarize, color, posterize,
+           contrast, brightness, sharpness, shear_x, shear_y, translate_x, translate_y)
+    for _ in range(num_ops):
+        img = ops[int(rng.integers(len(ops)))]()
+    return img
+
+
 def classify_eval_transform(
     img: np.ndarray,
     size: int = 224,
@@ -130,12 +214,15 @@ def classify_train_transform(
     hsv_s: float = 0.4,
     hsv_v: float = 0.4,
     erasing: float = 0.0,
+    auto_augment: Optional[str] = None,
     mean: Sequence[float] = DEFAULT_MEAN,
     std: Sequence[float] = DEFAULT_STD,
 ) -> np.ndarray:
-    """Train path: RandomResizedCrop -> flips -> HSV jitter -> normalize ->
-    optional random erasing (reference classify_augmentations,
-    augment.py:2400)."""
+    """Train path: RandomResizedCrop -> flips -> RandAugment-or-HSV jitter ->
+    normalize -> optional random erasing (reference classify_augmentations,
+    augment.py:2400). Like the reference, an auto_augment policy DISABLES the
+    HSV color jitter; 'autoaugment'/'augmix' fall back to randaugment here
+    (no torchvision policy tables offline) with a log note."""
     import cv2
 
     from bsyolo_tpu.data.augment import random_hsv
@@ -161,7 +248,9 @@ def classify_train_transform(
     if vflip > 0 and rng.random() < vflip:
         img = img[::-1]
     img = np.ascontiguousarray(img)
-    if hsv_h or hsv_s or hsv_v:
+    if auto_augment:
+        img = rand_augment(img, rng)
+    elif hsv_h or hsv_s or hsv_v:
         img = random_hsv(img, rng, hsv_h, hsv_s, hsv_v)
     out = img.astype(np.float32) / 255.0
     out = (out - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)

@@ -77,7 +77,16 @@ class ClassificationTrainer:
     def train(self):
         args = self.args
         root = Path(args.data)
-        train_ds = ClassificationDataset(root / "train", imgsz=args.imgsz, augment=True)
+        aa = getattr(args, "auto_augment", None)
+        if aa and str(aa).lower() in ("autoaugment", "augmix"):
+            # torchvision's learned policy tables aren't available offline;
+            # the randaugment op suite is (data/photometric.py:rand_augment)
+            LOGGER.info(f"auto_augment={aa}: using the randaugment op suite")
+        train_ds = ClassificationDataset(
+            root / "train", imgsz=args.imgsz, augment=True,
+            auto_augment=(str(aa) if aa else None),
+            erasing=float(getattr(args, "erasing", 0.0) or 0.0),
+        )
         val_dir = root / ("val" if (root / "val").exists() else "test")
         val_ds = ClassificationDataset(val_dir, imgsz=args.imgsz, augment=False)
         names = train_ds.class_names
@@ -88,6 +97,12 @@ class ClassificationTrainer:
         d["names"] = names
         spec = parse_model_yaml(d, scale=d.get("scale", ""))
         assert spec.task == "classify", f"model {args.model} is not a classify graph"
+        if float(getattr(args, "dropout", 0.0) or 0.0) > 0:
+            # reference classify/train.py get_model: args.dropout sets the
+            # Classify head's Dropout rate for training
+            import dataclasses
+
+            spec = dataclasses.replace(spec, dropout=float(args.dropout))
         self.spec = spec
         dtype = jnp.bfloat16 if args.amp else jnp.float32
         self.model, variables = build_model(spec, img_size=args.imgsz, dtype=dtype, seed=args.seed)
@@ -120,6 +135,7 @@ class ClassificationTrainer:
             nw=max(round(opt.warmup_epochs * nb), 100) if opt.warmup_epochs > 0 else 0,
             use_adamw=opt.name in ("AdamW", "Adam", "NAdam", "RAdam"),
             weight_decay=opt.weight_decay * args.batch * accumulate / args.nbs,
+            needs_dropout_rng=float(getattr(args, "dropout", 0.0) or 0.0) > 0,
         )
         criterion = lambda logits, batch, ls, lc: classification_loss(logits, batch["cls"], ls, lc)
         step = make_train_step(self.model, step_cfg, criterion=criterion)

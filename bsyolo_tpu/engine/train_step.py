@@ -48,6 +48,7 @@ class StepConfig(NamedTuple):
     weight_decay: float  # already scaled by batch*accumulate/nbs
     max_grad_norm: float = 10.0
     pass_targets: bool = False  # feed gt into model.apply (RT-DETR CDN)
+    needs_dropout_rng: bool = False  # model uses nn.Dropout at train time
     frozen: tuple = ()  # top-level param keys ("m0", ...) excluded from updates
     #   (reference trainer.py:252 freeze-layers: requires_grad=False params
     #   are absent from the torch optimizer step, so here their grads are
@@ -107,6 +108,10 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
                     k: batch[k] for k in ("cls", "bboxes", "mask") if k in batch
                 }
                 apply_kw["rngs"] = {"dn": jax.random.fold_in(jax.random.PRNGKey(3), state.step)}
+            if cfg.needs_dropout_rng:
+                apply_kw.setdefault("rngs", {})["dropout"] = jax.random.fold_in(
+                    jax.random.PRNGKey(7), state.step
+                )
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["img"],

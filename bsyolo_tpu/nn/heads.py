@@ -187,9 +187,11 @@ class OBB(nn.Module):
 
 
 class Classify(nn.Module):
-    """Classification head: conv -> GAP -> linear (reference head.py:282)."""
+    """Classification head: conv -> GAP -> dropout -> linear (reference
+    head.py:282-293; `drop` rate comes from cfg `dropout:` at train time)."""
 
     nc: int
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -197,6 +199,8 @@ class Classify(nn.Module):
         c_ = 1280
         x = ConvBN(c_, 1, 1, dtype=self.dtype, name="conv")(x, train)
         x = jnp.mean(x, axis=(1, 2))  # GAP
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=not train)
         return nn.Dense(self.nc, dtype=self.dtype, name="linear")(x)
 
 

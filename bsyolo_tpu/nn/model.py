@@ -303,7 +303,10 @@ class DetectionGraph(nn.Module):
                 prev = saved[layer.f[-1]]
             elif m == "Classify":
                 src = saved[layer.f[0]] if layer.f[0] != -1 else prev
-                prev = H.Classify(layer.args[0], dtype=self.dtype, name=f"m{layer.i}")(src, train)
+                prev = H.Classify(
+                    layer.args[0], dropout=getattr(spec, "dropout", 0.0),
+                    dtype=self.dtype, name=f"m{layer.i}",
+                )(src, train)
             else:
                 src = saved[layer.f[0]] if layer.f[0] != -1 else prev
                 if layer.n > 1:

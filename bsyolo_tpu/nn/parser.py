@@ -48,6 +48,7 @@ class ModelSpec:
     kpt_shape: Tuple[int, int] = (17, 3)
     names: Tuple[str, ...] = ()
     act: str = "silu"  # graph-wide Conv activation (`activation:` yaml key)
+    dropout: float = 0.0  # Classify-head dropout (cfg `dropout:`, classify train only)
 
     @property
     def head(self) -> LayerSpec:

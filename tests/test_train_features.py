@@ -106,3 +106,59 @@ def test_multi_scale_buckets(data_yaml, tmp_path):
     s1 = tr._apply_multi_scale(batch, 7)["img"].shape
     s2 = tr._apply_multi_scale(batch, 7)["img"].shape
     assert s1 == s2
+
+
+def test_classify_dropout_and_randaugment(tmp_path):
+    """Classify train with dropout>0 + auto_augment=randaugment + erasing:
+    the head gets a real Dropout (train-only), the pipeline the RandAugment
+    op suite — short color-separable run still learns."""
+    import cv2
+
+    from bsyolo_tpu.engine.classify import ClassificationTrainer
+
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 24), ("val", 8)):
+        for ci, color in enumerate(([40, 40, 200], [200, 40, 40])):
+            d = tmp_path / "ds" / split / f"class{ci}"
+            d.mkdir(parents=True)
+            for i in range(n):
+                img = np.full((48, 48, 3), color, np.uint8)
+                img += rng.integers(0, 40, img.shape).astype(np.uint8)
+                cv2.imwrite(str(d / f"{i}.jpg"), img)
+    tr = ClassificationTrainer(
+        overrides={
+            "model": str(Path(__file__).parent / "fixtures" / "tinycls.yaml"),
+            "data": str(tmp_path / "ds"), "epochs": 10, "batch": 16, "imgsz": 48,
+            "optimizer": "SGD", "lr0": 0.03, "warmup_epochs": 0.5,
+            "project": str(tmp_path / "runs"), "name": "c", "amp": False,
+            "nbs": 16, "dropout": 0.3, "auto_augment": "randaugment",
+            "erasing": 0.4,
+        }
+    )
+    metrics = tr.train()
+    assert tr.spec.dropout == 0.3
+    assert metrics.top1 > 0.6, f"top1 too low with dropout+randaugment: {metrics.top1}"
+    # train-mode forward actually drops: two rngs give different logits
+    import jax
+    import jax.numpy as jnp
+
+    v = {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
+    x = jnp.ones((1, 48, 48, 3), jnp.float32)
+    a = tr.model.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+                       mutable=["batch_stats"])[0]
+    b = tr.model.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                       mutable=["batch_stats"])[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b)), "dropout inert in train mode"
+    # eval mode is deterministic (no rng needed)
+    c = tr.model.apply(v, x, train=False)
+    d = tr.model.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_rand_augment_ops_preserve_contract():
+    from bsyolo_tpu.data.photometric import rand_augment
+
+    img = (np.random.default_rng(0).uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+    for seed in range(16):  # sweep ops
+        out = rand_augment(img.copy(), np.random.default_rng(seed))
+        assert out.shape == img.shape and out.dtype == np.uint8
