@@ -227,16 +227,63 @@ class YOLO:
             return gen
         results = list(gen)
         if kwargs.get("save"):
-            out_dir = Path(kwargs.get("project", "runs/detect")) / kwargs.get("name", "predict")
-            plot_kw = {
-                "labels": bool(kwargs.get("show_labels", True)),
-                "conf": bool(kwargs.get("show_conf", True)),
-                "boxes": bool(kwargs.get("show_boxes", True)),
-            }
-            for i, r in enumerate(results):
-                stem = Path(r.path).stem if r.path not in ("array",) else f"image{i}"
-                r.save(out_dir / f"{stem}.jpg", **plot_kw)
+            self._save_results(results, kwargs)
+        if kwargs.get("show"):
+            self._show_results(results, kwargs)
         return results
+
+    def _save_results(self, results, kwargs):
+        """save=True output layout (reference predictor.py write_results):
+        image sources -> annotated jpg; video sources -> ONE annotated mp4 at
+        the source fps, plus per-frame jpgs when save_frames=True."""
+        import cv2
+
+        out_dir = Path(kwargs.get("project", "runs/detect")) / kwargs.get("name", "predict")
+        plot_kw = {
+            "labels": bool(kwargs.get("show_labels", True)),
+            "conf": bool(kwargs.get("show_conf", True)),
+            "boxes": bool(kwargs.get("show_boxes", True)),
+        }
+        save_frames = bool(kwargs.get("save_frames", False))
+        writers: Dict[str, Any] = {}
+        try:
+            for i, r in enumerate(results):
+                if "#frame" in str(r.path):
+                    src, _, fidx = str(r.path).partition("#frame")
+                    w = writers.get(src)
+                    if w is None:
+                        cap = cv2.VideoCapture(src)
+                        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+                        cap.release()
+                        out_dir.mkdir(parents=True, exist_ok=True)
+                        h0, w0 = r.orig_img.shape[:2]
+                        w = writers[src] = cv2.VideoWriter(
+                            str(out_dir / f"{Path(src).stem}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), max(fps, 1.0), (w0, h0),
+                        )
+                    w.write(r.plot(**plot_kw))
+                    if save_frames:
+                        r.save(out_dir / f"{Path(src).stem}_{fidx}.jpg", **plot_kw)
+                else:
+                    stem = Path(r.path).stem if r.path not in ("array",) else f"image{i}"
+                    r.save(out_dir / f"{stem}.jpg", **plot_kw)
+        finally:
+            for w in writers.values():
+                w.release()
+
+    def _show_results(self, results, kwargs):
+        """show=True (reference predictor.py:274 show): pops cv2 windows —
+        headless hosts (no DISPLAY) get one warning instead of a crash."""
+        import os
+
+        import cv2
+
+        if not (os.environ.get("DISPLAY") or os.name == "nt"):
+            LOGGER.warning("show=True: no display available, skipping imshow")
+            return
+        for r in results:
+            cv2.imshow("bsyolo", r.plot())
+            cv2.waitKey(1)
 
     def __call__(self, source, **kwargs):
         return self.predict(source, **kwargs)

@@ -463,3 +463,30 @@ class TestPredictFlags:
         p = DetectionPredictor(yolo.model, yolo.spec, yolo.variables, imgsz=96,
                                stream_buffer=True)
         assert p.stream_buffer is True
+
+
+class TestSaveVideo:
+    def test_save_writes_annotated_mp4_and_frames(self, yolo, tmp_path):
+        import cv2
+
+        vid = tmp_path / "clip.mp4"
+        w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10, (200, 200))
+        for _ in range(6):
+            w.write(square_image())
+        w.release()
+        out = tmp_path / "runs"
+        yolo.predict(str(vid), conf=0.0001, save=True, save_frames=True,
+                     project=str(out), name="v")
+        saved = sorted(p.name for p in (out / "v").glob("*"))
+        assert "clip.mp4" in saved
+        assert any(n.startswith("clip_") and n.endswith(".jpg") for n in saved)
+        cap = cv2.VideoCapture(str(out / "v" / "clip.mp4"))
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        fps = cap.get(cv2.CAP_PROP_FPS)
+        cap.release()
+        assert n == 6 and abs(fps - 10) < 0.5
+
+    def test_show_headless_warns_not_crashes(self, yolo, monkeypatch):
+        monkeypatch.delenv("DISPLAY", raising=False)
+        r = yolo.predict(square_image(), conf=0.0001, show=True)
+        assert len(r) == 1
