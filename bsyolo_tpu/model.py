@@ -157,6 +157,7 @@ class YOLO:
             imgsz=imgsz,
             augment=False,
             max_gt=kwargs.get("max_gt", 128),
+            single_cls=bool(kwargs.get("single_cls", False)),
             task=task,
             flip_idx=d.get("flip_idx"),
         )
@@ -167,6 +168,11 @@ class YOLO:
             "obb": OBBValidator,
         }.get(task, DetectionValidator)
         vkw = {}
+        # NMS knobs flow to the validator (reference val args conf=0.001/
+        # iou=0.7/max_det=300 are overridable per call)
+        for k in ("conf", "iou", "max_det"):
+            if kwargs.get(k) is not None:
+                vkw[k] = kwargs[k]
         if kwargs.get("save_json"):
             if validator_cls is OBBValidator:
                 from bsyolo_tpu.utils import LOGGER

@@ -490,3 +490,32 @@ class TestSaveVideo:
         monkeypatch.delenv("DISPLAY", raising=False)
         r = yolo.predict(square_image(), conf=0.0001, show=True)
         assert len(r) == 1
+
+
+def test_val_kwargs_reach_validator(yolo, tmp_path, monkeypatch):
+    """val(conf/iou/max_det) must reach the validator (reference val args)."""
+    import bsyolo_tpu.engine.validator as V
+
+    captured = {}
+
+    class FakeValidator:
+        def __init__(self, model, spec, **kw):
+            captured.update(kw)
+
+        def __call__(self, variables, loader):
+            return None
+
+    monkeypatch.setattr(V, "DetectionValidator", FakeValidator)
+    # tiny 1-image dataset
+    import cv2
+
+    (tmp_path / "images/val").mkdir(parents=True)
+    (tmp_path / "labels/val").mkdir(parents=True)
+    cv2.imwrite(str(tmp_path / "images/val/a.jpg"), square_image())
+    (tmp_path / "labels/val/a.txt").write_text("0 0.5 0.5 0.2 0.2")
+    dy = tmp_path / "d.yaml"
+    dy.write_text(f"path: {tmp_path}\ntrain: images/val\nval: images/val\nnc: 2\nnames:\n  0: a\n  1: b\n")
+    yolo.val(data=str(dy), batch=1, imgsz=96, conf=0.123, iou=0.5, max_det=77)
+    assert captured.get("conf") == 0.123
+    assert captured.get("iou") == 0.5
+    assert captured.get("max_det") == 77
