@@ -313,10 +313,10 @@ def train_transform(
     img, boxes = random_flip(
         img, boxes, rng, fliplr=hyp.get("fliplr", 0.5), flipud=hyp.get("flipud", 0.0)
     )
-    if hyp.get("bgr", 0.0) and rng.random() < hyp.get("bgr", 0.0):
-        # channel-order swap augmentation (reference augment.py Format/bgr
-        # arg wired from cfg `bgr:`): geometry untouched
-        img = np.ascontiguousarray(img[..., ::-1])
+    # NOTE: the `bgr` channel-swap is NOT applied here — the reference applies
+    # it once in Format AFTER MixUp (augment.py Format/bgr), so the dataset
+    # applies it after blending (dataset.py); rolling it per-component would
+    # let MixUp blend a swapped image with an unswapped one.
     return img, cls, boxes
 
 

@@ -344,6 +344,9 @@ class YOLODataset:
                     imgs2, labels2, self.imgsz, rng, self.hyp, mosaic=True
                 )
                 img, cls, boxes = mixup(img, (cls, boxes), img2, (cls2, boxes2), rng)
+            if self.hyp.get("bgr", 0.0) and rng.random() < self.hyp.get("bgr", 0.0):
+                # once, after mosaic/mixup — the reference Format/bgr position
+                img = np.ascontiguousarray(img[..., ::-1])
         else:
             from bsyolo_tpu.ops.letterbox import letterbox_image
 

@@ -68,11 +68,17 @@ class ClassificationTrainer:
     """Train a classifier from a folder-per-class dataset root with
     data/<train|val>/<class>/ images (reference classify/train.py)."""
 
-    def __init__(self, overrides: Optional[Dict] = None):
+    def __init__(self, overrides: Optional[Dict] = None, callbacks=None):
+        from bsyolo_tpu.utils.callbacks import default_callbacks
+
         self.args = get_cfg(overrides=overrides or {})
         self.save_dir = Path(self.args.project or "runs/classify") / (self.args.name or "train")
         self.metrics = None
         self.best_fitness = 0.0
+        self.callbacks = callbacks or default_callbacks()
+
+    def add_callback(self, event: str, fn):
+        self.callbacks.add(event, fn)
 
     def train(self):
         args = self.args
@@ -143,7 +149,10 @@ class ClassificationTrainer:
         validator = ClassificationValidator(self.model)
 
         LOGGER.info(f"classify train: {nc} classes, {len(train_ds)} images, {args.epochs} epochs")
+        self.callbacks.run("on_train_start", self)
         for epoch in range(args.epochs):
+            self.epoch = epoch
+            self.callbacks.run("on_train_epoch_start", self)
             train_loader.set_epoch(epoch)
             tot = n = 0
             for batch in train_loader:
@@ -152,8 +161,11 @@ class ClassificationTrainer:
                 tot += float(m["loss"])
                 n += 1
             variables_eval = {"params": state.ema_params, "batch_stats": state.batch_stats}
+            self.callbacks.run("on_train_epoch_end", self)
             self.metrics = validator(variables_eval, val_loader)
             fitness = self.metrics.fitness
+            self.epoch_metrics = {"fitness": fitness, "top1": self.metrics.top1, "top5": self.metrics.top5}
+            self.callbacks.run("on_fit_epoch_end", self)
             LOGGER.info(
                 f"epoch {epoch}: loss {tot/max(n,1):.4f} top1 {self.metrics.top1:.3f} top5 {self.metrics.top5:.3f}"
             )
@@ -163,5 +175,7 @@ class ClassificationTrainer:
                 if fitness >= self.best_fitness:
                     self.best_fitness = fitness
                     save_checkpoint(self.save_dir / "weights" / "best.ckpt", state, meta)
+                self.callbacks.run("on_model_save", self)
         self.state = state
+        self.callbacks.run("on_train_end", self)
         return self.metrics

@@ -251,14 +251,17 @@ class DetectionPredictor:
                 tails clipped, merged through ONE NMS. All three shapes are
                 static so the whole ensemble is a single compiled program."""
                 b, ih, iw = x.shape[0], x.shape[1], x.shape[2]
+                gs = max(strides)  # reference scale_img gs=stride.max()
                 outs = []
                 for si, fl in ((1.0, False), (0.83, True), (0.67, False)):
                     xi = x[:, :, ::-1, :] if fl else x
                     if si != 1.0:
                         nh, nw = int(ih * si), int(iw * si)
                         xi = jax.image.resize(xi, (b, nh, nw, x.shape[3]), method="bilinear")
-                        ph = _math.ceil(ih * si / 32) * 32 - nh
-                        pw = _math.ceil(iw * si / 32) * 32 - nw
+                        # pad to the LARGEST stride so every level keeps the
+                        # 4^i anchor-count ratio the tail-clip math assumes
+                        ph = _math.ceil(ih * si / gs) * gs - nh
+                        pw = _math.ceil(iw * si / gs) * gs - nw
                         # 0.447 = the reference's imagenet-mean pad value
                         # (torch_utils.py:430 scale_img)
                         xi = jnp.pad(xi, ((0, 0), (0, ph), (0, pw), (0, 0)),

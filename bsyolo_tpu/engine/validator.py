@@ -437,6 +437,7 @@ class DetectionValidator:
         save_json: bool = False,
         save_dir=None,
         class_map=None,  # e.g. COCO80_TO_COCO91 for official COCO ids
+        single_cls: bool = False,
     ):
         self.model = model
         self.spec = spec
@@ -449,6 +450,7 @@ class DetectionValidator:
         self.save_json = save_json
         self.save_dir = save_dir
         self.class_map = class_map
+        self.single_cls = single_cls
 
         nc = spec.nc
         strides = spec.head_strides
@@ -466,7 +468,8 @@ class DetectionValidator:
                 return postprocess_e2e(preds, max_det=max_det, nc=nc)
             feats = out["feats"] if isinstance(out, dict) else out
             return detect_postprocess(
-                feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det, pre_k=pre_k
+                feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                pre_k=pre_k, agnostic=single_cls,
             )
 
         self._forward = jax.jit(forward)
@@ -494,6 +497,12 @@ class DetectionValidator:
             t0 = time.perf_counter()
             dets = np.asarray(self._forward(variables, img))  # (B, max_det, 6)
             t_infer += time.perf_counter() - t0
+            if self.single_cls:
+                # reference detect/val.py single_cls: predictions collapse to
+                # class 0 (padding rows keep their -1 sentinel); np.asarray of
+                # a device array is read-only, so copy before writing
+                dets = dets.copy()
+                dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
             b, h, w = img.shape[0], img.shape[1], img.shape[2]
             n_img += b
             scale = np.array([w, h, w, h], np.float32)

@@ -57,6 +57,7 @@ class YOLO:
         self.spec = parse_model_yaml(d, scale=d.get("scale", ""))
         self.model, self.variables = build_model(self.spec, img_size=img_size)
         self._img_size = img_size
+        self._embed_fns = {}  # jitted embed() cache follows the graph
 
     def _load_ckpt(self, path: str):
         from bsyolo_tpu.engine.trainer import load_checkpoint
@@ -96,7 +97,9 @@ class YOLO:
         if self.spec is not None and self.spec.task == "classify":
             from bsyolo_tpu.engine.classify import ClassificationTrainer
 
-            trainer = ClassificationTrainer(overrides=overrides)
+            trainer = ClassificationTrainer(
+                overrides=overrides, callbacks=getattr(self, "_callbacks", None)
+            )
             self.metrics = trainer.train()
             self.spec = trainer.spec
             self.model = trainer.model
@@ -106,6 +109,7 @@ class YOLO:
             }
             self.trainer = trainer
             self._predictor = None
+            self._embed_fns = {}
             return self.metrics
         trainer = DetectionTrainer(overrides=overrides, callbacks=getattr(self, "_callbacks", None))
         self.metrics = trainer.train()
@@ -118,6 +122,7 @@ class YOLO:
         }
         self._img_size = trainer.args.imgsz
         self._predictor = None
+        self._embed_fns = {}
         self.trainer = trainer
         return self.metrics
 
@@ -173,6 +178,16 @@ class YOLO:
         for k in ("conf", "iou", "max_det"):
             if kwargs.get(k) is not None:
                 vkw[k] = kwargs[k]
+        if kwargs.get("single_cls"):
+            # reference detect/val.py: single_cls zeroes prediction classes
+            # and GT classes alike (the dataset already zeroed GT above)
+            if validator_cls is DetectionValidator:
+                vkw["single_cls"] = True
+            else:
+                from bsyolo_tpu.utils import LOGGER
+
+                LOGGER.warning("single_cls val is detect-only here; GT classes "
+                               "are zeroed but predictions keep their classes")
         if kwargs.get("save_json"):
             if validator_cls is OBBValidator:
                 from bsyolo_tpu.utils import LOGGER
@@ -188,8 +203,8 @@ class YOLO:
                     from bsyolo_tpu.utils.coco import COCO80_TO_COCO91
 
                     cm = COCO80_TO_COCO91
-                vkw = {"save_json": True, "save_dir": kwargs.get("save_dir", "runs/val"),
-                       "class_map": cm}
+                vkw.update({"save_json": True, "save_dir": kwargs.get("save_dir", "runs/val"),
+                            "class_map": cm})
         validator = validator_cls(self.model, self.spec, names=d.get("names"), **vkw)
         self.metrics = validator(self.variables, loader)
         return self.metrics
@@ -205,7 +220,8 @@ class YOLO:
         augment = bool(kwargs.get("augment", False))
         key = (conf, kwargs.get("iou", 0.7), imgsz, tuple(kwargs.get("classes") or ()), batch,
                augment, bool(kwargs.get("stream_buffer", False)),
-               bool(kwargs.get("retina_masks", False)))
+               bool(kwargs.get("retina_masks", False)),
+               kwargs.get("max_det", 300), bool(kwargs.get("agnostic_nms", False)))
         if self._predictor is None or self._predictor_key != key:
             self._predictor = DetectionPredictor(
                 self.model,
@@ -287,8 +303,13 @@ class YOLO:
         if not (os.environ.get("DISPLAY") or os.name == "nt"):
             LOGGER.warning("show=True: no display available, skipping imshow")
             return
+        plot_kw = {
+            "labels": bool(kwargs.get("show_labels", True)),
+            "conf": bool(kwargs.get("show_conf", True)),
+            "boxes": bool(kwargs.get("show_boxes", True)),
+        }
         for r in results:
-            cv2.imshow("bsyolo", r.plot())
+            cv2.imshow("bsyolo", r.plot(**plot_kw))
             cv2.waitKey(1)
 
     def __call__(self, source, **kwargs):
@@ -310,11 +331,21 @@ class YOLO:
         idxs = tuple(kwargs.get("embed") or (len(self.spec.layers) - 2,))
         imgsz = kwargs.get("imgsz") or self._img_size
 
-        @jax.jit
-        def fwd(variables, x):
-            return self.model.apply(
-                variables, x.astype(jnp.float32) / 255.0, train=False, embed=idxs
-            )
+        # cache the jitted forward per (layers, imgsz): a fresh closure per
+        # call would defeat jit's cache and recompile on every embed()
+        cache = getattr(self, "_embed_fns", None)
+        if cache is None:
+            cache = self._embed_fns = {}
+        fwd = cache.get((idxs, imgsz))
+        if fwd is None:
+            model = self.model
+
+            def fwd(variables, x, _idxs=idxs):
+                return model.apply(
+                    variables, x.astype(jnp.float32) / 255.0, train=False, embed=_idxs
+                )
+
+            fwd = cache[(idxs, imgsz)] = jax.jit(fwd)
 
         def gen():
             for frame, _path, _isvid in iter_source(source, kwargs.get("vid_stride", 1)):
@@ -339,6 +370,7 @@ class YOLO:
         assert self.spec is not None, "no model loaded"
         self.model, self.variables = build_model(self.spec, img_size=self._img_size)
         self._predictor = None
+        self._embed_fns = {}
         return self
 
     # --- callback bus (reference Model.add_callback/clear_callback) ---------

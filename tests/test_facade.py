@@ -439,23 +439,34 @@ class TestPredictFlags:
             no_conf = r.plot(conf=False)
             assert no_conf.shape == full.shape
 
-    def test_bgr_augmentation_flag(self):
-        from bsyolo_tpu.data.augment import train_transform
+    def test_bgr_augmentation_flag(self, tmp_path):
+        """bgr rolls ONCE at the dataset level, after mosaic/mixup (the
+        reference Format/bgr position) — never per mixup component."""
+        import cv2
 
+        from bsyolo_tpu.data import YOLODataset
+
+        (tmp_path / "images").mkdir()
+        (tmp_path / "labels").mkdir()
         img = np.zeros((64, 64, 3), np.uint8)
-        img[:, :, 0] = 200  # blue-heavy in BGR
-        labels = [(np.zeros((0,), np.float32), np.zeros((0, 4), np.float32))] * 4
-        hyp = {"bgr": 1.0, "mosaic9": 0.0, "hsv_h": 0, "hsv_s": 0, "hsv_v": 0,
-               "fliplr": 0, "flipud": 0, "translate": 0, "scale": 0,
-               "albumentations": 0.0}
-        out, _, _ = train_transform([img] * 4, labels, 64, np.random.default_rng(0),
-                                    hyp=hyp, mosaic=False)
-        # channel swap moved the heavy channel from index 0 to index 2
-        assert out[..., 2].mean() > out[..., 0].mean()
-        hyp["bgr"] = 0.0
-        out2, _, _ = train_transform([img] * 4, labels, 64, np.random.default_rng(0),
-                                     hyp=hyp, mosaic=False)
-        assert out2[..., 0].mean() > out2[..., 2].mean()
+        img[:, :, 0] = 200  # heavy channel 0
+        for i in range(4):
+            cv2.imwrite(str(tmp_path / "images" / f"{i}.png"), img)
+            (tmp_path / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.2 0.2")
+
+        def sample(bgr):
+            hyp = {"bgr": bgr, "mosaic": 1.0, "mixup": 0.0, "hsv_h": 0, "hsv_s": 0,
+                   "hsv_v": 0, "fliplr": 0, "flipud": 0, "translate": 0, "scale": 0,
+                   "albumentations": 0.0}
+            ds = YOLODataset(str(tmp_path / "images"), imgsz=64, augment=True,
+                             hyp=hyp, max_gt=8)
+            return ds.get_sample(0, np.random.default_rng(0))["img"]
+
+        # source pngs are blue-heavy; format_labels emits RGB, so without the
+        # swap the heavy channel lands at index 2, with the swap at index 0
+        on, off = sample(1.0), sample(0.0)
+        assert on[..., 0].mean() > on[..., 2].mean(), "bgr=1.0 must swap channels"
+        assert off[..., 2].mean() > off[..., 0].mean()
 
     def test_stream_buffer_plumbs_to_loader(self, yolo):
         from bsyolo_tpu.engine.predictor import DetectionPredictor
@@ -519,3 +530,10 @@ def test_val_kwargs_reach_validator(yolo, tmp_path, monkeypatch):
     assert captured.get("conf") == 0.123
     assert captured.get("iou") == 0.5
     assert captured.get("max_det") == 77
+    # save_json must ADD to the kwargs, not clobber the NMS overrides
+    captured.clear()
+    yolo.val(data=str(dy), batch=1, imgsz=96, conf=0.123, save_json=True,
+             single_cls=True, save_dir=str(tmp_path / "v"))
+    assert captured.get("conf") == 0.123, "save_json clobbered conf override"
+    assert captured.get("save_json") is True
+    assert captured.get("single_cls") is True

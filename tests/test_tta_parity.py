@@ -98,3 +98,54 @@ def test_tta_descale_and_clip_match_reference(imgsz):
 
     assert ours.shape == ref_merged.shape, (ours.shape, ref_merged.shape)
     np.testing.assert_allclose(ours, ref_merged, rtol=1e-6, atol=1e-5)
+
+
+def test_tta_clip_matches_reference_for_p6():
+    """4-level (P6, stride 64) tail-clip parity: predictor pads scaled passes
+    to max(strides), keeping the 4^i per-level anchor ratio clip assumes."""
+    descale, clip, torch = _extract_methods()
+    import math
+
+    imgsz, nc, b = 128, 2, 1
+    strides = (8, 16, 32, 64)
+    nl = len(strides)
+    rng = np.random.default_rng(1)
+    scales = (1.0, 0.83, 0.67)
+    flips = (None, 3, None)
+    gs = max(strides)
+    pass_preds = []
+    for s in scales:
+        sz = math.ceil(imgsz * s / gs) * gs if s != 1.0 else imgsz
+        A = sum((sz // st) ** 2 for st in strides)
+        p = rng.uniform(0, imgsz, size=(b, A, 4 + nc)).astype(np.float32)
+        pass_preds.append(p)
+
+    class _H:  # stub head with nl=4
+        nl = 4
+
+    class _M:
+        def __getitem__(self, i):
+            return _H()
+
+    class _S:
+        model = _M()
+
+    ref_y = []
+    for p, s, f in zip(pass_preds, scales, flips):
+        t = descale(torch.tensor(p.copy()).permute(0, 2, 1), f, s, (imgsz, imgsz))
+        ref_y.append(t)
+    ref = torch.cat(clip(_S(), ref_y), -1).permute(0, 2, 1).numpy()
+
+    outs = []
+    for p, s, f in zip(pass_preds, scales, flips):
+        q = p.copy()
+        q[..., :4] /= s
+        if f == 3:
+            q[..., 0] = imgsz - q[..., 0]
+        outs.append(q)
+    g = sum(4 ** i for i in range(nl))
+    outs[0] = outs[0][:, : -(outs[0].shape[1] // g)]
+    outs[-1] = outs[-1][:, (outs[-1].shape[1] // g) * 4 ** (nl - 1):]
+    ours = np.concatenate(outs, axis=1)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-5)
