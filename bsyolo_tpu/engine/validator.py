@@ -438,6 +438,7 @@ class DetectionValidator:
         save_dir=None,
         class_map=None,  # e.g. COCO80_TO_COCO91 for official COCO ids
         single_cls: bool = False,
+        plots: bool = False,
     ):
         self.model = model
         self.spec = spec
@@ -451,6 +452,7 @@ class DetectionValidator:
         self.save_dir = save_dir
         self.class_map = class_map
         self.single_cls = single_cls
+        self.plots = plots
 
         nc = spec.nc
         strides = spec.head_strides
@@ -504,6 +506,8 @@ class DetectionValidator:
                 dets = dets.copy()
                 dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
             b, h, w = img.shape[0], img.shape[1], img.shape[2]
+            if self.plots and self.save_dir is not None and n_img < 3 * b:
+                self._plot_val_batch(batch, dets, n_img // max(b, 1), (h, w))
             n_img += b
             scale = np.array([w, h, w, h], np.float32)
             for i in range(b):
@@ -560,4 +564,49 @@ class DetectionValidator:
                 metrics.process(tp, conf, pred_cls, target_cls)
         metrics.speed["inference"] = t_infer / max(n_img, 1) * 1000
         metrics.confusion_matrix = confusion
+        if self.plots and self.save_dir is not None:
+            # reference validator artifacts: confusion_matrix.png, PR/F1
+            # curves, val_batch{i}_{labels,pred}.jpg (written above)
+            from pathlib import Path as _Path
+
+            from bsyolo_tpu.utils.plotting import (
+                plot_confusion_matrix,
+                plot_mc_curve,
+                plot_pr_curve,
+            )
+
+            sd = _Path(self.save_dir)
+            plot_confusion_matrix(confusion.matrix, self.names, str(sd / "confusion_matrix.png"))
+            curves = getattr(metrics, "curves", None)
+            if curves is not None and curves["prec_values"].size:
+                plot_pr_curve(curves["x"], curves["prec_values"],
+                              np.asarray(metrics.box.ap50), self.names,
+                              str(sd / "PR_curve.png"))
+                plot_mc_curve(curves["x"], curves["f1"], self.names,
+                              str(sd / "F1_curve.png"), ylabel="F1")
+                plot_mc_curve(curves["x"], curves["p"], self.names,
+                              str(sd / "P_curve.png"), ylabel="Precision")
+                plot_mc_curve(curves["x"], curves["r"], self.names,
+                              str(sd / "R_curve.png"), ylabel="Recall")
         return metrics
+
+    def _plot_val_batch(self, batch, dets, k: int, hw):
+        """val_batch{k}_labels.jpg / _pred.jpg (reference validator plots)."""
+        from bsyolo_tpu.ops.boxes import xyxy2xywh
+        from bsyolo_tpu.utils.plotting import plot_images
+
+        from pathlib import Path as _Path
+
+        sd = _Path(self.save_dir)
+        gt = {k2: np.asarray(v) for k2, v in batch.items() if k2 in ("img", "cls", "bboxes", "mask")}
+        plot_images(gt, self.names, save_path=str(sd / f"val_batch{k}_labels.jpg"))
+        h, w = hw
+        scale = np.array([w, h, w, h], np.float32)
+        n = dets.shape[1]
+        pred = {
+            "img": np.asarray(batch["img"]),
+            "cls": dets[..., 5],
+            "bboxes": np.asarray(xyxy2xywh(jnp.asarray(dets[..., :4]))) / scale,
+            "mask": dets[..., 4] > 0,
+        }
+        plot_images(pred, self.names, save_path=str(sd / f"val_batch{k}_pred.jpg"))

@@ -190,6 +190,11 @@ class DetMetrics:
         results = ap_per_class(tp, conf, pred_cls, target_cls)
         self.box.nc = len(self.names)
         self.box.update(results)
+        # full curves for plotting (reference plot_pr_curve/plot_mc_curve
+        # inputs): x grid, per-class precision@recall, P/R/F1 vs confidence
+        (_, _, _, _, _, _, _, p_curve, r_curve, f1_curve, x, prec_values) = results
+        self.curves = {"x": x, "prec_values": np.asarray(prec_values),
+                       "p": p_curve, "r": r_curve, "f1": f1_curve}
 
     @property
     def keys(self):

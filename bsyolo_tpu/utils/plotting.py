@@ -102,3 +102,66 @@ def plot_confusion_matrix(matrix: np.ndarray, names: Dict[int, str], save_path: 
     fig.savefig(save_path, dpi=120)
     plt.close(fig)
     return save_path
+
+
+def plot_pr_curve(x: np.ndarray, prec_values: np.ndarray, ap50: np.ndarray,
+                  names: Dict[int, str], save_path: str):
+    """Per-class precision-recall curves + the all-class mean (reference
+    utils/metrics.py plot_pr_curve, written by val when plots=True)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(9, 6))
+    prec_values = np.atleast_2d(prec_values)
+    if prec_values.size:
+        if prec_values.shape[0] <= 21:
+            for i, y in enumerate(prec_values):
+                label = f"{names.get(i, i)} {ap50[i]:.3f}" if i < len(ap50) else str(i)
+                ax.plot(x, y, linewidth=1, label=label)
+        else:
+            ax.plot(x, prec_values.T, linewidth=1, color="grey")
+        ax.plot(x, prec_values.mean(0), linewidth=3, color="blue",
+                label=f"all classes {float(np.mean(ap50)) if len(ap50) else 0:.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=7, loc="lower left")
+    fig.tight_layout()
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path
+
+
+def plot_mc_curve(x: np.ndarray, ys: np.ndarray, names: Dict[int, str],
+                  save_path: str, ylabel: str = "Metric"):
+    """Metric-vs-confidence curves (reference plot_mc_curve: P/R/F1 pngs)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(9, 6))
+    ys = np.atleast_2d(ys)
+    if ys.size:
+        if ys.shape[0] <= 21:
+            for i, y in enumerate(ys):
+                ax.plot(x, y, linewidth=1, label=str(names.get(i, i)))
+        else:
+            ax.plot(x, ys.T, linewidth=1, color="grey")
+        m = ys.mean(0)
+        ax.plot(x, m, linewidth=3, color="blue",
+                label=f"all classes {m.max():.2f} at {x[m.argmax()]:.3f}")
+    ax.set_xlabel("Confidence")
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=7, loc="lower left")
+    fig.tight_layout()
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path

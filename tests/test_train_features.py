@@ -162,3 +162,19 @@ def test_rand_augment_ops_preserve_contract():
     for seed in range(16):  # sweep ops
         out = rand_augment(img.copy(), np.random.default_rng(seed))
         assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_val_plots_artifacts(data_yaml, tmp_path):
+    """val(plots=True) writes the reference's artifact set: confusion matrix,
+    PR/P/R/F1 curves, and the first val batches as labels/pred tiles."""
+    from bsyolo_tpu import YOLO
+
+    m = YOLO(TINY)
+    m._new(TINY, img_size=64)
+    m.val(data=str(data_yaml), batch=8, imgsz=64, conf=0.001, plots=True,
+          save_dir=str(tmp_path / "out"))
+    names = {p.name for p in (tmp_path / "out").glob("*")}
+    for expect in ("confusion_matrix.png", "PR_curve.png", "F1_curve.png",
+                   "P_curve.png", "R_curve.png", "val_batch0_labels.jpg",
+                   "val_batch0_pred.jpg"):
+        assert expect in names, f"missing val artifact {expect}"
