@@ -481,6 +481,17 @@ class DetectionTrainer:
             em = {}
             n = 0
             for batch in self.train_loader:
+                if args.plots and epoch == 0 and n < 3 and self.rank == 0:
+                    # train_batch{0,1,2}.jpg mosaics (reference trainer
+                    # plot_training_samples)
+                    from bsyolo_tpu.utils.plotting import plot_images
+
+                    plot_images(
+                        {k: np.asarray(v) for k, v in batch.items()
+                         if k in ("img", "cls", "bboxes", "mask")},
+                        {i2: nm for i2, nm in enumerate(self.spec.names)},
+                        save_path=str(self.save_dir / f"train_batch{n}.jpg"),
+                    )
                 if self.world > 1:
                     batch = pdist.host_local_batch_to_global(batch, self.mesh)
                 else:
