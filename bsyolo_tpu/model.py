@@ -257,7 +257,32 @@ class YOLO:
             self._save_results(results, kwargs)
         if kwargs.get("show"):
             self._show_results(results, kwargs)
+        if kwargs.get("visualize") and results:
+            self._visualize_features(results[0], kwargs)
         return results
+
+    def _visualize_features(self, r, kwargs):
+        """predict(visualize=True): per-graph-layer feature-map grids for the
+        first image (reference nn/tasks.py:159-160 feature_visualization)."""
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.ops.letterbox import letterbox_image
+        from bsyolo_tpu.utils.visualize import capture_features, feature_visualization
+
+        out_dir = (Path(kwargs.get("project", "runs/detect"))
+                   / kwargs.get("name", "predict") / "features")
+        lb, _, _ = letterbox_image(r.orig_img, (self._img_size, self._img_size))
+        x = jnp.asarray(
+            np.ascontiguousarray(lb[..., ::-1])[None].astype(np.float32) / 255.0
+        )
+        feats = capture_features(self.model, self.variables, x)
+        n = 0
+        for k, v in feats.items():
+            if "/" in k:  # nested submodule taps — keep top-level layers only
+                continue
+            feature_visualization(v, str(out_dir / f"{k}_features.png"))
+            n += 1
+        LOGGER.info(f"visualize: wrote {n} feature-map grids to {out_dir}")
 
     def _save_results(self, results, kwargs):
         """save=True output layout (reference predictor.py write_results):

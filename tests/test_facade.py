@@ -537,3 +537,10 @@ def test_val_kwargs_reach_validator(yolo, tmp_path, monkeypatch):
     assert captured.get("conf") == 0.123, "save_json clobbered conf override"
     assert captured.get("save_json") is True
     assert captured.get("single_cls") is True
+
+
+def test_visualize_writes_feature_grids(yolo, tmp_path):
+    yolo.predict(square_image(), conf=0.0001, visualize=True,
+                 project=str(tmp_path), name="p")
+    pngs = list((tmp_path / "p" / "features").glob("m*_features.png"))
+    assert len(pngs) >= 5, "visualize=True must dump per-layer feature grids"
