@@ -223,15 +223,28 @@ class YOLO:
         imgsz = kwargs.get("imgsz") or self._img_size
         batch = int(kwargs.get("batch", 1) or 1)
         augment = bool(kwargs.get("augment", False))
+        half = bool(kwargs.get("half", False))
         key = (conf, kwargs.get("iou", 0.7), imgsz, tuple(kwargs.get("classes") or ()), batch,
                augment, bool(kwargs.get("stream_buffer", False)),
                bool(kwargs.get("retina_masks", False)),
-               kwargs.get("max_det", 300), bool(kwargs.get("agnostic_nms", False)))
+               kwargs.get("max_det", 300), bool(kwargs.get("agnostic_nms", False)), half)
         if self._predictor is None or self._predictor_key != key:
+            model, variables = self.model, self.variables
+            if half:
+                # bf16 inference (the TPU half): rebuild the graph with bf16
+                # compute dtype and cast weight tensors — the same path
+                # bench.py measures (~30% faster on v5e, norm stats stay f32)
+                import jax.numpy as jnp
+
+                from bsyolo_tpu.nn import build_model
+                from bsyolo_tpu.nn.model import cast_inference_params
+
+                model, _ = build_model(self.spec, img_size=imgsz, dtype=jnp.bfloat16)
+                variables = cast_inference_params(self.variables)
             self._predictor = DetectionPredictor(
-                self.model,
+                model,
                 self.spec,
-                self.variables,
+                variables,
                 conf=conf,
                 iou=kwargs.get("iou", 0.7),
                 max_det=kwargs.get("max_det", 300),
@@ -245,8 +258,12 @@ class YOLO:
                 retina_masks=bool(kwargs.get("retina_masks", False)),
             )
             self._predictor_key = key
-        else:
+        elif not half:
             self._predictor.variables = self.variables
+        else:
+            from bsyolo_tpu.nn.model import cast_inference_params
+
+            self._predictor.variables = cast_inference_params(self.variables)
         gen = self._predictor.stream(
             source, vid_stride=kwargs.get("vid_stride", 1), verbose=kwargs.get("verbose", False)
         )

@@ -544,3 +544,19 @@ def test_visualize_writes_feature_grids(yolo, tmp_path):
                  project=str(tmp_path), name="p")
     pngs = list((tmp_path / "p" / "features").glob("m*_features.png"))
     assert len(pngs) >= 5, "visualize=True must dump per-layer feature grids"
+
+
+def test_half_predict_bf16(yolo):
+    """predict(half=True) = bf16 graph + cast weights (the TPU 'half');
+    top detections agree with the f32 path within bf16 tolerance."""
+    img = square_image()
+    r32 = yolo.predict(img, conf=0.001)[0]
+    rh = yolo.predict(img, conf=0.001, half=True)[0]
+    if len(r32) and len(rh):
+        d = np.abs(r32.boxes.xyxy[0] - rh.boxes.xyxy[0]).max()
+        assert d < 3.0, f"bf16 top box drifted {d}px from f32"
+    import jax.numpy as jnp
+
+    leaves = [x for x in __import__("jax").tree_util.tree_leaves(
+        yolo._predictor.variables) if getattr(x, "ndim", 0) >= 2]
+    assert any(x.dtype == jnp.bfloat16 for x in leaves), "weights not cast to bf16"
