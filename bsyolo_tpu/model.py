@@ -157,8 +157,11 @@ class YOLO:
         )
 
         d = load_dataset_yaml(data)
+        split = kwargs.get("split", "val")
+        if split not in d:
+            raise KeyError(f"dataset {data} has no '{split}' split (cfg `split:`)")
         ds = YOLODataset(
-            d["val"],
+            d[split],
             imgsz=imgsz,
             augment=False,
             max_gt=kwargs.get("max_gt", 128),
@@ -313,6 +316,8 @@ class YOLO:
             "conf": bool(kwargs.get("show_conf", True)),
             "boxes": bool(kwargs.get("show_boxes", True)),
         }
+        if kwargs.get("line_width"):
+            plot_kw["line_width"] = int(kwargs["line_width"])
         save_frames = bool(kwargs.get("save_frames", False))
         writers: Dict[str, Any] = {}
         try:
