@@ -197,16 +197,41 @@ class SegmentMetrics(DetMetrics):
         return out
 
 
+
+def _finalize_val_plots(confusion, metrics, names, save_dir):
+    """plots=True artifacts shared by the detect-family validators:
+    confusion_matrix.png + box PR/P/R/F1 curves (reference validator plots)."""
+    from pathlib import Path as _Path
+
+    from bsyolo_tpu.utils.plotting import (
+        plot_confusion_matrix,
+        plot_mc_curve,
+        plot_pr_curve,
+    )
+
+    sd = _Path(save_dir)
+    plot_confusion_matrix(confusion.matrix, names, str(sd / "confusion_matrix.png"))
+    curves = getattr(metrics, "curves", None)
+    if curves is not None and curves["prec_values"].size:
+        plot_pr_curve(curves["x"], curves["prec_values"], np.asarray(metrics.box.ap50),
+                      names, str(sd / "PR_curve.png"))
+        plot_mc_curve(curves["x"], curves["f1"], names, str(sd / "F1_curve.png"), ylabel="F1")
+        plot_mc_curve(curves["x"], curves["p"], names, str(sd / "P_curve.png"), ylabel="Precision")
+        plot_mc_curve(curves["x"], curves["r"], names, str(sd / "R_curve.png"), ylabel="Recall")
+
+
 class SegmentationValidator:
     """Box + mask mAP (reference models/yolo/segment/val.py): mask true
     positives use flattened mask IoU against the overlap-encoded gt masks."""
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 100,
                  names: Optional[Dict[int, str]] = None, save_json: bool = False,
-                 save_dir=None, class_map=None):
+                 save_dir=None, class_map=None, plots: bool = False):
         from bsyolo_tpu.nn.heads import decode_extras
         from bsyolo_tpu.ops.masks import process_mask
 
+        self.conf = conf
+        self.plots = plots
         self.spec = spec
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
@@ -238,6 +263,7 @@ class SegmentationValidator:
         from bsyolo_tpu.ops.boxes import xywh2xyxy as _xywh2xyxy
 
         stats = {k: [] for k in ("tp", "tp_m", "conf", "pred_cls", "target_cls")}
+        confusion = ConfusionMatrix(nc=self.spec.nc, conf=self.conf)
         jc = _JsonCollector(loader, self.save_dir, self.class_map) if self.save_json else None
         n_seen = 0
         for batch in loader:
@@ -273,7 +299,9 @@ class SegmentationValidator:
                         stats["conf"].append(np.zeros(0))
                         stats["pred_cls"].append(np.zeros(0))
                         stats["target_cls"].append(gt_cls)
+                        confusion.process_batch(None, gt_xyxy, gt_cls)
                     continue
+                confusion.process_batch(d, gt_xyxy, gt_cls)
                 iou_b = _box_iou_np(gt_xyxy, d[:, :4])
                 tp = match_predictions(d[:, 5], gt_cls, iou_b, self.iouv)
                 # mask IoU: gt instance g -> pixels == g+1 in the overlap mask
@@ -302,6 +330,9 @@ class SegmentationValidator:
                 pcls = np.concatenate(stats["pred_cls"])
                 metrics.process(np.concatenate(stats["tp"]), conf, pcls, target_cls)
                 metrics.process_seg(np.concatenate(stats["tp_m"]), conf, pcls, target_cls)
+        metrics.confusion_matrix = confusion
+        if self.plots and self.save_dir is not None:
+            _finalize_val_plots(confusion, metrics, self.names, self.save_dir)
         return metrics
 
 
@@ -330,7 +361,7 @@ class PoseValidator:
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 300,
                  names: Optional[Dict[int, str]] = None, save_json: bool = False,
-                 save_dir=None, class_map=None):
+                 save_dir=None, class_map=None, plots: bool = False):
         from bsyolo_tpu.losses.pose import OKS_SIGMA
         from bsyolo_tpu.nn.heads import decode_extras, decode_keypoints
 
@@ -342,6 +373,8 @@ class PoseValidator:
         self.class_map = class_map
         nkpt, nd = spec.kpt_shape
         self.sigma = OKS_SIGMA if (nkpt == 17 and nd == 3) else np.ones(nkpt) / nkpt
+        self.conf = conf
+        self.plots = plots
         nc, strides = spec.nc, spec.head_strides
         kpt_shape = spec.kpt_shape
 
@@ -363,6 +396,7 @@ class PoseValidator:
         from bsyolo_tpu.utils.metrics import kpt_iou_np
 
         stats = {k: [] for k in ("tp", "tp_p", "conf", "pred_cls", "target_cls")}
+        confusion = ConfusionMatrix(nc=self.spec.nc, conf=self.conf)
         jc = _JsonCollector(loader, self.save_dir, self.class_map) if self.save_json else None
         n_seen = 0
         for batch in loader:
@@ -400,7 +434,9 @@ class PoseValidator:
                         stats["conf"].append(np.zeros(0))
                         stats["pred_cls"].append(np.zeros(0))
                         stats["target_cls"].append(gt_cls)
+                        confusion.process_batch(None, gt_xyxy, gt_cls)
                     continue
+                confusion.process_batch(d, gt_xyxy, gt_cls)
                 iou_b = _box_iou_np(gt_xyxy, d[:, :4])
                 tp = match_predictions(d[:, 5], gt_cls, iou_b, self.iouv)
                 area = (gt_xyxy[:, 2] - gt_xyxy[:, 0]) * (gt_xyxy[:, 3] - gt_xyxy[:, 1]) * 0.53
@@ -421,6 +457,9 @@ class PoseValidator:
                 pcls = np.concatenate(stats["pred_cls"])
                 metrics.process(np.concatenate(stats["tp"]), conf, pcls, target_cls)
                 metrics.process_pose(np.concatenate(stats["tp_p"]), conf, pcls, target_cls)
+        metrics.confusion_matrix = confusion
+        if self.plots and self.save_dir is not None:
+            _finalize_val_plots(confusion, metrics, self.names, self.save_dir)
         return metrics
 
 
@@ -567,27 +606,7 @@ class DetectionValidator:
         if self.plots and self.save_dir is not None:
             # reference validator artifacts: confusion_matrix.png, PR/F1
             # curves, val_batch{i}_{labels,pred}.jpg (written above)
-            from pathlib import Path as _Path
-
-            from bsyolo_tpu.utils.plotting import (
-                plot_confusion_matrix,
-                plot_mc_curve,
-                plot_pr_curve,
-            )
-
-            sd = _Path(self.save_dir)
-            plot_confusion_matrix(confusion.matrix, self.names, str(sd / "confusion_matrix.png"))
-            curves = getattr(metrics, "curves", None)
-            if curves is not None and curves["prec_values"].size:
-                plot_pr_curve(curves["x"], curves["prec_values"],
-                              np.asarray(metrics.box.ap50), self.names,
-                              str(sd / "PR_curve.png"))
-                plot_mc_curve(curves["x"], curves["f1"], self.names,
-                              str(sd / "F1_curve.png"), ylabel="F1")
-                plot_mc_curve(curves["x"], curves["p"], self.names,
-                              str(sd / "P_curve.png"), ylabel="Precision")
-                plot_mc_curve(curves["x"], curves["r"], self.names,
-                              str(sd / "R_curve.png"), ylabel="Recall")
+            _finalize_val_plots(confusion, metrics, self.names, self.save_dir)
         return metrics
 
     def _plot_val_batch(self, batch, dets, k: int, hw):
