@@ -105,10 +105,13 @@ class OBBValidator:
     (reference models/yolo/obb/val.py)."""
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.45, max_det: int = 300,
-                 names: Optional[Dict[int, str]] = None):
+                 names: Optional[Dict[int, str]] = None, save_dir=None, plots: bool = False):
         from bsyolo_tpu.nn.heads import decode_obb
         from bsyolo_tpu.ops.obb import nms_rotated
 
+        self.conf = conf
+        self.save_dir = save_dir
+        self.plots = plots
         self.spec = spec
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
@@ -126,6 +129,7 @@ class OBBValidator:
         from bsyolo_tpu.ops.obb import batch_probiou
 
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        confusion = ConfusionMatrix(nc=self.spec.nc, conf=self.conf)
         for batch in loader:
             img = jnp.asarray(batch["img"])
             dets = np.asarray(self._forward(variables, img))  # (B, max_det, 7)
@@ -143,9 +147,14 @@ class OBBValidator:
                         stats["conf"].append(np.zeros(0))
                         stats["pred_cls"].append(np.zeros(0))
                         stats["target_cls"].append(gt_cls)
+                        confusion.process_batch(None, gt_rb, gt_cls)
                     continue
                 pd_rb = np.concatenate([d[:, :4], d[:, 6:7]], -1)
                 iou_m = np.asarray(batch_probiou(jnp2.asarray(gt_rb), jnp2.asarray(pd_rb)))
+                # rotated confusion: probIoU columns for the conf-filtered
+                # subset (reference obb/val.py confusion_matrix.process_batch)
+                ck = d[:, 4] > confusion.conf
+                confusion.process_batch(d[ck], gt_rb, gt_cls, iou=iou_m[:, ck])
                 tp = match_predictions(d[:, 5], gt_cls, iou_m, self.iouv)
                 stats["tp"].append(tp)
                 stats["conf"].append(d[:, 4])
@@ -161,6 +170,9 @@ class OBBValidator:
                     np.concatenate(stats["pred_cls"]),
                     target_cls,
                 )
+        metrics.confusion_matrix = confusion
+        if self.plots and self.save_dir is not None:
+            _finalize_val_plots(confusion, metrics, self.names, self.save_dir)
         return metrics
 
 

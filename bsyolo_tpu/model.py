@@ -191,9 +191,10 @@ class YOLO:
 
                 LOGGER.warning("single_cls val is detect-only here; GT classes "
                                "are zeroed but predictions keep their classes")
-        if kwargs.get("plots") and validator_cls is not OBBValidator:
-            # reference val artifacts: confusion_matrix.png, PR/P/R/F1
-            # curves; detect additionally writes val_batch{i}_{labels,pred}.jpg
+        if kwargs.get("plots"):
+            # reference val artifacts: confusion_matrix.png (probIoU-matched
+            # for OBB), PR/P/R/F1 curves; detect additionally writes
+            # val_batch{i}_{labels,pred}.jpg
             vkw["plots"] = True
             vkw.setdefault("save_dir", kwargs.get("save_dir", "runs/val"))
         if kwargs.get("save_json"):

@@ -230,8 +230,13 @@ class ConfusionMatrix:
         self.iou_thres = iou_thres
         self.matrix = np.zeros((nc + 1, nc + 1))
 
-    def process_batch(self, detections: Optional[np.ndarray], gt_bboxes: np.ndarray, gt_cls: np.ndarray):
-        """detections: (N, 6) [x1,y1,x2,y2,conf,cls]; gt xyxy + cls."""
+    def process_batch(self, detections: Optional[np.ndarray], gt_bboxes: np.ndarray,
+                      gt_cls: np.ndarray, iou: Optional[np.ndarray] = None):
+        """detections: (N, 6) [x1,y1,x2,y2,conf,cls]; gt xyxy + cls.
+
+        Pass `iou` (gt x det) to override the internal axis-aligned IoU —
+        the rotated-box validator supplies probIoU (reference OBB confusion);
+        the caller must then pre-filter detections to conf > self.conf."""
         from bsyolo_tpu.utils.metrics import _box_iou_np
 
         if gt_cls.size == 0:
@@ -245,10 +250,11 @@ class ConfusionMatrix:
                 self.matrix[self.nc, gc] += 1  # background FN
             return
 
-        detections = detections[detections[:, 4] > self.conf]
+        if iou is None:
+            detections = detections[detections[:, 4] > self.conf]
+            iou = _box_iou_np(gt_bboxes, detections[:, :4])
         gt_classes = gt_cls.astype(int)
         detection_classes = detections[:, 5].astype(int)
-        iou = _box_iou_np(gt_bboxes, detections[:, :4])
 
         x = np.where(iou > self.iou_thres)
         if x[0].shape[0]:
