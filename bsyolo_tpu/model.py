@@ -214,8 +214,19 @@ class YOLO:
                     cm = COCO80_TO_COCO91
                 vkw.update({"save_json": True, "save_dir": kwargs.get("save_dir", "runs/val"),
                             "class_map": cm})
-        validator = validator_cls(self.model, self.spec, names=d.get("names"), **vkw)
-        self.metrics = validator(self.variables, loader)
+        vmodel, vvars = self.model, self.variables
+        if kwargs.get("half"):
+            # bf16 eval (reference val half=True): bf16 compute graph + cast
+            # weights, same as predict(half=True)
+            import jax.numpy as jnp
+
+            from bsyolo_tpu.nn import build_model
+            from bsyolo_tpu.nn.model import cast_inference_params
+
+            vmodel, _ = build_model(self.spec, img_size=imgsz, dtype=jnp.bfloat16)
+            vvars = cast_inference_params(self.variables)
+        validator = validator_cls(vmodel, self.spec, names=d.get("names"), **vkw)
+        self.metrics = validator(vvars, loader)
         return self.metrics
 
     def predict(self, source, stream: bool = False, **kwargs):
