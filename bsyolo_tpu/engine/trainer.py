@@ -564,17 +564,18 @@ class DetectionTrainer:
             from bsyolo_tpu.utils.plotting import plot_results
 
             plot_results(self.csv_path)
-        if args.plots and args.val and self.rank == 0 and self.spec.task == "detect":
+        if (args.plots and args.val and self.rank == 0
+                and hasattr(self.validator, "plots")):
             # final plotted eval (reference trainer.py:675 final_eval writes
-            # confusion matrix + curves into the run dir)
+            # confusion matrix + curves into the run dir). plots/save_dir are
+            # read at __call__ time, so reusing the epoch validator keeps its
+            # compiled forward — no second XLA compile, one extra val pass.
             variables = {"params": self.state.ema_params, "batch_stats": self.state.batch_stats}
             if self.world > 1:
                 variables = jax.tree_util.tree_map(np.asarray, variables)
-            plotting_validator = DetectionValidator(
-                self.model, self.spec, names=self.data.get("names"),
-                plots=True, save_dir=str(self.save_dir),
-            )
-            plotting_validator(variables, self.val_loader)
+            self.validator.plots = True
+            self.validator.save_dir = str(self.save_dir)
+            self.validator(variables, self.val_loader)
         LOGGER.info(f"done: {stop_epoch} epochs, best fitness {self.best_fitness:.4f}")
         return self.metrics
 

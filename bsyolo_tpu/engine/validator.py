@@ -105,13 +105,15 @@ class OBBValidator:
     (reference models/yolo/obb/val.py)."""
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.45, max_det: int = 300,
-                 names: Optional[Dict[int, str]] = None, save_dir=None, plots: bool = False):
+                 names: Optional[Dict[int, str]] = None, save_dir=None, plots: bool = False,
+                 single_cls: bool = False):
         from bsyolo_tpu.nn.heads import decode_obb
         from bsyolo_tpu.ops.obb import nms_rotated
 
         self.conf = conf
         self.save_dir = save_dir
         self.plots = plots
+        self.single_cls = single_cls
         self.spec = spec
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
@@ -133,6 +135,12 @@ class OBBValidator:
         for batch in loader:
             img = jnp.asarray(batch["img"])
             dets = np.asarray(self._forward(variables, img))  # (B, max_det, 7)
+            if self.single_cls:
+                # classes collapse post-NMS (nms_rotated has no agnostic
+                # mode; the class-separated suppression can keep marginally
+                # more boxes than the reference's agnostic pass)
+                dets = dets.copy()
+                dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h, 1.0], np.float32)
             for i in range(img.shape[0]):
@@ -225,11 +233,16 @@ def _finalize_val_plots(confusion, metrics, names, save_dir):
     plot_confusion_matrix(confusion.matrix, names, str(sd / "confusion_matrix.png"))
     curves = getattr(metrics, "curves", None)
     if curves is not None and curves["prec_values"].size:
+        # curve rows follow ap_per_class's unique-class order, NOT 0..k-1 —
+        # remap row index -> actual class name (a val split containing only
+        # classes {2, 7} must not be legended "class0/class1")
+        cls_idx = np.asarray(metrics.box.ap_class_index).astype(int)
+        row_names = {i: names.get(int(c), int(c)) for i, c in enumerate(cls_idx)}
         plot_pr_curve(curves["x"], curves["prec_values"], np.asarray(metrics.box.ap50),
-                      names, str(sd / "PR_curve.png"))
-        plot_mc_curve(curves["x"], curves["f1"], names, str(sd / "F1_curve.png"), ylabel="F1")
-        plot_mc_curve(curves["x"], curves["p"], names, str(sd / "P_curve.png"), ylabel="Precision")
-        plot_mc_curve(curves["x"], curves["r"], names, str(sd / "R_curve.png"), ylabel="Recall")
+                      row_names, str(sd / "PR_curve.png"))
+        plot_mc_curve(curves["x"], curves["f1"], row_names, str(sd / "F1_curve.png"), ylabel="F1")
+        plot_mc_curve(curves["x"], curves["p"], row_names, str(sd / "P_curve.png"), ylabel="Precision")
+        plot_mc_curve(curves["x"], curves["r"], row_names, str(sd / "R_curve.png"), ylabel="Recall")
 
 
 class SegmentationValidator:
@@ -238,12 +251,14 @@ class SegmentationValidator:
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 100,
                  names: Optional[Dict[int, str]] = None, save_json: bool = False,
-                 save_dir=None, class_map=None, plots: bool = False):
+                 save_dir=None, class_map=None, plots: bool = False,
+                 single_cls: bool = False):
         from bsyolo_tpu.nn.heads import decode_extras
         from bsyolo_tpu.ops.masks import process_mask
 
         self.conf = conf
         self.plots = plots
+        self.single_cls = single_cls
         self.spec = spec
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
@@ -257,7 +272,7 @@ class SegmentationValidator:
             feats, proto = out["feats"], out["proto"]
             dets, idx = detect_postprocess(
                 feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det,
-                return_idx=True,
+                return_idx=True, agnostic=single_cls,
             )
             mc = decode_extras(feats, nc)
             coeffs = jnp.take_along_axis(mc, jnp.maximum(idx, 0)[..., None], axis=1)
@@ -282,6 +297,9 @@ class SegmentationValidator:
             img = jnp.asarray(batch["img"])
             dets_d, masks_d = self._forward(variables, img)
             dets, masks = np.asarray(dets_d), np.asarray(masks_d)
+            if self.single_cls:
+                dets = dets.copy()
+                dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h], np.float32)
             for i in range(img.shape[0]):
@@ -373,7 +391,8 @@ class PoseValidator:
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 300,
                  names: Optional[Dict[int, str]] = None, save_json: bool = False,
-                 save_dir=None, class_map=None, plots: bool = False):
+                 save_dir=None, class_map=None, plots: bool = False,
+                 single_cls: bool = False):
         from bsyolo_tpu.losses.pose import OKS_SIGMA
         from bsyolo_tpu.nn.heads import decode_extras, decode_keypoints
 
@@ -387,6 +406,7 @@ class PoseValidator:
         self.sigma = OKS_SIGMA if (nkpt == 17 and nd == 3) else np.ones(nkpt) / nkpt
         self.conf = conf
         self.plots = plots
+        self.single_cls = single_cls
         nc, strides = spec.nc, spec.head_strides
         kpt_shape = spec.kpt_shape
 
@@ -394,7 +414,7 @@ class PoseValidator:
             feats = model.apply(variables, img, train=False)
             dets, idx = detect_postprocess(
                 feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det,
-                return_idx=True,
+                return_idx=True, agnostic=single_cls,
             )
             kflat = decode_extras(feats, nc)
             kpts = decode_keypoints(kflat, feats, strides, kpt_shape)
@@ -415,6 +435,9 @@ class PoseValidator:
             img = jnp.asarray(batch["img"])
             dets_d, kpts_d = self._forward(variables, img)
             dets, kpts = np.asarray(dets_d), np.asarray(kpts_d)
+            if self.single_cls:
+                dets = dets.copy()
+                dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h], np.float32)
             for i in range(img.shape[0]):

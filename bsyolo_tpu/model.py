@@ -126,6 +126,27 @@ class YOLO:
         self.trainer = trainer
         return self.metrics
 
+    def _bf16_graph(self, imgsz: int):
+        """bf16 inference graph + cast weights (predict/val half=True): one
+        shared path so the two verbs can't diverge. Preserves a YOLOWorld
+        _TextConditioned wrapper (set_classes embeddings survive half=True)
+        and caches the cast weight tree until self.variables is replaced —
+        per-call casting would re-upload the whole model every frame."""
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.nn import build_model
+        from bsyolo_tpu.nn.model import cast_inference_params
+
+        cache = getattr(self, "_bf16_cache", None)
+        if cache is None or cache[0] is not self.variables or cache[3] != imgsz:
+            model, _ = build_model(self.spec, img_size=imgsz, dtype=jnp.bfloat16)
+            cache = (self.variables, model, cast_inference_params(self.variables), imgsz)
+            self._bf16_cache = cache
+        model, variables = cache[1], cache[2]
+        if isinstance(self.model, _TextConditioned):
+            model = _TextConditioned(model, self.model.text)
+        return model, variables
+
     def val(self, data: Optional[str] = None, batch: int = 16, imgsz: Optional[int] = None, **kwargs):
         """Validate with the task-appropriate validator (mirrors reference
         task_map dispatch, models/yolo/model.py:26): segment models get mask
@@ -182,15 +203,10 @@ class YOLO:
             if kwargs.get(k) is not None:
                 vkw[k] = kwargs[k]
         if kwargs.get("single_cls"):
-            # reference detect/val.py: single_cls zeroes prediction classes
-            # and GT classes alike (the dataset already zeroed GT above)
-            if validator_cls is DetectionValidator:
-                vkw["single_cls"] = True
-            else:
-                from bsyolo_tpu.utils import LOGGER
-
-                LOGGER.warning("single_cls val is detect-only here; GT classes "
-                               "are zeroed but predictions keep their classes")
+            # reference val single_cls: GT classes were zeroed by the dataset
+            # above; every validator also collapses prediction classes (and
+            # detect/seg/pose run agnostic NMS)
+            vkw["single_cls"] = True
         if kwargs.get("plots"):
             # reference val artifacts: confusion_matrix.png (probIoU-matched
             # for OBB), PR/P/R/F1 curves; detect additionally writes
@@ -216,15 +232,8 @@ class YOLO:
                             "class_map": cm})
         vmodel, vvars = self.model, self.variables
         if kwargs.get("half"):
-            # bf16 eval (reference val half=True): bf16 compute graph + cast
-            # weights, same as predict(half=True)
-            import jax.numpy as jnp
-
-            from bsyolo_tpu.nn import build_model
-            from bsyolo_tpu.nn.model import cast_inference_params
-
-            vmodel, _ = build_model(self.spec, img_size=imgsz, dtype=jnp.bfloat16)
-            vvars = cast_inference_params(self.variables)
+            # bf16 eval (reference val half=True), shared with predict
+            vmodel, vvars = self._bf16_graph(imgsz)
         validator = validator_cls(vmodel, self.spec, names=d.get("names"), **vkw)
         self.metrics = validator(vvars, loader)
         return self.metrics
@@ -246,16 +255,9 @@ class YOLO:
         if self._predictor is None or self._predictor_key != key:
             model, variables = self.model, self.variables
             if half:
-                # bf16 inference (the TPU half): rebuild the graph with bf16
-                # compute dtype and cast weight tensors — the same path
-                # bench.py measures (~30% faster on v5e, norm stats stay f32)
-                import jax.numpy as jnp
-
-                from bsyolo_tpu.nn import build_model
-                from bsyolo_tpu.nn.model import cast_inference_params
-
-                model, _ = build_model(self.spec, img_size=imgsz, dtype=jnp.bfloat16)
-                variables = cast_inference_params(self.variables)
+                # bf16 inference (the TPU half; the path bench.py measures,
+                # ~30% faster on v5e, norm stats stay f32)
+                model, variables = self._bf16_graph(imgsz)
             self._predictor = DetectionPredictor(
                 model,
                 self.spec,
@@ -276,9 +278,7 @@ class YOLO:
         elif not half:
             self._predictor.variables = self.variables
         else:
-            from bsyolo_tpu.nn.model import cast_inference_params
-
-            self._predictor.variables = cast_inference_params(self.variables)
+            self._predictor.variables = self._bf16_graph(imgsz)[1]  # cached cast
         gen = self._predictor.stream(
             source, vid_stride=kwargs.get("vid_stride", 1), verbose=kwargs.get("verbose", False)
         )
