@@ -100,13 +100,26 @@ def _mask_to_original(mask: np.ndarray, input_hw, orig_wh, r: float, dw: float, 
     return crop[yi][:, xi].astype(bool)
 
 
+
+def _filter_classes(dets: np.ndarray, classes) -> np.ndarray:
+    """val(classes=[...]): zero out detections outside the class whitelist
+    (reference NMS classes arg); padding convention (conf 0 / cls -1) kept."""
+    if not classes:
+        return dets
+    d = dets.copy()
+    keep = np.isin(d[..., 5].astype(int), np.asarray(list(classes), int))
+    d[..., 4] = np.where(keep, d[..., 4], 0.0)
+    d[..., 5] = np.where(keep, d[..., 5], -1.0)
+    return d
+
+
 class OBBValidator:
     """Rotated-box validation: probIoU matching at 10 thresholds
     (reference models/yolo/obb/val.py)."""
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.45, max_det: int = 300,
                  names: Optional[Dict[int, str]] = None, save_dir=None, plots: bool = False,
-                 single_cls: bool = False):
+                 single_cls: bool = False, classes=None):
         from bsyolo_tpu.nn.heads import decode_obb
         from bsyolo_tpu.ops.obb import nms_rotated
 
@@ -114,6 +127,7 @@ class OBBValidator:
         self.save_dir = save_dir
         self.plots = plots
         self.single_cls = single_cls
+        self.classes = classes
         self.spec = spec
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
@@ -141,6 +155,7 @@ class OBBValidator:
                 # more boxes than the reference's agnostic pass)
                 dets = dets.copy()
                 dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
+            dets = _filter_classes(dets, self.classes)
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h, 1.0], np.float32)
             for i in range(img.shape[0]):
@@ -252,13 +267,14 @@ class SegmentationValidator:
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 100,
                  names: Optional[Dict[int, str]] = None, save_json: bool = False,
                  save_dir=None, class_map=None, plots: bool = False,
-                 single_cls: bool = False):
+                 single_cls: bool = False, classes=None):
         from bsyolo_tpu.nn.heads import decode_extras
         from bsyolo_tpu.ops.masks import process_mask
 
         self.conf = conf
         self.plots = plots
         self.single_cls = single_cls
+        self.classes = classes
         self.spec = spec
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
@@ -300,6 +316,7 @@ class SegmentationValidator:
             if self.single_cls:
                 dets = dets.copy()
                 dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
+            dets = _filter_classes(dets, self.classes)
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h], np.float32)
             for i in range(img.shape[0]):
@@ -392,7 +409,7 @@ class PoseValidator:
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 300,
                  names: Optional[Dict[int, str]] = None, save_json: bool = False,
                  save_dir=None, class_map=None, plots: bool = False,
-                 single_cls: bool = False):
+                 single_cls: bool = False, classes=None):
         from bsyolo_tpu.losses.pose import OKS_SIGMA
         from bsyolo_tpu.nn.heads import decode_extras, decode_keypoints
 
@@ -407,6 +424,7 @@ class PoseValidator:
         self.conf = conf
         self.plots = plots
         self.single_cls = single_cls
+        self.classes = classes
         nc, strides = spec.nc, spec.head_strides
         kpt_shape = spec.kpt_shape
 
@@ -438,6 +456,7 @@ class PoseValidator:
             if self.single_cls:
                 dets = dets.copy()
                 dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
+            dets = _filter_classes(dets, self.classes)
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h], np.float32)
             for i in range(img.shape[0]):
@@ -513,6 +532,7 @@ class DetectionValidator:
         class_map=None,  # e.g. COCO80_TO_COCO91 for official COCO ids
         single_cls: bool = False,
         plots: bool = False,
+        classes=None,
     ):
         self.model = model
         self.spec = spec
@@ -527,6 +547,7 @@ class DetectionValidator:
         self.class_map = class_map
         self.single_cls = single_cls
         self.plots = plots
+        self.classes = classes
 
         nc = spec.nc
         strides = spec.head_strides
@@ -579,6 +600,7 @@ class DetectionValidator:
                 # a device array is read-only, so copy before writing
                 dets = dets.copy()
                 dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
+            dets = _filter_classes(dets, self.classes)
             b, h, w = img.shape[0], img.shape[1], img.shape[2]
             if self.plots and self.save_dir is not None and n_img < 3 * b:
                 self._plot_val_batch(batch, dets, n_img // max(b, 1), (h, w))

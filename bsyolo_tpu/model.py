@@ -207,6 +207,8 @@ class YOLO:
             # above; every validator also collapses prediction classes (and
             # detect/seg/pose run agnostic NMS)
             vkw["single_cls"] = True
+        if kwargs.get("classes"):
+            vkw["classes"] = list(kwargs["classes"])
         if kwargs.get("plots"):
             # reference val artifacts: confusion_matrix.png (probIoU-matched
             # for OBB), PR/P/R/F1 curves; detect additionally writes
