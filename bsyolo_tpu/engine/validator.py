@@ -119,7 +119,8 @@ class OBBValidator:
 
     def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.45, max_det: int = 300,
                  names: Optional[Dict[int, str]] = None, save_dir=None, plots: bool = False,
-                 single_cls: bool = False, classes=None):
+                 single_cls: bool = False, classes=None, save_json: bool = False,
+                 class_map=None):
         from bsyolo_tpu.nn.heads import decode_obb
         from bsyolo_tpu.ops.obb import nms_rotated
 
@@ -128,6 +129,8 @@ class OBBValidator:
         self.plots = plots
         self.single_cls = single_cls
         self.classes = classes
+        self.save_json = save_json
+        self.class_map = class_map
         self.spec = spec
         self.names = names or {i: n for i, n in enumerate(spec.names)}
         self.iouv = np.linspace(0.5, 0.95, 10)
@@ -146,6 +149,8 @@ class OBBValidator:
 
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         confusion = ConfusionMatrix(nc=self.spec.nc, conf=self.conf)
+        jc = _JsonCollector(loader, self.save_dir, self.class_map) if self.save_json else None
+        n_seen = 0
         for batch in loader:
             img = jnp.asarray(batch["img"])
             dets = np.asarray(self._forward(variables, img))  # (B, max_det, 7)
@@ -164,6 +169,19 @@ class OBBValidator:
                 gt_rb = np.asarray(batch["rboxes"][i][m]) * scale
                 d = dets[i]
                 d = d[d[:, 4] > 0]
+                ksn = n_seen
+                n_seen += 1
+                if jc is not None and jc.im_files and ksn < jc.n and len(d):
+                    from bsyolo_tpu.utils.coco import obb_pred_to_json
+
+                    # un-letterbox the rotated boxes: center shifts by the
+                    # pad, w/h scale by 1/r, the angle is invariant
+                    (w0, h0), rr, dw, dh = jc.unletterbox(ksn, (h, w))
+                    db = d.copy()
+                    db[:, 0] = (db[:, 0] - dw) / rr
+                    db[:, 1] = (db[:, 1] - dh) / rr
+                    db[:, 2:4] /= rr
+                    jc.jdict.extend(obb_pred_to_json(db, jc.im_files[ksn], class_map=jc.class_map))
                 if len(d) == 0:
                     if len(gt_cls):
                         stats["tp"].append(np.zeros((0, 10), bool))
@@ -183,6 +201,8 @@ class OBBValidator:
                 stats["conf"].append(d[:, 4])
                 stats["pred_cls"].append(d[:, 5])
                 stats["target_cls"].append(gt_cls)
+        if jc is not None and jc.im_files:
+            jc.save()
         metrics = DetMetrics(names=self.names)
         if stats["tp"]:
             target_cls = np.concatenate(stats["target_cls"])

@@ -216,22 +216,17 @@ class YOLO:
             vkw["plots"] = True
             vkw.setdefault("save_dir", kwargs.get("save_dir", "runs/val"))
         if kwargs.get("save_json"):
-            if validator_cls is OBBValidator:
-                from bsyolo_tpu.utils import LOGGER
+            # COCO-format predictions.json (reference val.py save_json):
+            # segment adds self-contained RLE masks, pose keypoint triplets,
+            # OBB rbox+poly records (reference obb/val.py pred_to_json) —
+            # utils/coco.py. Official COCO ids when validating a coco dataset.
+            cm = None
+            if "coco" in str(data).lower() and self.spec.nc == 80:
+                from bsyolo_tpu.utils.coco import COCO80_TO_COCO91
 
-                LOGGER.warning("save_json is not defined for OBB (DOTA uses its own split format)")
-            else:
-                # COCO-format predictions.json (reference val.py save_json;
-                # segment adds self-contained RLE masks, pose adds keypoint
-                # triplets — utils/coco.py); official COCO category ids when
-                # validating a coco dataset
-                cm = None
-                if "coco" in str(data).lower() and self.spec.nc == 80:
-                    from bsyolo_tpu.utils.coco import COCO80_TO_COCO91
-
-                    cm = COCO80_TO_COCO91
-                vkw.update({"save_json": True, "save_dir": kwargs.get("save_dir", "runs/val"),
-                            "class_map": cm})
+                cm = COCO80_TO_COCO91
+            vkw.update({"save_json": True, "save_dir": kwargs.get("save_dir", "runs/val"),
+                        "class_map": cm})
         vmodel, vvars = self.model, self.variables
         if kwargs.get("half"):
             # bf16 eval (reference val half=True), shared with predict

@@ -236,3 +236,35 @@ def evaluate_json(anno_json: str, pred_json: str, verbose: bool = True) -> Dict[
     if verbose:
         print(f"COCO-json eval (built-in): mAP50-95 {out['mAP50-95']:.4f}  mAP50 {out['mAP50']:.4f}")
     return out
+
+
+def obb_pred_to_json(dets: np.ndarray, filename: str, class_map: Optional[List[int]] = None) -> List[Dict]:
+    """(n, 7) xywh/conf/cls/angle rotated dets for one image -> COCO-style
+    dicts carrying both `rbox` (cx,cy,w,h,r) and `poly` (8 corner coords)
+    fields (reference models/yolo/obb/val.py:114-129 pred_to_json)."""
+    import jax.numpy as jnp
+
+    from bsyolo_tpu.ops.obb import xywhr2xyxyxyxy
+
+    stem = Path(filename).stem
+    image_id = int(stem) if stem.isnumeric() else stem
+    out: List[Dict] = []
+    d = np.asarray(dets, np.float64)
+    if not len(d):
+        return out
+    rbox = np.concatenate([d[:, :4], d[:, 6:7]], -1)
+    poly = np.asarray(xywhr2xyxyxyxy(jnp.asarray(rbox))).reshape(len(d), 8)
+    for i, row in enumerate(d):
+        if row[4] <= 0:
+            continue
+        c = int(row[5])
+        out.append(
+            {
+                "image_id": image_id,
+                "category_id": class_map[c] if class_map else c,
+                "score": round(float(row[4]), 5),
+                "rbox": [round(float(x), 3) for x in rbox[i]],
+                "poly": [round(float(x), 3) for x in poly[i]],
+            }
+        )
+    return out

@@ -149,3 +149,29 @@ class TestSegValSaveJson:
             assert set(r) >= {"image_id", "category_id", "bbox", "score", "segmentation"}
             mask = decode_rle(r["segmentation"])
             assert mask.shape == (64, size)  # original size, not letterboxed
+
+
+def test_obb_pred_to_json_roundtrip():
+    """OBB save_json records (reference obb/val.py:114-129): rbox carries
+    cx,cy,w,h,r; poly the 4 corners; zero-conf padding rows dropped."""
+    import numpy as np
+
+    from bsyolo_tpu.utils.coco import obb_pred_to_json
+
+    dets = np.array([
+        [50.0, 40.0, 20.0, 10.0, 0.9, 2.0, 0.0],       # axis-aligned
+        [30.0, 30.0, 10.0, 10.0, 0.5, 0.0, np.pi / 2],  # rotated 90deg
+        [0.0, 0.0, 0.0, 0.0, 0.0, -1.0, 0.0],           # padding row
+    ])
+    out = obb_pred_to_json(dets, "0007.jpg")
+    assert len(out) == 2
+    e = out[0]
+    assert e["image_id"] == 7 and e["category_id"] == 2
+    assert e["rbox"] == [50.0, 40.0, 20.0, 10.0, 0.0]
+    # axis-aligned corners of a 20x10 box centered at (50, 40)
+    xs = e["poly"][0::2]
+    ys = e["poly"][1::2]
+    assert sorted(set(xs)) == [40.0, 60.0] and sorted(set(ys)) == [35.0, 45.0]
+    # class_map remap
+    out2 = obb_pred_to_json(dets, "0007.jpg", class_map=[10, 11, 12])
+    assert out2[0]["category_id"] == 12
