@@ -553,6 +553,7 @@ class DetectionValidator:
         single_cls: bool = False,
         plots: bool = False,
         classes=None,
+        save_txt: bool = False,
     ):
         self.model = model
         self.spec = spec
@@ -568,6 +569,7 @@ class DetectionValidator:
         self.single_cls = single_cls
         self.plots = plots
         self.classes = classes
+        self.save_txt = save_txt
 
         nc = spec.nc
         strides = spec.head_strides
@@ -647,17 +649,29 @@ class DetectionValidator:
                 stats["pred_cls"].append(d[:, 5])
                 stats["target_cls"].append(gt_cls)
                 confusion.process_batch(d, gt_xyxy, gt_cls)
-            if jdict is not None:
+            if jdict is not None or (self.save_txt and im_files):
                 from bsyolo_tpu.utils.coco import pred_to_json
 
                 for i in range(b):
                     k = n_img - b + i
                     if k >= n_total:  # skip wrap-padded tail duplicates
                         continue
-                    d = _boxes_to_original(
-                        dets[i][dets[i][:, 4] > 0], _unletterbox_file(im_files[k], (h, w))
-                    )
-                    jdict.extend(pred_to_json(d, im_files[k], class_map=self.class_map))
+                    ub = _unletterbox_file(im_files[k], (h, w))
+                    d = _boxes_to_original(dets[i][dets[i][:, 4] > 0], ub)
+                    if jdict is not None:
+                        jdict.extend(pred_to_json(d, im_files[k], class_map=self.class_map))
+                    if self.save_txt:
+                        # labels/{stem}.txt, normalized xywh + conf (reference
+                        # detect/val.py:270 save_one_txt via Results.save_txt)
+                        from pathlib import Path as _Path
+
+                        from bsyolo_tpu.engine.results import Results
+
+                        (w0, h0) = ub[0]
+                        out = _Path(self.save_dir or ".") / "labels"
+                        Results(
+                            np.zeros((h0, w0, 3), np.uint8), im_files[k], self.names, boxes=d
+                        ).save_txt(out / f"{_Path(im_files[k]).stem}.txt", save_conf=True)
 
         if jdict is not None:
             from pathlib import Path as _Path

@@ -209,6 +209,10 @@ class YOLO:
             vkw["single_cls"] = True
         if kwargs.get("classes"):
             vkw["classes"] = list(kwargs["classes"])
+        if kwargs.get("save_txt") and validator_cls is DetectionValidator:
+            # per-image normalized-xywh+conf txts (reference save_one_txt)
+            vkw["save_txt"] = True
+            vkw.setdefault("save_dir", kwargs.get("save_dir", "runs/val"))
         if kwargs.get("plots"):
             # reference val artifacts: confusion_matrix.png (probIoU-matched
             # for OBB), PR/P/R/F1 curves; detect additionally writes
