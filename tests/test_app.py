@@ -277,3 +277,29 @@ class TestCLIVerbs:
 
         with _pytest.raises(SyntaxError):
             main(["solutions", "nosuch", "source=x"])
+
+
+class TestCLINewFlags:
+    def test_cli_predict_with_round3_flags(self, tmp_path):
+        """The round-3 arg surface flows through the CLI k=v parser:
+        augment (TTA), half, visualize, show_conf toggles."""
+        import cv2
+
+        from bsyolo_tpu.cli import main
+
+        img = np.full((120, 120, 3), 50, np.uint8)
+        img[30:80, 30:80] = 220
+        cv2.imwrite(str(tmp_path / "x.jpg"), img)
+        rc = main(
+            [
+                "predict",
+                f"model={Path(__file__).parent / 'fixtures' / 'tiny.yaml'}",
+                f"source={tmp_path / 'x.jpg'}",
+                "conf=0.0001", "imgsz=96", "augment=True", "half=True",
+                "show_conf=False", "visualize=True",
+                f"project={tmp_path / 'runs'}", "name=p",
+            ]
+        )
+        assert rc == 0
+        assert (tmp_path / "runs" / "p" / "x.jpg").exists()
+        assert list((tmp_path / "runs" / "p" / "features").glob("*.png"))
