@@ -87,6 +87,13 @@ class Masks:
             out.append(max(cs, key=cv2.contourArea).reshape(-1, 2).astype(np.float32) if cs else np.zeros((0, 2), np.float32))
         return out
 
+    @property
+    def xyn(self):
+        """Mask contours normalized to [0, 1] (reference Masks.xyn)."""
+        h, w = self.orig_shape
+        scale = np.asarray([w, h], np.float32)
+        return [c / scale for c in self.xy]
+
 
 class Keypoints:
     """Pose keypoints (reference results.py:1255). data: (n, nkpt, 2|3)."""
@@ -288,13 +295,44 @@ class Results:
         return json.dumps(self.summary(), indent=2)
 
     def save_txt(self, txt_file: str, save_conf: bool = False):
-        """YOLO-format txt (reference results.py:716)."""
+        """YOLO-format txt (reference results.py:716 save_txt): detect lines
+        are `cls xywhn [conf]`; segment lines replace the box with the mask's
+        normalized polygon; pose appends `x y [v]` per keypoint; OBB writes
+        the 8 normalized corner coords; classify writes top-5 `conf name`."""
         h, w = self.orig_shape
         lines = []
-        if self.boxes is not None:
-            for row, xywhn in zip(self.boxes.data, self.boxes.xywhn):
+        if self.probs is not None:
+            for j in self.probs.top5:
+                lines.append(f"{float(self.probs.data[j]):.2f} {self.names.get(int(j), j)}")
+        elif self.obb is not None:
+            import jax.numpy as jnp
+
+            from bsyolo_tpu.ops.obb import xywhr2xyxyxyxy
+
+            for row in self.obb.data:
+                rbox = np.concatenate([row[:4], row[-1:]])
+                poly = np.asarray(xywhr2xyxyxyxy(jnp.asarray(rbox[None])))[0].reshape(-1)
+                poly = poly / np.asarray([w, h] * 4, np.float32)
+                parts = [str(int(row[-2])), *(f"{v:.6f}" for v in poly)]
+                if save_conf:
+                    parts.append(f"{float(row[-3]):.6f}")
+                lines.append(" ".join(parts))
+        elif self.boxes is not None:
+            seg_polys = self.masks.xyn if self.masks is not None else None
+            kpts = self.keypoints if self.keypoints is not None else None
+            for j, (row, xywhn) in enumerate(zip(self.boxes.data, self.boxes.xywhn)):
                 cls, conf = int(row[-1]), float(row[-2])
-                parts = [str(cls), *(f"{v:.6f}" for v in xywhn)]
+                if seg_polys is not None and j < len(seg_polys) and len(seg_polys[j]):
+                    parts = [str(cls), *(f"{v:.6f}" for v in seg_polys[j].reshape(-1))]
+                else:
+                    parts = [str(cls), *(f"{v:.6f}" for v in xywhn)]
+                    if kpts is not None and j < len(kpts.data):
+                        kn = kpts.xyn[j]
+                        kc = kpts.conf[j] if kpts.conf is not None else None
+                        for ki in range(len(kn)):
+                            parts += [f"{kn[ki][0]:.6f}", f"{kn[ki][1]:.6f}"]
+                            if kc is not None:
+                                parts.append(f"{kc[ki]:.6f}")
                 if save_conf:
                     parts.append(f"{conf:.6f}")
                 lines.append(" ".join(parts))

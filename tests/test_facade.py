@@ -560,3 +560,70 @@ def test_half_predict_bf16(yolo):
     leaves = [x for x in __import__("jax").tree_util.tree_leaves(
         yolo._predictor.variables) if getattr(x, "ndim", 0) >= 2]
     assert any(x.dtype == jnp.bfloat16 for x in leaves), "weights not cast to bf16"
+
+
+class TestSaveTxtTasks:
+    def test_seg_save_txt_polygons(self):
+        from bsyolo_tpu.engine.results import Results
+
+        img = np.zeros((100, 100, 3), np.uint8)
+        boxes = np.array([[10, 10, 50, 50, 0.9, 1]], np.float32)
+        mask = np.zeros((1, 100, 100), np.float32)
+        mask[0, 20:40, 20:40] = 1.0
+        r = Results(img, "x.jpg", {0: "a", 1: "b"}, boxes=boxes, masks=mask)
+        import tempfile
+
+        f = Path(tempfile.mkdtemp()) / "t.txt"
+        r.save_txt(f, save_conf=True)
+        parts = f.read_text().split()
+        assert parts[0] == "1"
+        coords = [float(x) for x in parts[1:-1]]
+        assert len(coords) % 2 == 0 and len(coords) >= 8  # polygon, not xywh
+        assert all(0 <= c <= 1 for c in coords)
+        assert abs(float(parts[-1]) - 0.9) < 1e-5
+
+    def test_pose_save_txt_keypoints(self):
+        from bsyolo_tpu.engine.results import Results
+
+        img = np.zeros((100, 100, 3), np.uint8)
+        boxes = np.array([[10, 10, 50, 50, 0.8, 0]], np.float32)
+        kpts = np.array([[[30, 40, 0.9], [60, 20, 0.3]]], np.float32)
+        r = Results(img, "x.jpg", {0: "p"}, boxes=boxes, keypoints=kpts)
+        import tempfile
+
+        f = Path(tempfile.mkdtemp()) / "t.txt"
+        r.save_txt(f)
+        parts = f.read_text().split()
+        # cls + xywhn(4) + 2 kpts * (x, y, v) = 11 fields
+        assert len(parts) == 11
+        assert abs(float(parts[5]) - 0.30) < 1e-5 and abs(float(parts[6]) - 0.40) < 1e-5
+
+    def test_obb_save_txt_corners(self):
+        from bsyolo_tpu.engine.results import Results
+
+        img = np.zeros((100, 100, 3), np.uint8)
+        obb = np.array([[50, 50, 20, 10, 0.7, 1, 0.0]], np.float32)  # x,y,w,h,conf,cls,angle
+        r = Results(img, "x.jpg", {0: "a", 1: "b"}, obb=obb)
+        import tempfile
+
+        f = Path(tempfile.mkdtemp()) / "t.txt"
+        r.save_txt(f)
+        parts = f.read_text().split()
+        assert parts[0] == "1" and len(parts) == 9
+        xs = [float(parts[i]) for i in (1, 3, 5, 7)]
+        ys = [float(parts[i]) for i in (2, 4, 6, 8)]
+        assert sorted(set(round(x, 4) for x in xs)) == [0.4, 0.6]
+        assert sorted(set(round(y, 4) for y in ys)) == [0.45, 0.55]
+
+    def test_classify_save_txt_top5(self):
+        from bsyolo_tpu.engine.results import Results
+
+        img = np.zeros((32, 32, 3), np.uint8)
+        r = Results(img, "x.jpg", {i: f"c{i}" for i in range(6)},
+                    probs=np.array([0.1, 0.5, 0.2, 0.05, 0.1, 0.05], np.float32))
+        import tempfile
+
+        f = Path(tempfile.mkdtemp()) / "t.txt"
+        r.save_txt(f)
+        lines = f.read_text().splitlines()
+        assert len(lines) == 5 and lines[0] == "0.50 c1"
