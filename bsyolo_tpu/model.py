@@ -288,6 +288,18 @@ class YOLO:
         results = list(gen)
         if kwargs.get("save"):
             self._save_results(results, kwargs)
+        if kwargs.get("save_txt") or kwargs.get("save_crop"):
+            # reference predictor write_results: labels/{stem}.txt and
+            # crops/{class}/{stem}.jpg alongside the annotated output
+            out_dir = Path(kwargs.get("project", "runs/detect")) / kwargs.get("name", "predict")
+            for i, r in enumerate(results):
+                stem = Path(r.path).stem if r.path not in ("array",) else f"image{i}"
+                stem = stem.replace("#", "_")
+                if kwargs.get("save_txt"):
+                    r.save_txt(out_dir / "labels" / f"{stem}.txt",
+                               save_conf=bool(kwargs.get("save_conf", False)))
+                if kwargs.get("save_crop"):
+                    r.save_crop(out_dir / "crops", file_name=stem)
         if kwargs.get("show"):
             self._show_results(results, kwargs)
         if kwargs.get("visualize") and results:
