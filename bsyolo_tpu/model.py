@@ -88,6 +88,13 @@ class YOLO:
     def names(self) -> Dict[int, str]:
         return {i: n for i, n in enumerate(self.spec.names)} if self.spec else {}
 
+    @property
+    def device(self):
+        """The accelerator this model dispatches to (reference Model.device)."""
+        import jax
+
+        return jax.devices()[0]
+
     # --- modes --------------------------------------------------------------
     def train(self, **kwargs):
         from bsyolo_tpu.engine.trainer import DetectionTrainer, load_checkpoint
