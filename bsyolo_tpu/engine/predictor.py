@@ -482,18 +482,24 @@ class DetectionPredictor:
             LOGGER.info(f"{path}: {res.verbose_line} ({res.speed['inference']:.1f} ms)")
         return res
 
-    def _to_results(
-        self, dets: np.ndarray, frame: np.ndarray, path: str, masks: Optional[np.ndarray] = None
-    ) -> Results:
+    def _keep_and_filter(self, dets: np.ndarray, extras: Optional[np.ndarray] = None):
+        """Shared postprocess preamble: drop zero-conf padding rows and apply
+        the class whitelist; `extras` (masks/coeffs) follow the same rows."""
         keep = dets[:, 4] > 0
         d = dets[keep]
-        if masks is not None:
-            masks = masks[keep]
+        if extras is not None:
+            extras = extras[keep]
         if self.classes is not None and len(d):
             sel = np.isin(d[:, 5].astype(int), self.classes)
             d = d[sel]
-            if masks is not None:
-                masks = masks[sel]
+            if extras is not None:
+                extras = extras[sel]
+        return d, extras
+
+    def _to_results(
+        self, dets: np.ndarray, frame: np.ndarray, path: str, masks: Optional[np.ndarray] = None
+    ) -> Results:
+        d, masks = self._keep_and_filter(dets, masks)
         out_masks = None
         if len(d):
             boxes = np.asarray(
@@ -528,11 +534,7 @@ class DetectionPredictor:
         than the imgsz-resolution device path."""
         import cv2
 
-        keep = dets[:, 4] > 0
-        d, c = dets[keep], coeffs[keep]
-        if self.classes is not None and len(d):
-            sel = np.isin(d[:, 5].astype(int), self.classes)
-            d, c = d[sel], c[sel]
+        d, c = self._keep_and_filter(dets, coeffs)
         if not len(d):
             return Results(frame, path, self.names, boxes=np.zeros((0, 6), np.float32))
         h0, w0 = frame.shape[:2]

@@ -101,6 +101,14 @@ def _mask_to_original(mask: np.ndarray, input_hw, orig_wh, r: float, dw: float, 
 
 
 
+def _collapse_single_cls(dets: np.ndarray) -> np.ndarray:
+    """val single_cls: predictions collapse to class 0, padding rows keep
+    their -1 sentinel (reference detect/val.py); one copy for 4 validators."""
+    d = dets.copy()
+    d[..., 5] = np.where(d[..., 5] >= 0, 0.0, d[..., 5])
+    return d
+
+
 def _filter_classes(dets: np.ndarray, classes) -> np.ndarray:
     """val(classes=[...]): zero out detections outside the class whitelist
     (reference NMS classes arg); padding convention (conf 0 / cls -1) kept."""
@@ -155,11 +163,10 @@ class OBBValidator:
             img = jnp.asarray(batch["img"])
             dets = np.asarray(self._forward(variables, img))  # (B, max_det, 7)
             if self.single_cls:
-                # classes collapse post-NMS (nms_rotated has no agnostic
-                # mode; the class-separated suppression can keep marginally
-                # more boxes than the reference's agnostic pass)
-                dets = dets.copy()
-                dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
+                # nms_rotated has no agnostic mode; the class-separated
+                # suppression can keep marginally more boxes than the
+                # reference's agnostic pass
+                dets = _collapse_single_cls(dets)
             dets = _filter_classes(dets, self.classes)
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h, 1.0], np.float32)
@@ -334,8 +341,7 @@ class SegmentationValidator:
             dets_d, masks_d = self._forward(variables, img)
             dets, masks = np.asarray(dets_d), np.asarray(masks_d)
             if self.single_cls:
-                dets = dets.copy()
-                dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
+                dets = _collapse_single_cls(dets)
             dets = _filter_classes(dets, self.classes)
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h], np.float32)
@@ -474,8 +480,7 @@ class PoseValidator:
             dets_d, kpts_d = self._forward(variables, img)
             dets, kpts = np.asarray(dets_d), np.asarray(kpts_d)
             if self.single_cls:
-                dets = dets.copy()
-                dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
+                dets = _collapse_single_cls(dets)
             dets = _filter_classes(dets, self.classes)
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h], np.float32)
@@ -554,6 +559,7 @@ class DetectionValidator:
         plots: bool = False,
         classes=None,
         save_txt: bool = False,
+        save_conf: bool = False,
     ):
         self.model = model
         self.spec = spec
@@ -570,6 +576,7 @@ class DetectionValidator:
         self.plots = plots
         self.classes = classes
         self.save_txt = save_txt
+        self.save_conf = save_conf
 
         nc = spec.nc
         strides = spec.head_strides
@@ -617,11 +624,7 @@ class DetectionValidator:
             dets = np.asarray(self._forward(variables, img))  # (B, max_det, 6)
             t_infer += time.perf_counter() - t0
             if self.single_cls:
-                # reference detect/val.py single_cls: predictions collapse to
-                # class 0 (padding rows keep their -1 sentinel); np.asarray of
-                # a device array is read-only, so copy before writing
-                dets = dets.copy()
-                dets[..., 5] = np.where(dets[..., 5] >= 0, 0.0, dets[..., 5])
+                dets = _collapse_single_cls(dets)
             dets = _filter_classes(dets, self.classes)
             b, h, w = img.shape[0], img.shape[1], img.shape[2]
             if self.plots and self.save_dir is not None and n_img < 3 * b:
@@ -661,17 +664,25 @@ class DetectionValidator:
                     if jdict is not None:
                         jdict.extend(pred_to_json(d, im_files[k], class_map=self.class_map))
                     if self.save_txt:
-                        # labels/{stem}.txt, normalized xywh + conf (reference
-                        # detect/val.py:270 save_one_txt via Results.save_txt)
+                        # labels/{stem}.txt, normalized xywh [+ conf]
+                        # (reference detect/val.py:270 save_one_txt) — lines
+                        # written directly from the original-pixel dets, no
+                        # full-resolution dummy image needed
                         from pathlib import Path as _Path
 
-                        from bsyolo_tpu.engine.results import Results
-
                         (w0, h0) = ub[0]
+                        lines = []
+                        for x1, y1, x2, y2, cf, cl in d[:, :6]:
+                            parts = [str(int(cl)),
+                                     f"{(x1 + x2) / 2 / w0:.6f}", f"{(y1 + y2) / 2 / h0:.6f}",
+                                     f"{(x2 - x1) / w0:.6f}", f"{(y2 - y1) / h0:.6f}"]
+                            if self.save_conf:
+                                parts.append(f"{cf:.6f}")
+                            lines.append(" ".join(parts))
                         out = _Path(self.save_dir or ".") / "labels"
-                        Results(
-                            np.zeros((h0, w0, 3), np.uint8), im_files[k], self.names, boxes=d
-                        ).save_txt(out / f"{_Path(im_files[k]).stem}.txt", save_conf=True)
+                        out.mkdir(parents=True, exist_ok=True)
+                        (out / f"{_Path(im_files[k]).stem}.txt").write_text(
+                            "\n".join(lines) + ("\n" if lines else ""))
 
         if jdict is not None:
             from pathlib import Path as _Path

@@ -186,7 +186,7 @@ class YOLO:
 
         d = load_dataset_yaml(data)
         split = kwargs.get("split", "val")
-        if split not in d:
+        if not d.get(split):  # missing OR declared-but-null (test: null)
             raise KeyError(f"dataset {data} has no '{split}' split (cfg `split:`)")
         ds = YOLODataset(
             d[split],
@@ -217,8 +217,9 @@ class YOLO:
         if kwargs.get("classes"):
             vkw["classes"] = list(kwargs["classes"])
         if kwargs.get("save_txt") and validator_cls is DetectionValidator:
-            # per-image normalized-xywh+conf txts (reference save_one_txt)
+            # per-image normalized-xywh txts (reference save_one_txt)
             vkw["save_txt"] = True
+            vkw["save_conf"] = bool(kwargs.get("save_conf", False))
             vkw.setdefault("save_dir", kwargs.get("save_dir", "runs/val"))
         if kwargs.get("plots"):
             # reference val artifacts: confusion_matrix.png (probIoU-matched
@@ -300,8 +301,17 @@ class YOLO:
             # crops/{class}/{stem}.jpg alongside the annotated output
             out_dir = Path(kwargs.get("project", "runs/detect")) / kwargs.get("name", "predict")
             for i, r in enumerate(results):
-                stem = Path(r.path).stem if r.path not in ("array",) else f"image{i}"
-                stem = stem.replace("#", "_")
+                raw = str(r.path)
+                if "#" in raw:
+                    # video frames are 'clip.mp4#frameN' — '#frameN' lands in
+                    # Path.suffix, so .stem alone would collapse EVERY frame
+                    # to 'clip' and each txt/crop would overwrite the last
+                    base, _, fr = raw.partition("#")
+                    stem = f"{Path(base).stem}_{fr}"
+                elif raw == "array":
+                    stem = f"image{i}"
+                else:
+                    stem = Path(raw).stem
                 if kwargs.get("save_txt"):
                     r.save_txt(out_dir / "labels" / f"{stem}.txt",
                                save_conf=bool(kwargs.get("save_conf", False)))
@@ -381,10 +391,12 @@ class YOLO:
         """show=True (reference predictor.py:274 show): pops cv2 windows —
         headless hosts (no DISPLAY) get one warning instead of a crash."""
         import os
+        import sys
 
         import cv2
 
-        if not (os.environ.get("DISPLAY") or os.name == "nt"):
+        # X11 needs DISPLAY; Windows and macOS (Quartz, no DISPLAY var) don't
+        if not (os.environ.get("DISPLAY") or os.name == "nt" or sys.platform == "darwin"):
             LOGGER.warning("show=True: no display available, skipping imshow")
             return
         plot_kw = {
