@@ -56,6 +56,7 @@ class DataLoader:
         mosaic: bool = True,
         workers: int = 0,
         shard: Optional[Tuple[int, int]] = None,
+        rect: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -75,6 +76,12 @@ class DataLoader:
         # in-process prefetch thread (measured 25 vs 43 img/s) -> workers=0
         self.workers = min(workers, usable if usable > 1 else 0) if workers > 0 else workers
         self.shard = shard
+        # rect (val-only): group images into THREE static aspect buckets
+        # (wide / square / tall) so letterboxing pads less — the TPU-native
+        # form of the reference's rect=True (build.py:127 rect batching),
+        # which there produces per-batch dynamic shapes. Three canvases =
+        # three cached XLA programs; ~25% fewer pixels on 4:3 datasets.
+        self.rect = rect and not shuffle
         self.epoch = 0
         self._pool = None
 
@@ -114,6 +121,8 @@ class DataLoader:
         return order
 
     def __len__(self):
+        if self.rect:
+            return len(self._rect_batches())
         n = len(self._epoch_order()) if self.shard is not None else len(self.dataset)
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
 
@@ -126,8 +135,13 @@ class DataLoader:
 
     def _assemble(self, idxs, rng, mosaic: Optional[bool] = None) -> Dict[str, np.ndarray]:
         mosaic = self.mosaic if mosaic is None else mosaic
-        samples = [self.dataset.get_sample(int(i), rng, mosaic=mosaic) for i in idxs]
-        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        idxs = np.asarray(idxs)
+        src = np.where(idxs < 0, -idxs - 1, idxs)  # decode wrap-pad sentinels
+        samples = [self.dataset.get_sample(int(i), rng, mosaic=mosaic) for i in src]
+        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        if not self.drop_last:
+            batch["im_idx"] = np.where(idxs < 0, -1, idxs).astype(np.int64)
+        return batch
 
     def _batches(self) -> list:
         order = self._epoch_order()
@@ -137,12 +151,54 @@ class DataLoader:
         if not self.drop_last and n % self.batch_size:
             tail = order[nb * self.batch_size :]
             if len(tail):
-                # pad the tail batch by wrapping (keeps static shapes)
+                # pad the tail batch by wrapping (keeps static shapes);
+                # wrapped rows are encoded NEGATIVE (-(idx+1)) so _assemble
+                # can mark them im_idx=-1 — downstream metric/json/txt
+                # consumers skip the duplicates instead of double-counting
                 pad = order[: self.batch_size - len(tail)]
-                batches.append(np.concatenate([tail, pad]))
+                batches.append(np.concatenate([tail, -(pad + 1)]))
         return batches
 
+    def _rect_batches(self):
+        """[(src_idxs, im_idx, (h, w)), ...] — batches grouped by aspect
+        bucket. Tail batches wrap within their bucket; wrapped rows carry
+        im_idx -1 so json/txt writers skip the duplicates."""
+        shapes = self.dataset.image_shapes()
+        imgsz = self.dataset.imgsz
+        short = max(32, int(np.floor(imgsz * 0.75 / 32)) * 32)  # 640 -> 480
+        canvases = ((short, imgsz), (imgsz, imgsz), (imgsz, short))  # wide/square/tall
+        ar = shapes[:, 0] / np.maximum(shapes[:, 1], 1)
+        key = np.where(ar < 0.85, 0, np.where(ar > 1.18, 2, 1))
+        out = []
+        for b in range(3):
+            idxs = np.nonzero(key == b)[0]
+            if not len(idxs):
+                continue
+            for s in range(0, len(idxs), self.batch_size):
+                chunk = idxs[s : s + self.batch_size]
+                pad = self.batch_size - len(chunk)
+                if pad:
+                    src = np.concatenate([chunk, np.resize(idxs, pad)])
+                    im_idx = np.concatenate([chunk, -np.ones(pad, np.int64)])
+                else:
+                    src, im_idx = chunk, chunk.astype(np.int64)
+                out.append((src, im_idx, canvases[b]))
+        return out
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.rect:
+            # sequential assembly (val-only path; the three canvas shapes
+            # each compile once on first use)
+            for bi, (src, im_idx, canvas) in enumerate(self._rect_batches()):
+                rng = np.random.default_rng([self.seed, self.epoch, bi])
+                samples = [
+                    self.dataset.get_sample(int(i), rng, mosaic=False, shape=canvas)
+                    for i in src
+                ]
+                batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+                batch["im_idx"] = np.asarray(im_idx, np.int64)
+                yield batch
+            return
         batches = self._batches()
 
         if self.workers > 0:

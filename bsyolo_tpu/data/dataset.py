@@ -310,7 +310,26 @@ class YOLODataset:
         xyxy = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1)
         return cls, xyxy
 
-    def get_sample(self, i: int, rng: np.random.Generator, mosaic: bool = True) -> Dict:
+    def image_shapes(self) -> np.ndarray:
+        """(N, 2) original (h, w) per image, read from file headers only
+        (PIL lazy open — no pixel decode); cached after the first call.
+        Powers rect-val aspect bucketing (build.py)."""
+        if getattr(self, "_shapes", None) is None:
+            from PIL import Image
+
+            shapes = np.zeros((len(self.img_files), 2), np.int32)
+            for i, f in enumerate(self.img_files):
+                try:
+                    with Image.open(f) as im:
+                        w, h = im.size
+                except Exception:
+                    h = w = self.imgsz
+                shapes[i] = (h, w)
+            self._shapes = shapes
+        return self._shapes
+
+    def get_sample(self, i: int, rng: np.random.Generator, mosaic: bool = True,
+                   shape: Optional[Tuple[int, int]] = None) -> Dict:
         """One training sample dict: img (f32 RGB [0,1]), cls, bboxes (xywh-n),
         mask; for task='segment' also masks ((imgsz/ratio)^2 overlap-encoded)."""
         from bsyolo_tpu.data.augment import format_labels, train_transform
@@ -352,7 +371,11 @@ class YOLODataset:
 
             im = self.load_image(i)
             cls, boxes = self.label_pixels(i, im.shape[:2])
-            img, r, (dw, dh) = letterbox_image(im, (self.imgsz, self.imgsz), scaleup=False)
+            # `shape` (rect-val bucket, build.py RectBuckets) overrides the
+            # square canvas; labels normalize against the actual canvas in
+            # format_labels, so non-square targets need no extra math
+            target = shape or (self.imgsz, self.imgsz)
+            img, r, (dw, dh) = letterbox_image(im, target, scaleup=False)
             if len(boxes):
                 boxes = boxes * r
                 boxes[:, [0, 2]] += dw

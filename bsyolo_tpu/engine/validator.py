@@ -170,14 +170,19 @@ class OBBValidator:
             dets = _filter_classes(dets, self.classes)
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h, 1.0], np.float32)
+            im_idx = batch.get("im_idx")
             for i in range(img.shape[0]):
+                ksn = n_seen
+                n_seen += 1
+                if im_idx is not None:
+                    ksn = int(im_idx[i])
+                    if ksn < 0:
+                        continue  # wrap-padded duplicate row
                 m = batch["mask"][i] > 0
                 gt_cls = np.asarray(batch["cls"][i])[m].astype(np.float32)
                 gt_rb = np.asarray(batch["rboxes"][i][m]) * scale
                 d = dets[i]
                 d = d[d[:, 4] > 0]
-                ksn = n_seen
-                n_seen += 1
                 if jc is not None and jc.im_files and ksn < jc.n and len(d):
                     from bsyolo_tpu.utils.coco import obb_pred_to_json
 
@@ -345,7 +350,14 @@ class SegmentationValidator:
             dets = _filter_classes(dets, self.classes)
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h], np.float32)
+            im_idx = batch.get("im_idx")
             for i in range(img.shape[0]):
+                k = n_seen
+                n_seen += 1
+                if im_idx is not None:
+                    k = int(im_idx[i])
+                    if k < 0:
+                        continue  # wrap-padded duplicate row
                 m = batch["mask"][i] > 0
                 gt_cls = np.asarray(batch["cls"][i])[m].astype(np.float32)
                 gt_xyxy = np.asarray(_xywh2xyxy(jnp.asarray(batch["bboxes"][i][m]))) * scale
@@ -353,8 +365,6 @@ class SegmentationValidator:
                 d = dets[i]
                 keep = d[:, 4] > 0
                 d, pm = d[keep], masks[i][keep]
-                k = n_seen
-                n_seen += 1
                 if jc is not None and jc.im_files and k < jc.n and len(d):
                     from bsyolo_tpu.utils.coco import seg_pred_to_json
 
@@ -484,7 +494,14 @@ class PoseValidator:
             dets = _filter_classes(dets, self.classes)
             h, w = img.shape[1], img.shape[2]
             scale = np.asarray([w, h, w, h], np.float32)
+            im_idx = batch.get("im_idx")
             for i in range(img.shape[0]):
+                ki = n_seen
+                n_seen += 1
+                if im_idx is not None:
+                    ki = int(im_idx[i])
+                    if ki < 0:
+                        continue  # wrap-padded duplicate row
                 m = batch["mask"][i] > 0
                 gt_cls = np.asarray(batch["cls"][i])[m].astype(np.float32)
                 gt_xyxy = np.asarray(_xywh2xyxy(jnp.asarray(batch["bboxes"][i][m]))) * scale
@@ -494,8 +511,6 @@ class PoseValidator:
                 d = dets[i]
                 keep = d[:, 4] > 0
                 d, pk = d[keep], kpts[i][keep]
-                ki = n_seen
-                n_seen += 1
                 if jc is not None and jc.im_files and ki < jc.n and len(d):
                     from bsyolo_tpu.utils.coco import pose_pred_to_json
 
@@ -631,7 +646,10 @@ class DetectionValidator:
                 self._plot_val_batch(batch, dets, n_img // max(b, 1), (h, w))
             n_img += b
             scale = np.array([w, h, w, h], np.float32)
+            im_idx = batch.get("im_idx")
             for i in range(b):
+                if im_idx is not None and int(im_idx[i]) < 0:
+                    continue  # wrap-padded duplicate row (build.py _batches)
                 mask = batch["mask"][i] > 0
                 gt_cls = np.asarray(batch["cls"][i])[mask].astype(np.float32)
                 gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(batch["bboxes"][i][mask]))) * scale
@@ -656,8 +674,8 @@ class DetectionValidator:
                 from bsyolo_tpu.utils.coco import pred_to_json
 
                 for i in range(b):
-                    k = n_img - b + i
-                    if k >= n_total:  # skip wrap-padded tail duplicates
+                    k = int(im_idx[i]) if im_idx is not None else (n_img - b + i)
+                    if k < 0 or k >= n_total:  # wrap-padded duplicates
                         continue
                     ub = _unletterbox_file(im_files[k], (h, w))
                     d = _boxes_to_original(dets[i][dets[i][:, 4] > 0], ub)

@@ -197,7 +197,11 @@ class YOLO:
             task=task,
             flip_idx=d.get("flip_idx"),
         )
-        loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
+        rect = bool(kwargs.get("rect", False))
+        if rect and task != "detect":
+            LOGGER.warning("rect val is detect-only here; using square letterbox")
+            rect = False
+        loader = DataLoader(ds, batch, shuffle=False, drop_last=False, rect=rect)
         validator_cls = {
             "segment": SegmentationValidator,
             "pose": PoseValidator,
