@@ -81,7 +81,9 @@ class DataLoader:
         # form of the reference's rect=True (build.py:127 rect batching),
         # which there produces per-batch dynamic shapes. Three canvases =
         # three cached XLA programs; ~25% fewer pixels on 4:3 datasets.
-        self.rect = rect and not shuffle
+        # rect requires deterministic order and (for now) a single host —
+        # the bucketed batches ignore the shard stride
+        self.rect = rect and not shuffle and shard is None
         self.epoch = 0
         self._pool = None
 
