@@ -6,6 +6,8 @@ The reference fans out over 14 GPU/CPU runtimes; the TPU-relevant set here:
 - ``*.stablehlo`` — jax.export artifact (runs on TPU/CPU through XLA)
 - SavedModel directory — TF runtime (what the C++ client uses)
 - ``*.tflite`` — LiteRT interpreter (fp32/fp16/int8 artifacts)
+- ``*.onnx`` — self-contained ONNX artifact via the bundled numpy evaluator
+  (bsyolo_tpu/onnx; reference runs these through onnxruntime, absent here)
 - ``*.ckpt`` — native flax checkpoint -> jitted apply
 - ``*.yaml`` — fresh model (dev convenience)
 
@@ -31,6 +33,7 @@ class AutoBackend:
             else "stablehlo" if p.suffix in (".stablehlo", ".stablehlo-int8")
             or p.name.endswith(".stablehlo-int8")
             else "tflite" if p.suffix == ".tflite"
+            else "onnx" if p.suffix == ".onnx"
             else "ckpt" if p.suffix == ".ckpt"
             else "yaml" if p.suffix in (".yaml", ".yml")
             else None
@@ -38,7 +41,7 @@ class AutoBackend:
         if self.kind is None:
             raise ValueError(
                 f"unsupported artifact: {weights} (supported: .stablehlo, "
-                "SavedModel dir, .tflite, .ckpt, .yaml)"
+                "SavedModel dir, .tflite, .onnx, .ckpt, .yaml)"
             )
         getattr(self, f"_init_{self.kind}")()
 
@@ -77,6 +80,15 @@ class AutoBackend:
             return it.get_tensor(outp["index"])
 
         self._fn = run
+
+    def _init_onnx(self):
+        # the bundled numpy evaluator (bsyolo_tpu/onnx/runtime.py) — a
+        # CPU-reference runtime, not a serving path; serving artifacts are
+        # stablehlo (PJRT) and saved_model (TF C API)
+        from bsyolo_tpu.onnx import OnnxModule
+
+        module = OnnxModule(self.path)
+        self._fn = lambda x: module(np.asarray(x, np.float32))[0]
 
     def _init_ckpt(self):
         self._init_model(self.path)

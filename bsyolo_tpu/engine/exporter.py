@@ -14,6 +14,9 @@ equivalents are the XLA-ecosystem ones:
   analog).
 - params: raw weights checkpoint (.ckpt)
 - saved_model / tflite: via jax2tf when tensorflow is present (gated)
+- onnx: self-contained opset-13 export (bsyolo_tpu/onnx — jaxpr lowering +
+  protobuf wire codec, no torch/onnx toolchain); AutoBackend runs the
+  artifact through the bundled numpy evaluator
 
 Each export embeds the full predict path (forward + decode; NMS optional)
 with static shapes.
@@ -117,6 +120,37 @@ def export_model(
         LOGGER.info(f"exported StableHLO to {out} ({len(blob)} bytes)")
         return str(out)
 
+    if format == "onnx":
+        # Self-contained ONNX (reference engine/exporter.py:463 export_onnx):
+        # no torch/onnx toolchain — the jitted predict fn's jaxpr is lowered
+        # to opset-13 ops and serialized by bsyolo_tpu/onnx. Like the
+        # reference's default ONNX artifact this is the decode-only graph
+        # (B, A, 4+nc); NMS runs consumer-side (AutoBackend does it here).
+        if nms:
+            raise ValueError(
+                "onnx export ships the decode-only graph (reference default); "
+                "run NMS consumer-side or use format='stablehlo' with nms=True"
+            )
+        from bsyolo_tpu.onnx import export_onnx
+
+        out = out.with_suffix(".onnx")
+        export_onnx(
+            predict,
+            [jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)],
+            out,
+            input_names=["images"],
+            output_names=["output0"],
+            name=name,
+        )
+        meta = {
+            "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
+            "nms": False, "opset": 13, "input": "NHWC float32 [0,1] RGB",
+            "output": "(B, anchors, 4+nc) xywh+scores",
+        }
+        Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
+        LOGGER.info(f"exported ONNX (opset 13) to {out}")
+        return str(out)
+
     if format == "params":
         return yolo.save(str(out.with_suffix(".ckpt")))
 
@@ -172,7 +206,8 @@ def export_model(
 
     raise ValueError(
         f"unsupported export format: {format} "
-        "(available: stablehlo, stablehlo-int8, params, saved_model, tflite, tflite-fp16, tflite-int8)"
+        "(available: stablehlo, stablehlo-int8, onnx, params, saved_model, "
+        "tflite, tflite-fp16, tflite-int8)"
     )
 
 

@@ -1,0 +1,713 @@
+"""Lower a traced jaxpr to an ONNX opset-13 graph.
+
+Strategy (the tpu-native answer to the reference's torch.onnx trace): the
+predict function is traced once with ``jax.make_jaxpr`` (params closed over as
+constants), then each jax primitive is rewritten into standard ONNX ops. All
+shapes are static, so every Reshape target and Slice bound is a baked int64
+constant. Layout: jax convs here are NHWC/HWIO; ONNX Conv is NCHW/OIHW, so
+inputs get a Transpose sandwich while *kernel* transposes are constant-folded
+into the initializer at export time.
+
+Deliberate dtype policy: the exported graph is float32 end-to-end — internal
+bf16 casts are folded away (ONNX runtimes' bf16 support is spotty and the
+numpy runtime has no bf16). This matches the reference exporter's default
+(FP32 unless half=True, reference engine/exporter.py:463).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from bsyolo_tpu.onnx.builder import GraphBuilder
+
+
+class UnsupportedPrimitive(NotImplementedError):
+    """A jax primitive in the traced function has no ONNX lowering yet."""
+
+
+_FOLD_DTYPES = {"bfloat16", "float16"}  # folded to f32 in the exported graph
+
+
+def _np_dtype(aval_dtype) -> str:
+    name = np.dtype(aval_dtype).name if np.dtype(aval_dtype).name != "bfloat16" else "bfloat16"
+    try:
+        name = np.dtype(aval_dtype).name
+    except TypeError:
+        name = str(aval_dtype)
+    return "float32" if name in _FOLD_DTYPES else name
+
+
+def _inverse_perm(perm: Sequence[int]) -> List[int]:
+    inv = [0] * len(perm)
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return inv
+
+
+class _Lowerer:
+    def __init__(self, builder: GraphBuilder):
+        self.b = builder
+        self.env: Dict[Any, str] = {}  # jax Var -> onnx value name
+        self.const_values: Dict[str, np.ndarray] = {}  # initializer name -> value
+
+    # --- value plumbing ----------------------------------------------------
+
+    def read(self, atom) -> str:
+        from jax.extend.core import Literal
+
+        if isinstance(atom, Literal):
+            val = np.asarray(atom.val)
+            if val.dtype.kind == "f" or str(val.dtype) in _FOLD_DTYPES:
+                val = val.astype(np.float32)
+            return self.const(val)
+        return self.env[atom]
+
+    def shape(self, atom) -> tuple:
+        return tuple(atom.aval.shape)
+
+    def const(self, array: np.ndarray) -> str:
+        name = self.b.const_cached(np.asarray(array))
+        self.const_values[name] = np.asarray(array)
+        return name
+
+    def i64(self, values) -> str:
+        return self.const(np.asarray(values, dtype=np.int64))
+
+    def write(self, var, name: str):
+        self.env[var] = name
+
+    # --- constant folding helpers -------------------------------------------
+
+    def fold_or_node(self, src: str, fold: Callable[[np.ndarray], np.ndarray], emit: Callable[[str], str]) -> str:
+        """If src is a known constant, fold in numpy; else emit runtime node(s)."""
+        if src in self.const_values:
+            return self.const(fold(self.const_values[src]))
+        return emit(src)
+
+    def transpose(self, src: str, perm: Sequence[int]) -> str:
+        if list(perm) == list(range(len(perm))):
+            return src
+        return self.fold_or_node(
+            src,
+            lambda v: np.transpose(v, perm),
+            lambda s: self.b.node("Transpose", [s], perm=list(perm))[0],
+        )
+
+    def reshape(self, src: str, shape: Sequence[int]) -> str:
+        return self.fold_or_node(
+            src,
+            lambda v: np.reshape(v, shape),
+            lambda s: self.b.node("Reshape", [s, self.i64(list(shape))])[0],
+        )
+
+    # --- the walk -----------------------------------------------------------
+
+    def lower_jaxpr(self, jaxpr, consts: Sequence[Any], invals: Sequence[str]):
+        for var, const in zip(jaxpr.constvars, consts):
+            arr = np.asarray(const)
+            if arr.dtype.kind == "f" or str(arr.dtype) in _FOLD_DTYPES:
+                arr = arr.astype(np.float32)
+            self.write(var, self.const(arr))
+        for var, name in zip(jaxpr.invars, invals):
+            self.write(var, name)
+        for eqn in jaxpr.eqns:
+            self.lower_eqn(eqn)
+        return [self.read(v) for v in jaxpr.outvars]
+
+    def lower_eqn(self, eqn):
+        from jax._src.core import DropVar
+
+        prim = eqn.primitive.name
+        # call-like primitives: inline the inner jaxpr
+        inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr") or eqn.params.get("fun_jaxpr")
+        if inner is not None and prim not in ("while", "scan", "cond"):
+            closed = inner
+            sub_jaxpr = getattr(closed, "jaxpr", closed)
+            sub_consts = getattr(closed, "consts", [])
+            invals = [self.read(a) for a in eqn.invars]
+            # custom_jvp/vjp pass extra tangent args after the primal args
+            invals = invals[: len(sub_jaxpr.invars)] if len(invals) >= len(sub_jaxpr.invars) else invals
+            outs = _Lowerer.lower_sub(self, sub_jaxpr, sub_consts, invals)
+            for var, name in zip(eqn.outvars, outs):
+                if not isinstance(var, DropVar):
+                    self.write(var, name)
+            return
+        handler = _HANDLERS.get(prim)
+        if handler is None:
+            raise UnsupportedPrimitive(
+                f"jax primitive '{prim}' has no ONNX lowering; the onnx exporter "
+                f"covers the inference primitive set (see bsyolo_tpu/onnx/lower.py)"
+            )
+        outs = handler(self, eqn)
+        for var, name in zip(eqn.outvars, outs):
+            if not isinstance(var, DropVar):
+                self.write(var, name)
+
+    def lower_sub(self, sub_jaxpr, sub_consts, invals):
+        # same env/builder; sub-jaxpr vars are distinct objects so no collision
+        return self.lower_jaxpr(sub_jaxpr, sub_consts, invals)
+
+
+# --- primitive handlers -----------------------------------------------------
+# each: (lowerer, eqn) -> list of output value names
+
+_HANDLERS: Dict[str, Callable] = {}
+
+
+def _register(*names):
+    def deco(fn):
+        for n in names:
+            _HANDLERS[n] = fn
+        return fn
+
+    return deco
+
+
+_EW_UNARY = {
+    "logistic": "Sigmoid",
+    "exp": "Exp",
+    "log": "Log",
+    "tanh": "Tanh",
+    "sqrt": "Sqrt",
+    "abs": "Abs",
+    "neg": "Neg",
+    "sign": "Sign",
+    "floor": "Floor",
+    "ceil": "Ceil",
+    "round": "Round",  # both half-to-even
+    "erf": "Erf",
+    "not": "Not",
+}
+_EW_BINARY = {
+    "add": "Add",
+    "sub": "Sub",
+    "mul": "Mul",
+    "div": "Div",
+    "max": "Max",
+    "min": "Min",
+    "pow": "Pow",
+    "and": "And",
+    "or": "Or",
+    "xor": "Xor",
+    "eq": "Equal",
+    "lt": "Less",
+    "le": "LessOrEqual",
+    "gt": "Greater",
+    "ge": "GreaterOrEqual",
+    "rem": "Mod",
+}
+
+
+@_register(*_EW_UNARY)
+def _unary(lw, eqn):
+    return lw.b.node(_EW_UNARY[eqn.primitive.name], [lw.read(eqn.invars[0])])
+
+
+@_register(*_EW_BINARY)
+def _binary(lw, eqn):
+    return lw.b.node(_EW_BINARY[eqn.primitive.name], [lw.read(a) for a in eqn.invars])
+
+
+@_register("ne")
+def _ne(lw, eqn):
+    eq = lw.b.node("Equal", [lw.read(a) for a in eqn.invars])[0]
+    return lw.b.node("Not", [eq])
+
+
+@_register("rsqrt")
+def _rsqrt(lw, eqn):
+    s = lw.b.node("Sqrt", [lw.read(eqn.invars[0])])[0]
+    return lw.b.node("Reciprocal", [s])
+
+
+@_register("square")
+def _square(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    return lw.b.node("Mul", [x, x])
+
+
+@_register("integer_pow")
+def _integer_pow(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    y = int(eqn.params["y"])
+    p = lw.const(np.asarray(float(y), dtype=np.float32))
+    return lw.b.node("Pow", [x, p])
+
+
+@_register("stop_gradient", "copy")
+def _alias(lw, eqn):
+    return [lw.read(eqn.invars[0])]
+
+
+@_register("convert_element_type")
+def _convert(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    src = _np_dtype(eqn.invars[0].aval.dtype)
+    dst = _np_dtype(eqn.params["new_dtype"])
+    if src == dst:  # includes bf16/f16 folded to f32
+        return [x]
+    from bsyolo_tpu.onnx import proto
+
+    return lw.b.node("Cast", [x], to=proto.TENSOR_DTYPE[dst])
+
+
+@_register("select_n")
+def _select_n(lw, eqn):
+    if len(eqn.invars) != 3:
+        raise UnsupportedPrimitive("select_n with >2 cases")
+    pred, case0, case1 = (lw.read(a) for a in eqn.invars)
+    return lw.b.node("Where", [pred, case1, case0])
+
+
+@_register("clamp")
+def _clamp(lw, eqn):
+    lo, x, hi = eqn.invars
+    lo_n, x_n, hi_n = lw.read(lo), lw.read(x), lw.read(hi)
+    if lw.shape(lo) == () and lw.shape(hi) == ():
+        return lw.b.node("Clip", [x_n, lo_n, hi_n])
+    m = lw.b.node("Max", [x_n, lo_n])[0]
+    return lw.b.node("Min", [m, hi_n])
+
+
+@_register("reduce_sum", "reduce_max", "reduce_min", "reduce_prod")
+def _reduce(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    axes = [int(a) for a in eqn.params["axes"]]
+    prim = eqn.primitive.name
+    if prim == "reduce_sum":
+        # opset 13: ReduceSum takes axes as an input tensor
+        return lw.b.node("ReduceSum", [x, lw.i64(axes)], keepdims=0)
+    op = {"reduce_max": "ReduceMax", "reduce_min": "ReduceMin", "reduce_prod": "ReduceProd"}[prim]
+    return lw.b.node(op, [x], axes=axes, keepdims=0)
+
+
+@_register("argmax", "argmin")
+def _argreduce(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    axes = eqn.params["axes"]
+    if len(axes) != 1:
+        raise UnsupportedPrimitive("argmax over multiple axes")
+    op = "ArgMax" if eqn.primitive.name == "argmax" else "ArgMin"
+    out = lw.b.node(op, [x], axis=int(axes[0]), keepdims=0)[0]
+    dst = _np_dtype(eqn.params["index_dtype"])
+    if dst != "int64":
+        from bsyolo_tpu.onnx import proto
+
+        return lw.b.node("Cast", [out], to=proto.TENSOR_DTYPE[dst])
+    return [out]
+
+
+@_register("concatenate")
+def _concat(lw, eqn):
+    return lw.b.node("Concat", [lw.read(a) for a in eqn.invars], axis=int(eqn.params["dimension"]))
+
+
+@_register("reshape")
+def _reshape(lw, eqn):
+    if eqn.params.get("dimensions") is not None:
+        raise UnsupportedPrimitive("reshape with dimensions (fused transpose)")
+    return [lw.reshape(lw.read(eqn.invars[0]), [int(d) for d in eqn.outvars[0].aval.shape])]
+
+
+@_register("squeeze", "expand_dims")
+def _rank_change(lw, eqn):
+    return [lw.reshape(lw.read(eqn.invars[0]), [int(d) for d in eqn.outvars[0].aval.shape])]
+
+
+@_register("transpose")
+def _transpose(lw, eqn):
+    return [lw.transpose(lw.read(eqn.invars[0]), [int(p) for p in eqn.params["permutation"]])]
+
+
+@_register("broadcast_in_dim")
+def _broadcast(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    in_shape = lw.shape(eqn.invars[0])
+    out_shape = [int(d) for d in eqn.params["shape"]]
+    bd = [int(d) for d in eqn.params["broadcast_dimensions"]]
+    mid = [1] * len(out_shape)
+    for i, pos in enumerate(bd):
+        mid[pos] = int(in_shape[i])
+    name = x if list(in_shape) == mid else lw.reshape(x, mid)
+    if mid == out_shape:
+        return [name]
+    if name in lw.const_values:
+        return [lw.const(np.broadcast_to(lw.const_values[name].reshape(mid), out_shape).copy())]
+    return lw.b.node("Expand", [name, lw.i64(out_shape)])
+
+
+@_register("iota")
+def _iota(lw, eqn):
+    shape = [int(d) for d in eqn.params["shape"]]
+    dim = int(eqn.params["dimension"])
+    dtype = np.dtype(_np_dtype(eqn.params["dtype"]))
+    rng = np.arange(shape[dim], dtype=dtype)
+    view = [1] * len(shape)
+    view[dim] = shape[dim]
+    return [lw.const(np.broadcast_to(rng.reshape(view), shape).copy())]
+
+
+@_register("slice")
+def _slice(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    starts = [int(s) for s in eqn.params["start_indices"]]
+    ends = [int(s) for s in eqn.params["limit_indices"]]
+    strides = eqn.params.get("strides")
+    steps = [int(s) for s in strides] if strides is not None else [1] * len(starts)
+    axes = list(range(len(starts)))
+    return lw.b.node("Slice", [x, lw.i64(starts), lw.i64(ends), lw.i64(axes), lw.i64(steps)])
+
+
+@_register("rev")
+def _rev(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    shape = lw.shape(eqn.invars[0])
+    axes = [int(d) for d in eqn.params["dimensions"]]
+    starts = [int(shape[a]) - 1 for a in axes]
+    ends = [-(int(shape[a]) + 1) for a in axes]
+    steps = [-1] * len(axes)
+    return lw.b.node("Slice", [x, lw.i64(starts), lw.i64(ends), lw.i64(axes), lw.i64(steps)])
+
+
+@_register("split")
+def _split(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    sizes = [int(s) for s in eqn.params["sizes"]]
+    axis = int(eqn.params["axis"])
+    # opset 13: split lengths are an input tensor
+    return lw.b.node("Split", [x, lw.i64(sizes)], n_outputs=len(sizes), axis=axis)
+
+
+@_register("pad")
+def _pad(lw, eqn):
+    x, pad_val = eqn.invars
+    cfg = [(int(lo), int(hi), int(interior)) for lo, hi, interior in eqn.params["padding_config"]]
+    if any(i != 0 for _, _, i in cfg):
+        raise UnsupportedPrimitive("pad with interior padding")
+    pos = [(max(lo, 0), max(hi, 0)) for lo, hi, _ in cfg]
+    neg = [(min(lo, 0), min(hi, 0)) for lo, hi, _ in cfg]
+    name = lw.read(x)
+    if any(p != (0, 0) for p in pos):
+        pads = [p[0] for p in pos] + [p[1] for p in pos]
+        name = lw.b.node("Pad", [name, lw.i64(pads), lw.read(pad_val)])[0]
+    if any(nd != (0, 0) for nd in neg):
+        padded = [int(s) + pos[i][0] + pos[i][1] for i, s in enumerate(lw.shape(x))]
+        starts = [-nd[0] for nd in neg]
+        ends = [padded[i] + neg[i][1] for i in range(len(neg))]
+        axes = list(range(len(neg)))
+        name = lw.b.node("Slice", [name, lw.i64(starts), lw.i64(ends), lw.i64(axes)])[0]
+    return [name]
+
+
+@_register("cumsum")
+def _cumsum(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    if eqn.params.get("reverse"):
+        raise UnsupportedPrimitive("reverse cumsum")
+    return lw.b.node("CumSum", [x, lw.i64(int(eqn.params["axis"]))])
+
+
+@_register("top_k")
+def _top_k(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    k = int(eqn.params["k"])
+    vals, idx = lw.b.node("TopK", [x, lw.i64([k])], n_outputs=2, axis=-1, largest=1, sorted=1)
+    idx_dtype = _np_dtype(eqn.outvars[1].aval.dtype)
+    if idx_dtype != "int64":
+        from bsyolo_tpu.onnx import proto
+
+        idx = lw.b.node("Cast", [idx], to=proto.TENSOR_DTYPE[idx_dtype])[0]
+    return [vals, idx]
+
+
+@_register("reduce_window_max")
+def _reduce_window_max(lw, eqn):
+    p = eqn.params
+    window = [int(w) for w in p["window_dimensions"]]
+    strides = [int(s) for s in p["window_strides"]]
+    padding = [(int(lo), int(hi)) for lo, hi in p["padding"]]
+    if any(int(d) != 1 for d in p.get("base_dilation", [1] * len(window))):
+        raise UnsupportedPrimitive("reduce_window_max with base dilation")
+    dil = [int(d) for d in p.get("window_dilation", [1] * len(window))]
+    rank = len(window)
+    pooled = [i for i in range(rank) if window[i] != 1 or strides[i] != 1 or padding[i] != (0, 0)]
+    if not pooled:
+        return [lw.read(eqn.invars[0])]
+    free = [i for i in range(rank) if i not in pooled]
+    x = lw.read(eqn.invars[0])
+    in_shape = lw.shape(eqn.invars[0])
+    out_shape = [int(d) for d in eqn.outvars[0].aval.shape]
+    perm = free + pooled
+    xt = lw.transpose(x, perm)
+    free_elems = int(np.prod([in_shape[i] for i in free])) if free else 1
+    xt = lw.reshape(xt, [free_elems, 1] + [int(in_shape[i]) for i in pooled])
+    pads = [padding[i][0] for i in pooled] + [padding[i][1] for i in pooled]
+    pool = lw.b.node(
+        "MaxPool",
+        [xt],
+        kernel_shape=[window[i] for i in pooled],
+        strides=[strides[i] for i in pooled],
+        pads=pads,
+        dilations=[dil[i] for i in pooled],
+    )[0]
+    pool = lw.reshape(pool, [int(out_shape[i]) for i in free] + [int(out_shape[i]) for i in pooled])
+    return [lw.transpose(pool, _inverse_perm(perm))]
+
+
+@_register("conv_general_dilated")
+def _conv(lw, eqn):
+    p = eqn.params
+    dn = p["dimension_numbers"]
+    lhs_spec, rhs_spec, out_spec = (list(map(int, s)) for s in (dn.lhs_spec, dn.rhs_spec, dn.out_spec))
+    strides = [int(s) for s in p["window_strides"]]
+    padding = [(int(lo), int(hi)) for lo, hi in p["padding"]]
+    lhs_dil = [int(d) for d in p["lhs_dilation"]]
+    rhs_dil = [int(d) for d in p["rhs_dilation"]]
+    groups = int(p["feature_group_count"])
+    if int(p.get("batch_group_count", 1)) != 1:
+        raise UnsupportedPrimitive("conv batch_group_count > 1")
+
+    x = lw.transpose(lw.read(eqn.invars[0]), lhs_spec)  # -> NC*S
+    w = lw.transpose(lw.read(eqn.invars[1]), rhs_spec)  # -> OI*S (folded if const)
+
+    n_spatial = len(strides)
+    if any(d != 1 for d in lhs_dil):
+        # zero-interleave the input spatially (lax lhs_dilation semantics,
+        # used by ConvTranspose): reshape->pad->reshape per spatial axis
+        x_shape = [int(lw.shape(eqn.invars[0])[a]) for a in lhs_spec]
+        for si, d in enumerate(lhs_dil):
+            if d == 1:
+                continue
+            ax = 2 + si
+            cur = x_shape[:]
+            mid = cur[:ax + 1] + [1] + cur[ax + 1 :]
+            x = lw.reshape(x, mid)
+            pads = [0] * len(mid) + [0] * len(mid)
+            pads[len(mid) + ax + 1] = d - 1  # end-pad the inserted unit dim
+            zero = lw.const(np.asarray(0.0, dtype=np.float32))
+            x = lw.b.node("Pad", [x, lw.i64(pads), zero])[0]
+            cur[ax] = cur[ax] * d
+            x = lw.reshape(x, cur)
+            # trim trailing zeros so size is (n-1)*d + 1
+            starts, ends = [0], [cur[ax] - (d - 1)]
+            x = lw.b.node("Slice", [x, lw.i64(starts), lw.i64(ends), lw.i64([ax])])[0]
+            cur[ax] -= d - 1
+            x_shape = cur
+
+    pads_attr = [padding[i][0] for i in range(n_spatial)] + [padding[i][1] for i in range(n_spatial)]
+    y = lw.b.node(
+        "Conv",
+        [x, w],
+        strides=strides,
+        pads=pads_attr,
+        dilations=rhs_dil,
+        group=groups,
+    )[0]
+    return [lw.transpose(y, _inverse_perm(out_spec))]
+
+
+@_register("dot_general")
+def _dot_general(lw, eqn):
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    lhs, rhs = eqn.invars
+    ls, rs = lw.shape(lhs), lw.shape(rhs)
+    lc, rc, lb, rb = list(map(int, lc)), list(map(int, rc)), list(map(int, lb)), list(map(int, rb))
+    lfree = [i for i in range(len(ls)) if i not in lc and i not in lb]
+    rfree = [i for i in range(len(rs)) if i not in rc and i not in rb]
+    bdims = [int(ls[i]) for i in lb]
+    B = int(np.prod(bdims)) if bdims else 1
+    M = int(np.prod([ls[i] for i in lfree])) if lfree else 1
+    K = int(np.prod([ls[i] for i in lc])) if lc else 1
+    N = int(np.prod([rs[i] for i in rfree])) if rfree else 1
+
+    a = lw.transpose(lw.read(lhs), lb + lfree + lc)
+    a = lw.reshape(a, [B, M, K] if bdims else [M, K])
+    b = lw.transpose(lw.read(rhs), rb + rc + rfree)
+    b = lw.reshape(b, [B, K, N] if bdims else [K, N])
+    y = lw.b.node("MatMul", [a, b])[0]
+    out_shape = [int(d) for d in eqn.outvars[0].aval.shape]
+    return [lw.reshape(y, out_shape)]
+
+
+@_register("sin")
+def _sin(lw, eqn):
+    return lw.b.node("Sin", [lw.read(eqn.invars[0])])
+
+
+@_register("cos")
+def _cos(lw, eqn):
+    return lw.b.node("Cos", [lw.read(eqn.invars[0])])
+
+
+@_register("atan2")
+def _atan2(lw, eqn):
+    # ONNX has no Atan2; decompose via atan(y/x) with quadrant fixup
+    y, x = (lw.read(a) for a in eqn.invars)
+    q = lw.b.node("Div", [y, x])[0]
+    at = lw.b.node("Atan", [q])[0]
+    pi = lw.const(np.asarray(np.pi, dtype=np.float32))
+    zero = lw.const(np.asarray(0.0, dtype=np.float32))
+    sign_y = lw.b.node("Sign", [y])[0]
+    # y==0, x<0 should give pi; sign(0)=0 breaks that — nudge with (sign(y)>=0 -> +1)
+    ge0 = lw.b.node("GreaterOrEqual", [sign_y, zero])[0]
+    one = lw.const(np.asarray(1.0, dtype=np.float32))
+    neg1 = lw.const(np.asarray(-1.0, dtype=np.float32))
+    branch = lw.b.node("Where", [ge0, one, neg1])[0]
+    corr = lw.b.node("Mul", [branch, pi])[0]
+    xneg = lw.b.node("Less", [x, zero])[0]
+    fix = lw.b.node("Where", [xneg, corr, zero])[0]
+    return lw.b.node("Add", [at, fix])
+
+
+@_register("reduce_or", "reduce_and")
+def _reduce_bool(lw, eqn):
+    from bsyolo_tpu.onnx import proto
+
+    x = lw.read(eqn.invars[0])
+    axes = [int(a) for a in eqn.params["axes"]]
+    xi = lw.b.node("Cast", [x], to=proto.TENSOR_DTYPE["int32"])[0]
+    if eqn.primitive.name == "reduce_or":
+        r = lw.b.node("ReduceMax", [xi], axes=axes, keepdims=0)[0]
+    else:
+        r = lw.b.node("ReduceMin", [xi], axes=axes, keepdims=0)[0]
+    return lw.b.node("Cast", [r], to=proto.TENSOR_DTYPE["bool"])
+
+
+@_register("gather")
+def _gather(lw, eqn):
+    """Lower lax.gather to GatherND (static shapes, indexed dims collapsed).
+
+    Covers the inference patterns: take_along_axis (vmapped or not, via
+    operand_batching_dims), jnp.take / integer indexing, and iota-indexed
+    strided views. Out-of-bounds behavior: indices are clamped (ONNX GatherND
+    has no FILL mode); the decode paths clamp indices themselves and mask
+    afterwards, so semantics match where it matters.
+    """
+    from bsyolo_tpu.onnx import proto
+
+    dn = eqn.params["dimension_numbers"]
+    operand, indices = eqn.invars
+    o_shape = [int(d) for d in lw.shape(operand)]
+    i_shape = [int(d) for d in lw.shape(indices)]
+    out_shape = [int(d) for d in eqn.outvars[0].aval.shape]
+    slice_sizes = [int(s) for s in eqn.params["slice_sizes"]]
+
+    ob = list(getattr(dn, "operand_batching_dims", ()) or ())
+    ib = list(getattr(dn, "start_indices_batching_dims", ()) or ())
+    sim = list(dn.start_index_map)
+    collapsed = sorted(list(dn.collapsed_slice_dims) + ob)
+    offset_out = list(dn.offset_dims)
+    if len(ob) != len(ib):
+        raise UnsupportedPrimitive("gather with asymmetric batching dims")
+    k = i_shape[-1] if i_shape else 1
+    if len(sim) != k:
+        raise UnsupportedPrimitive("gather with non-trailing index vector dim")
+    for d in sim:
+        if slice_sizes[d] != 1 or d not in dn.collapsed_slice_dims:
+            raise UnsupportedPrimitive("gather with sliced (non-collapsed) indexed dims")
+    for d in ob:
+        if slice_sizes[d] != 1:
+            raise UnsupportedPrimitive("gather with sliced batch dims")
+    offset_operand = [d for d in range(len(o_shape)) if d not in collapsed]
+    for d in offset_operand:
+        if slice_sizes[d] != o_shape[d]:
+            raise UnsupportedPrimitive("gather with partial offset slices")
+
+    b = len(ob)
+    # transpose operand: batch dims, indexed dims (index-vector order), offsets
+    perm_o = ob + sim + offset_operand
+    op_name = lw.transpose(lw.read(operand), perm_o)
+
+    # transpose indices: batch dims first, then remaining prefix, keep last
+    idx_prefix = list(range(len(i_shape) - 1))
+    rest_idx = [d for d in idx_prefix if d not in ib]
+    perm_i = ib + rest_idx + [len(i_shape) - 1]
+    idx_name = lw.read(indices)
+    idx_dtype = _np_dtype(indices.aval.dtype)
+    if idx_dtype != "int64":
+        idx_name = lw.b.node("Cast", [idx_name], to=proto.TENSOR_DTYPE["int64"])[0]
+    idx_name = lw.transpose(idx_name, perm_i)
+    # clamp each index component to [0, dim-1]
+    dims_max = np.asarray([o_shape[d] - 1 for d in sim], dtype=np.int64)
+    zero = lw.const(np.zeros((k,), dtype=np.int64))
+    idx_name = lw.b.node("Max", [idx_name, zero])[0]
+    idx_name = lw.b.node("Min", [idx_name, lw.const(dims_max)])[0]
+
+    gnd = lw.b.node("GatherND", [op_name, idx_name], batch_dims=b)[0]
+    # GatherND output: [batch..., rest_idx..., offsets...] -> jax layout
+    gnd_prefix = ib + rest_idx  # idx prefix dims in GatherND output order
+    jax_prefix_positions = [p for p in range(len(out_shape)) if p not in offset_out]
+    perm = [0] * len(out_shape)
+    for i, p in enumerate(jax_prefix_positions):
+        perm[p] = gnd_prefix.index(idx_prefix[i]) if idx_prefix else 0
+    for j, p in enumerate(offset_out):
+        perm[p] = len(gnd_prefix) + j
+    out = lw.transpose(gnd, perm) if perm != list(range(len(out_shape))) else gnd
+    return [lw.reshape(out, out_shape) if list(eqn.outvars[0].aval.shape) != out_shape else out]
+
+
+@_register("exp2")
+def _exp2(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    two = lw.const(np.asarray(2.0, dtype=np.float32))
+    return lw.b.node("Pow", [two, x])
+
+
+@_register("log1p")
+def _log1p(lw, eqn):
+    x = lw.read(eqn.invars[0])
+    one = lw.const(np.asarray(1.0, dtype=np.float32))
+    s = lw.b.node("Add", [x, one])[0]
+    return lw.b.node("Log", [s])
+
+
+@_register("logistic_grad")  # never in inference graphs; defensive
+def _unsupported(lw, eqn):
+    raise UnsupportedPrimitive(eqn.primitive.name)
+
+
+# --- entry point -------------------------------------------------------------
+
+
+def export_onnx(
+    fn: Callable,
+    example_args: Sequence[Any],
+    path,
+    input_names: Optional[Sequence[str]] = None,
+    output_names: Optional[Sequence[str]] = None,
+    name: str = "bsyolo",
+) -> Path:
+    """Trace ``fn(*example_args)`` and write an ONNX model to ``path``.
+
+    ``example_args`` must be arrays (the predict signature is a single image
+    batch). Returns the output path. Raises UnsupportedPrimitive when the
+    traced graph uses a primitive outside the inference set.
+    """
+    import jax
+
+    closed = jax.make_jaxpr(fn)(*example_args)
+    jaxpr = closed.jaxpr
+    builder = GraphBuilder(name=name)
+    lw = _Lowerer(builder)
+
+    in_names = list(input_names or [])
+    while len(in_names) < len(jaxpr.invars):
+        in_names.append(f"input_{len(in_names)}")
+    for var, nm in zip(jaxpr.invars, in_names):
+        builder.add_input(nm, [int(d) for d in var.aval.shape], _np_dtype(var.aval.dtype))
+
+    raw_outs = lw.lower_jaxpr(jaxpr, closed.consts, in_names)
+
+    out_names = list(output_names or [])
+    while len(out_names) < len(raw_outs):
+        out_names.append(f"output_{len(out_names)}")
+    for i, (src, var) in enumerate(zip(raw_outs, jaxpr.outvars)):
+        builder.node("Identity", [src], outputs=[out_names[i]])
+        builder.add_output(out_names[i], [int(d) for d in var.aval.shape], _np_dtype(var.aval.dtype))
+
+    path = Path(path)
+    path.write_bytes(builder.model_bytes(doc="exported by bsyolo_tpu (jaxpr->onnx), opset 13"))
+    return path

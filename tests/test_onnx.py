@@ -1,0 +1,300 @@
+"""Self-contained ONNX export + runtime (bsyolo_tpu/onnx).
+
+Covers: the protobuf wire codec (round trip incl. negative ints and packed
+repeated fields), per-primitive lowering parity (each jax primitive family
+exported and re-executed by the independent numpy evaluator), the full
+yolo11n predict-path export, the exporter/AutoBackend wiring, and — when
+protoc is available — structural validation of the emitted bytes.
+
+Reference anchor: engine/exporter.py:463 (export_onnx) — the reference's
+default ONNX artifact is the decode-only graph; NMS runs consumer-side.
+"""
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from bsyolo_tpu.onnx import OnnxModule, export_onnx  # noqa: E402
+from bsyolo_tpu.onnx import proto  # noqa: E402
+
+
+# --- wire codec -------------------------------------------------------------
+
+
+def test_proto_roundtrip():
+    model = {
+        "ir_version": 8,
+        "producer_name": "bsyolo_tpu",
+        "opset_import": [{"domain": "", "version": 13}],
+        "graph": {
+            "name": "g",
+            "node": [
+                {
+                    "input": ["x", "w"],
+                    "output": ["y"],
+                    "op_type": "Conv",
+                    "attribute": [
+                        {"name": "pads", "ints": [1, 1, -2, 3], "type": proto.ATTR_INTS},
+                        {"name": "alpha", "f": 0.25, "type": proto.ATTR_FLOAT},
+                        {"name": "mode", "s": b"constant", "type": proto.ATTR_STRING},
+                        {"name": "scales", "floats": [0.5, -1.5], "type": proto.ATTR_FLOATS},
+                    ],
+                }
+            ],
+            "initializer": [proto.tensor_from_numpy(np.arange(6, dtype=np.float32).reshape(2, 3), "w")],
+            "input": [
+                {
+                    "name": "x",
+                    "type": {"tensor_type": {"elem_type": 1, "shape": {"dim": [{"dim_value": 2}]}}},
+                }
+            ],
+            "output": [{"name": "y", "type": {"tensor_type": {"elem_type": 1}}}],
+        },
+    }
+    blob = proto.encode(model, "ModelProto")
+    back = proto.decode(blob, "ModelProto")
+    assert back["ir_version"] == 8
+    assert back["opset_import"][0]["version"] == 13
+    node = back["graph"]["node"][0]
+    assert node["op_type"] == "Conv" and node["input"] == ["x", "w"]
+    attrs = {a["name"]: a for a in node["attribute"]}
+    assert attrs["pads"]["ints"] == [1, 1, -2, 3]  # negative int64 varint survives
+    assert attrs["alpha"]["f"] == pytest.approx(0.25)
+    assert attrs["mode"]["s"] == b"constant"
+    assert attrs["scales"]["floats"] == pytest.approx([0.5, -1.5])
+    w = proto.tensor_to_numpy(back["graph"]["initializer"][0])
+    np.testing.assert_array_equal(w, np.arange(6, dtype=np.float32).reshape(2, 3))
+
+
+# --- per-primitive lowering parity -------------------------------------------
+
+
+def _roundtrip(fn, *args, atol=1e-5):
+    args = [jnp.asarray(a) for a in args]
+    ref = fn(*args)
+    refs = [np.asarray(r) for r in (ref if isinstance(ref, (tuple, list)) else [ref])]
+    path = export_onnx(fn, args, "/tmp/prim_test.onnx")
+    outs = OnnxModule(path)(*[np.asarray(a) for a in args])
+    assert len(outs) == len(refs)
+    for r, o in zip(refs, outs):
+        assert r.shape == o.shape, (r.shape, o.shape)
+        np.testing.assert_allclose(r, np.asarray(o, r.dtype), atol=atol, rtol=1e-5)
+
+
+RNG = np.random.RandomState(7)
+
+
+def test_prim_elementwise_and_activations():
+    x = RNG.randn(2, 5).astype(np.float32)
+    y = RNG.rand(2, 5).astype(np.float32) + 0.5
+    _roundtrip(
+        lambda a, b: jax.nn.silu(a) + jnp.sqrt(b) * jnp.tanh(a) - jnp.abs(a) / b
+        + jnp.maximum(a, b) + jnp.minimum(a, b) + jnp.exp(-jnp.square(a)) + jax.lax.rsqrt(b),
+        x, y,
+    )
+
+
+def test_prim_reduce_and_arg():
+    x = RNG.randn(3, 4, 5).astype(np.float32)
+    _roundtrip(lambda a: (jnp.sum(a, axis=(0, 2)), jnp.max(a, axis=1), jnp.argmax(a, axis=2)), x)
+
+
+def test_prim_shape_ops():
+    x = RNG.randn(2, 3, 4).astype(np.float32)
+    _roundtrip(
+        lambda a: (
+            jnp.transpose(a, (2, 0, 1)).reshape(4, 6),
+            jnp.concatenate([a, a * 2], axis=1)[:, 1:5:2, ::-1],
+            jnp.broadcast_to(a[:, :1, :], (2, 3, 4)),
+            jnp.flip(a, axis=2),
+        ),
+        x,
+    )
+
+
+def test_prim_pad_and_clamp():
+    x = RNG.randn(2, 3).astype(np.float32)
+    _roundtrip(
+        lambda a: (
+            jnp.pad(a, ((1, 2), (0, 1)), constant_values=-1.0),
+            jax.lax.pad(a, 0.0, ((0, -1, 0), (1, 0, 0))),  # negative pad = crop
+            jnp.clip(a, -0.5, 0.5),
+        ),
+        x,
+    )
+
+
+def test_prim_matmul_family():
+    a = RNG.randn(2, 3, 4).astype(np.float32)
+    b = RNG.randn(2, 4, 5).astype(np.float32)
+    w = RNG.randn(4, 6).astype(np.float32)
+    _roundtrip(
+        lambda x, y: (jnp.einsum("bij,bjk->bik", x, y), x @ w, jnp.einsum("bij,bik->bjk", x, x)),
+        a, b,
+    )
+
+
+def test_prim_conv_depthwise_strided_dilated():
+    import flax.linen as nn
+
+    x = RNG.randn(1, 9, 9, 6).astype(np.float32)
+    conv = nn.Conv(8, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    dw = nn.Conv(6, (3, 3), feature_group_count=6, kernel_dilation=(2, 2), padding="SAME")
+    v1 = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    v2 = dw.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    _roundtrip(lambda a: conv.apply(v1, dw.apply(v2, a)), x, atol=1e-4)
+
+
+def test_prim_conv_transpose():
+    import flax.linen as nn
+
+    x = RNG.randn(1, 5, 5, 4).astype(np.float32)
+    up = nn.ConvTranspose(3, (2, 2), strides=(2, 2))
+    v = up.init(jax.random.PRNGKey(2), jnp.asarray(x))
+    _roundtrip(lambda a: up.apply(v, a), x, atol=1e-4)
+
+
+def test_prim_gather_take_along_axis():
+    x = RNG.randn(2, 20, 7).astype(np.float32)
+    idx = RNG.randint(0, 20, size=(2, 5)).astype(np.int32)
+    _roundtrip(
+        lambda a, i: jnp.take_along_axis(a, jnp.maximum(i, 0)[..., None], axis=1),
+        x, idx,
+    )
+    # 4-d variant (pose keypoints selection pattern)
+    k = RNG.randn(2, 20, 17, 3).astype(np.float32)
+    _roundtrip(
+        lambda a, i: jnp.take_along_axis(a, jnp.maximum(i, 0)[..., None, None], axis=1),
+        k, idx,
+    )
+
+
+def test_prim_gather_take():
+    x = RNG.randn(6, 4).astype(np.float32)
+    idx = np.asarray([5, 0, 3], np.int32)
+    _roundtrip(lambda a, i: jnp.take(a, i, axis=0), x, idx)
+
+
+def test_prim_sincos():
+    x = RNG.randn(3, 4).astype(np.float32)
+    _roundtrip(lambda a: (jnp.sin(a), jnp.cos(a) * jnp.sin(a)), x)
+
+
+def test_prim_maxpool():
+    x = RNG.randn(1, 8, 8, 3).astype(np.float32)
+    _roundtrip(
+        lambda a: (
+            jax.lax.reduce_window(a, -jnp.inf, jax.lax.max, (1, 5, 5, 1), (1, 1, 1, 1), "SAME"),
+            jax.lax.reduce_window(a, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"),
+        ),
+        x,
+    )
+
+
+def test_prim_topk_where_cast():
+    x = RNG.randn(2, 10).astype(np.float32)
+
+    def f(a):
+        v, i = jax.lax.top_k(a, 4)
+        return v, i.astype(jnp.float32), jnp.where(a > 0, a, -a), jnp.cumsum(a, axis=1)
+
+    _roundtrip(f, x)
+
+
+def test_unsupported_primitive_message():
+    from bsyolo_tpu.onnx.lower import UnsupportedPrimitive
+
+    x = jnp.arange(6.0).reshape(2, 3)
+
+    def loopy(a):
+        return jax.lax.while_loop(lambda s: s[0, 0] < 10.0, lambda s: s + 1.0, a)
+
+    with pytest.raises(UnsupportedPrimitive, match="while"):
+        export_onnx(loopy, [x], "/tmp/unsup.onnx")
+
+
+# --- full model export --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def yolo11n_onnx(tmp_path_factory):
+    from bsyolo_tpu.model import YOLO
+    from bsyolo_tpu.nn.heads import decode_detections
+
+    y = YOLO("yolo11n.yaml")
+    spec, model, variables = y.spec, y.model, y.variables
+
+    def predict(x):
+        feats = model.apply(variables, x, train=False)
+        return decode_detections(feats, spec.head_strides, spec.nc)
+
+    x = RNG.rand(1, 96, 96, 3).astype(np.float32)
+    ref = np.asarray(predict(jnp.asarray(x)))
+    path = tmp_path_factory.mktemp("onnx") / "yolo11n.onnx"
+    export_onnx(predict, [jnp.asarray(x)], path, input_names=["images"], output_names=["output0"])
+    return path, x, ref
+
+
+def test_yolo11n_export_parity(yolo11n_onnx):
+    path, x, ref = yolo11n_onnx
+    m = OnnxModule(path)
+    assert m.opset == 13
+    assert m.input_names == ["images"] and m.output_names == ["output0"]
+    out = m(x)[0]
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(ref, out, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(shutil.which("protoc") is None, reason="protoc not available")
+def test_protoc_decode_raw(yolo11n_onnx):
+    path, _, _ = yolo11n_onnx
+    res = subprocess.run(
+        ["protoc", "--decode_raw"], stdin=open(path, "rb"), capture_output=True, timeout=120
+    )
+    assert res.returncode == 0, res.stderr[:500]
+    text = res.stdout.decode(errors="replace")
+    # ModelProto field 7 = graph; field 8 = opset_import
+    assert text.startswith("1: 8"), text[:80]
+    assert "\n7 {" in text and "\n8 {" in text
+
+
+def test_exporter_and_backend_wiring(tmp_path):
+    from bsyolo_tpu.engine.backend import AutoBackend
+    from bsyolo_tpu.model import YOLO
+
+    y = YOLO("yolo11n.yaml")
+    out = y.export(format="onnx", imgsz=96, output=str(tmp_path / "m.onnx"))
+    assert out.endswith(".onnx")
+    meta = (tmp_path / "m.onnx.json").read_text()
+    assert '"opset": 13' in meta
+
+    backend = AutoBackend(out, imgsz=96)
+    x = RNG.rand(1, 96, 96, 3).astype(np.float32)
+    got = backend.forward(x)
+
+    ref_backend = AutoBackend("yolo11n.yaml", imgsz=96)
+    # fresh yaml init differs from y's params; compare shapes + dtype contract
+    assert got.shape == ref_backend.forward(x).shape
+    assert got.dtype == np.float32
+
+    # numeric parity against the exporting model itself
+    import jax.numpy as jnp
+
+    from bsyolo_tpu.nn.heads import decode_detections
+
+    feats = y.model.apply(y.variables, jnp.asarray(x), train=False)
+    ref = np.asarray(decode_detections(feats, y.spec.head_strides, y.spec.nc))
+    np.testing.assert_allclose(ref, got, atol=2e-4, rtol=1e-3)
+
+
+def test_export_nms_raises():
+    from bsyolo_tpu.model import YOLO
+
+    y = YOLO("yolo11n.yaml")
+    with pytest.raises(ValueError, match="decode-only"):
+        y.export(format="onnx", imgsz=96, nms=True)
