@@ -31,6 +31,103 @@ from typing import Optional
 from bsyolo_tpu.utils import LOGGER
 
 
+def _build_export_predict(spec, model, variables, nms: bool):
+    """Per-task export closure (decode-only except detect+nms / e2e heads).
+
+    Mirrors the reference exporter's task fan-out (reference
+    engine/exporter.py:302 get export metadata per task; models/yolo/*/
+    predict decode): every artifact embeds forward + decode with static
+    shapes; NMS stays consumer-side except the inherently NMS-free heads
+    (v10, RT-DETR) and the explicit nms=True detect path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bsyolo_tpu.nn.heads import (
+        decode_detections,
+        decode_extras,
+        decode_keypoints,
+        decode_obb,
+        postprocess_e2e,
+    )
+    from bsyolo_tpu.ops.nms import non_max_suppression
+
+    head_module = getattr(spec.head, "module", "")
+    strides, nc = spec.head_strides, spec.nc
+
+    if nms and (spec.task != "detect" or head_module in ("v10Detect", "RTDETRDecoder")):
+        raise ValueError(
+            "nms=True export is only supported for the plain Detect head; "
+            "v10/RT-DETR are NMS-free and other tasks decode consumer-side"
+        )
+
+    if spec.task == "classify":
+
+        def predict(x):
+            logits = model.apply(variables, x, train=False)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        return predict, "(B, nc) softmax probs"
+
+    if spec.task == "segment":
+
+        def predict(x):
+            out = model.apply(variables, x, train=False)
+            feats, proto = out["feats"], out["proto"]
+            preds = decode_detections(feats, strides, nc)
+            coeffs = decode_extras(feats, nc)
+            return jnp.concatenate([preds, coeffs], axis=-1), proto
+
+        return predict, "((B, anchors, 4+nc+nm) xywh+scores+coeffs, (B, h/4, w/4, nm) proto NHWC)"
+
+    if spec.task == "pose":
+        kpt_shape = spec.kpt_shape
+
+        def predict(x):
+            feats = model.apply(variables, x, train=False)
+            preds = decode_detections(feats, strides, nc)
+            kflat = decode_extras(feats, nc)
+            kpts = decode_keypoints(kflat, feats, strides, kpt_shape)
+            b, a = kpts.shape[0], kpts.shape[1]
+            return jnp.concatenate([preds, kpts.reshape(b, a, -1)], axis=-1)
+
+        return predict, f"(B, anchors, 4+nc+{kpt_shape[0] * kpt_shape[1]}) xywh+scores+decoded kpts"
+
+    if spec.task == "obb":
+
+        def predict(x):
+            return decode_obb(model.apply(variables, x, train=False), strides, nc)
+
+        return predict, "(B, anchors, 4+nc+1) xywh+scores+angle(rad)"
+
+    if head_module == "v10Detect":
+
+        def predict(x):
+            out = model.apply(variables, x, train=False)
+            preds = decode_detections(out["one2one"], strides, nc)
+            return postprocess_e2e(preds, max_det=300, nc=nc)
+
+        return predict, "(B, 300, 6) xyxy conf cls (NMS-free e2e)"
+
+    if head_module == "RTDETRDecoder":
+        from bsyolo_tpu.nn.transformer import decode_rtdetr
+
+        def predict(x):
+            out = model.apply(variables, x, train=False)
+            return decode_rtdetr(out, (x.shape[1], x.shape[2]), conf_thres=0.0, max_det=300)
+
+        return predict, "(B, 300, 6) xyxy conf cls (NMS-free queries)"
+
+    def predict(x):
+        feats = model.apply(variables, x, train=False)
+        preds = decode_detections(feats, strides, nc)
+        if nms:
+            return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300)
+        return preds
+
+    return predict, "(B, 300, 6) xyxy conf cls" if nms else "(B, anchors, 4+nc) xywh+scores"
+
+
 def export_model(
     yolo,
     format: str = "stablehlo",
@@ -43,20 +140,17 @@ def export_model(
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from bsyolo_tpu.nn.heads import decode_detections
-    from bsyolo_tpu.ops.nms import non_max_suppression
-
     imgsz = imgsz or yolo._img_size
     spec = yolo.spec
     model = yolo.model
     variables = yolo.variables
+    if getattr(yolo, "txt_feats", None) is not None:
+        # YOLOWorld with set_classes: bake the text embeddings into the graph
+        from bsyolo_tpu.model import _TextConditioned
 
-    def predict(x):
-        feats = model.apply(variables, x, train=False)
-        preds = decode_detections(feats, spec.head_strides, spec.nc)
-        if nms:
-            return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300)
-        return preds
+        model = _TextConditioned(model, yolo.txt_feats)
+
+    predict, output_desc = _build_export_predict(spec, model, variables, nms)
 
     x_spec = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.float32)
     name = Path(yolo.model_path).stem
@@ -93,7 +187,7 @@ def export_model(
             "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
             "nms": nms, "quant": "int8 convs, per-out-channel weight + static activation scales",
             "input": "NHWC float32 [0,1] RGB",
-            "output": "(B, anchors, 4+nc) xywh+scores" if not nms else "(B, 300, 6) xyxy conf cls",
+            "output": output_desc,
         }
         Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
         LOGGER.info(f"exported int8 StableHLO to {out} ({len(blob)} bytes)")
@@ -114,7 +208,7 @@ def export_model(
             "names": list(spec.names),
             "nms": nms,
             "input": "NHWC float32 [0,1] RGB",
-            "output": "(B, anchors, 4+nc) xywh+scores" if not nms else "(B, 300, 6) xyxy conf cls",
+            "output": output_desc,
         }
         Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
         LOGGER.info(f"exported StableHLO to {out} ({len(blob)} bytes)")
@@ -139,13 +233,13 @@ def export_model(
             [jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)],
             out,
             input_names=["images"],
-            output_names=["output0"],
+            output_names=["output0", "output1"],
             name=name,
         )
         meta = {
             "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
             "nms": False, "opset": 13, "input": "NHWC float32 [0,1] RGB",
-            "output": "(B, anchors, 4+nc) xywh+scores",
+            "output": output_desc,
         }
         Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
         LOGGER.info(f"exported ONNX (opset 13) to {out}")

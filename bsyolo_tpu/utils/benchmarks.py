@@ -74,7 +74,7 @@ def benchmark(yolo, imgsz: int = 320, out_dir: str = "runs/benchmark") -> List[D
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rows = []
-    formats = ["stablehlo", "params", "saved_model", "tflite"]
+    formats = ["stablehlo", "onnx", "params", "saved_model", "tflite"]
     for fmt in formats:
         row = {"format": fmt, "status": "ok", "size_mb": None}
         try:
@@ -87,6 +87,11 @@ def benchmark(yolo, imgsz: int = 320, out_dir: str = "runs/benchmark") -> List[D
 
                 fn = load_stablehlo(path)
                 preds = fn(jnp.zeros((1, imgsz, imgsz, 3), jnp.float32))
+                row["output_shape"] = tuple(int(v) for v in preds.shape)
+            elif fmt == "onnx":  # round-trip through the bundled evaluator
+                from bsyolo_tpu.onnx import OnnxModule
+
+                preds = OnnxModule(path)(jnp.zeros((1, imgsz, imgsz, 3), jnp.float32))[0]
                 row["output_shape"] = tuple(int(v) for v in preds.shape)
         except Exception as e:
             row["status"] = f"failed: {type(e).__name__}: {e}"

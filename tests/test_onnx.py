@@ -292,6 +292,36 @@ def test_exporter_and_backend_wiring(tmp_path):
     np.testing.assert_allclose(ref, got, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "yaml_name,n_outputs",
+    [
+        ("yolo11-seg.yaml", 2),  # preds+coeffs, proto
+        ("yolo11-pose.yaml", 1),
+        ("yolo11-obb.yaml", 1),
+        ("yolo11-cls.yaml", 1),
+        ("yolov10n.yaml", 1),  # NMS-free e2e postprocess baked (top_k+gather)
+    ],
+)
+@pytest.mark.slow
+def test_task_export_parity(yaml_name, n_outputs, tmp_path):
+    """Every task family exports to ONNX with numeric parity vs the JAX
+    predict closure (reference exporter covers all tasks, engine/exporter.py:302)."""
+    from bsyolo_tpu.engine.exporter import _build_export_predict
+    from bsyolo_tpu.model import YOLO
+
+    y = YOLO(yaml_name)
+    predict, _ = _build_export_predict(y.spec, y.model, y.variables, False)
+    x = RNG.rand(1, 96, 96, 3).astype(np.float32)
+    ref = predict(jnp.asarray(x))
+    refs = [np.asarray(r) for r in (ref if isinstance(ref, (tuple, list)) else [ref])]
+    out = y.export(format="onnx", imgsz=96, output=str(tmp_path / "m.onnx"))
+    got = OnnxModule(out)(x)
+    assert len(got) == len(refs) == n_outputs
+    for r, g in zip(refs, got):
+        assert r.shape == g.shape
+        np.testing.assert_allclose(r, g, atol=5e-4, rtol=1e-3)
+
+
 def test_export_nms_raises():
     from bsyolo_tpu.model import YOLO
 
