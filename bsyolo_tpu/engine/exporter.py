@@ -217,14 +217,9 @@ def export_model(
     if format == "onnx":
         # Self-contained ONNX (reference engine/exporter.py:463 export_onnx):
         # no torch/onnx toolchain — the jitted predict fn's jaxpr is lowered
-        # to opset-13 ops and serialized by bsyolo_tpu/onnx. Like the
-        # reference's default ONNX artifact this is the decode-only graph
-        # (B, A, 4+nc); NMS runs consumer-side (AutoBackend does it here).
-        if nms:
-            raise ValueError(
-                "onnx export ships the decode-only graph (reference default); "
-                "run NMS consumer-side or use format='stablehlo' with nms=True"
-            )
+        # to opset-13 ops and serialized by bsyolo_tpu/onnx. nms=True bakes
+        # the exact-greedy NMS in (the fixed-point while loop lowers to an
+        # ONNX Loop subgraph) for a (B, 300, 6) end-to-end artifact.
         from bsyolo_tpu.onnx import export_onnx
 
         out = out.with_suffix(".onnx")
@@ -238,7 +233,7 @@ def export_model(
         )
         meta = {
             "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
-            "nms": False, "opset": 13, "input": "NHWC float32 [0,1] RGB",
+            "nms": nms, "opset": 13, "input": "NHWC float32 [0,1] RGB",
             "output": output_desc,
         }
         Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))

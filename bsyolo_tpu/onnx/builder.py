@@ -107,16 +107,52 @@ class GraphBuilder:
         **attrs: Any,
     ) -> List[str]:
         outs = list(outputs) if outputs else [self.fresh(op_type.lower()) for _ in range(n_outputs)]
+        attributes = []
+        for k, v in attrs.items():
+            if v is None:
+                continue
+            if isinstance(v, dict) and "node" in v:  # pre-built subgraph (Loop/If body)
+                attributes.append({"name": k, "g": v, "type": proto.ATTR_GRAPH})
+            else:
+                attributes.append(_attribute(k, v))
         self.nodes.append(
             {
                 "input": list(inputs),
                 "output": outs,
                 "name": self.fresh(op_type),
                 "op_type": op_type,
-                "attribute": [_attribute(k, v) for k, v in attrs.items() if v is not None],
+                "attribute": attributes,
             }
         )
         return outs
+
+    def subgraph(
+        self,
+        name: str,
+        inputs: Sequence[tuple],  # (name, shape, dtype)
+        build,  # callable run while node emission is redirected to the subgraph
+        output_names: Sequence[str],
+        output_specs: Sequence[tuple],  # (shape, dtype)
+    ) -> Dict[str, Any]:
+        """Build a nested GraphProto (ONNX Loop/If body). Nodes emitted inside
+        ``build()`` land in the subgraph; initializers stay in the ROOT graph
+        (visible to subgraphs through ONNX outer-scope name resolution), so
+        constants referenced by the body need no re-plumbing."""
+        outer_nodes = self.nodes
+        self.nodes = []
+        try:
+            build()
+            sub_nodes = self.nodes
+        finally:
+            self.nodes = outer_nodes
+        return {
+            "node": sub_nodes,
+            "name": name,
+            "input": [_value_info(n, s, d) for n, s, d in inputs],
+            "output": [
+                _value_info(n, s, d) for n, (s, d) in zip(output_names, output_specs)
+            ],
+        }
 
     def model_bytes(self, doc: str = "") -> bytes:
         graph = {

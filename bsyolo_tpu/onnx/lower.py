@@ -32,7 +32,6 @@ _FOLD_DTYPES = {"bfloat16", "float16"}  # folded to f32 in the exported graph
 
 
 def _np_dtype(aval_dtype) -> str:
-    name = np.dtype(aval_dtype).name if np.dtype(aval_dtype).name != "bfloat16" else "bfloat16"
     try:
         name = np.dtype(aval_dtype).name
     except TypeError:
@@ -597,9 +596,27 @@ def _gather(lw, eqn):
 
     ob = list(getattr(dn, "operand_batching_dims", ()) or ())
     ib = list(getattr(dn, "start_indices_batching_dims", ()) or ())
-    sim = list(dn.start_index_map)
-    collapsed = sorted(list(dn.collapsed_slice_dims) + ob)
-    offset_out = list(dn.offset_dims)
+    sim = [int(d) for d in dn.start_index_map]
+    collapsed = sorted([int(d) for d in dn.collapsed_slice_dims] + ob)
+    offset_out = [int(d) for d in dn.offset_dims]
+
+    if not ob and not collapsed and len(i_shape) == 1 and offset_out == list(range(len(out_shape))):
+        # dynamic_slice pattern: one scalar index vector selecting a
+        # contiguous slice along sim; -> ONNX Slice with runtime starts,
+        # clamped to [0, dim - size] (XLA dynamic_slice semantics)
+        from bsyolo_tpu.onnx import proto
+
+        sizes = [slice_sizes[d] for d in sim]
+        idx_name = lw.read(indices)
+        if _np_dtype(indices.aval.dtype) != "int64":
+            idx_name = lw.b.node("Cast", [idx_name], to=proto.TENSOR_DTYPE["int64"])[0]
+        lo = lw.const(np.zeros((len(sim),), dtype=np.int64))
+        hi = lw.const(np.asarray([o_shape[d] - s for d, s in zip(sim, sizes)], dtype=np.int64))
+        starts = lw.b.node("Max", [idx_name, lo])[0]
+        starts = lw.b.node("Min", [starts, hi])[0]
+        ends = lw.b.node("Add", [starts, lw.const(np.asarray(sizes, dtype=np.int64))])[0]
+        out = lw.b.node("Slice", [lw.read(operand), starts, ends, lw.i64(sim)])[0]
+        return [out]
     if len(ob) != len(ib):
         raise UnsupportedPrimitive("gather with asymmetric batching dims")
     k = i_shape[-1] if i_shape else 1
@@ -664,9 +681,62 @@ def _log1p(lw, eqn):
     return lw.b.node("Log", [s])
 
 
-@_register("logistic_grad")  # never in inference graphs; defensive
-def _unsupported(lw, eqn):
-    raise UnsupportedPrimitive(eqn.primitive.name)
+@_register("while")
+def _while(lw, eqn):
+    """lax.while_loop -> ONNX Loop with a body subgraph.
+
+    jax while carries are static-shape, which maps 1:1 onto Loop's
+    loop-carried dependencies; cond runs once in the enclosing graph for the
+    initial condition and again at the end of the body. Constants referenced
+    by the body resolve through ONNX outer-scope name resolution (they live
+    as root-graph initializers)."""
+    p = eqn.params
+    cond_closed, body_closed = p["cond_jaxpr"], p["body_jaxpr"]
+    n_cc, n_bc = int(p["cond_nconsts"]), int(p["body_nconsts"])
+    invals = [lw.read(a) for a in eqn.invars]
+    cc, bc, init = invals[:n_cc], invals[n_cc : n_cc + n_bc], invals[n_cc + n_bc :]
+    carry_avals = [v.aval for v in eqn.invars[n_cc + n_bc :]]
+
+    cond_aval = cond_closed.jaxpr.outvars[0].aval
+
+    def scalar_or(name: str) -> str:
+        # vmapped while_loop keeps a batched predicate with continue-while-ANY
+        # semantics (the body masks its own updates); reduce it to the scalar
+        # bool the Loop op needs
+        if tuple(cond_aval.shape) == ():
+            return name
+        from bsyolo_tpu.onnx import proto
+
+        xi = lw.b.node("Cast", [name], to=proto.TENSOR_DTYPE["int32"])[0]
+        r = lw.b.node(
+            "ReduceMax", [xi], axes=list(range(len(cond_aval.shape))), keepdims=0
+        )[0]
+        return lw.b.node("Cast", [r], to=proto.TENSOR_DTYPE["bool"])[0]
+
+    cond0 = scalar_or(lw.lower_sub(cond_closed.jaxpr, cond_closed.consts, cc + init)[0])
+
+    iter_name, cond_in = lw.b.fresh("loop_iter"), lw.b.fresh("loop_cond")
+    carry_in = [lw.b.fresh("loop_v") for _ in init]
+    out_names: List[str] = []
+
+    def build():
+        new_carries = lw.lower_sub(body_closed.jaxpr, body_closed.consts, bc + carry_in)
+        cond_next = scalar_or(
+            lw.lower_sub(cond_closed.jaxpr, cond_closed.consts, cc + list(new_carries))[0]
+        )
+        for src in [cond_next] + list(new_carries):
+            nm = lw.b.fresh("loop_out")
+            lw.b.node("Identity", [src], outputs=[nm])
+            out_names.append(nm)
+
+    sub_inputs = [(iter_name, (), "int64"), (cond_in, (), "bool")] + [
+        (n, [int(d) for d in a.shape], _np_dtype(a.dtype)) for n, a in zip(carry_in, carry_avals)
+    ]
+    out_specs = [((), "bool")] + [
+        ([int(d) for d in a.shape], _np_dtype(a.dtype)) for a in carry_avals
+    ]
+    body = lw.b.subgraph("while_body", sub_inputs, build, out_names, out_specs)
+    return lw.b.node("Loop", ["", cond0] + list(init), n_outputs=len(init), body=body)
 
 
 # --- entry point -------------------------------------------------------------

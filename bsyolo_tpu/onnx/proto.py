@@ -253,7 +253,8 @@ def _iter_fields(buf: bytes) -> Iterator[Tuple[int, int, Any]]:
 
 def _decode_scalar(kind: str, wt: int, raw: Any) -> Any:
     if kind in (INT32, ENUM):
-        return int(np.int32(raw & 0xFFFFFFFF)) if isinstance(raw, int) else raw
+        v = raw & 0xFFFFFFFF if isinstance(raw, int) else raw
+        return v - (1 << 32) if isinstance(v, int) and v >= (1 << 31) else v
     if kind == INT64:
         return _signed64(raw)
     if kind == FLOAT:

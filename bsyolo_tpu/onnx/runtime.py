@@ -35,6 +35,8 @@ def _attr_map(node: Dict[str, Any]) -> Dict[str, Any]:
             out[a["name"]] = [float(v) for v in a.get("floats", [])]
         elif t == proto.ATTR_TENSOR:
             out[a["name"]] = proto.tensor_to_numpy(a["t"])
+        elif t == proto.ATTR_GRAPH:
+            out[a["name"]] = a["g"]
         else:
             out[a["name"]] = a
     return out
@@ -87,8 +89,15 @@ class OnnxModule:
         env: Dict[str, np.ndarray] = dict(self.initializers)
         for name, val in zip(self.input_names, inputs):
             env[name] = np.asarray(val)
-        for node in self.nodes:
+        self._run_nodes(self.nodes, env)
+        return [env[n] for n in self.output_names]
+
+    def _run_nodes(self, nodes, env: Dict[str, np.ndarray]):
+        for node in nodes:
             op = node["op_type"]
+            if op == "Loop":
+                self._loop(node, env)
+                continue
             fn = _OPS.get(op)
             if fn is None:
                 raise NotImplementedError(f"onnx runtime: op {op} not implemented")
@@ -98,7 +107,44 @@ class OnnxModule:
                 outs = [outs]
             for name, val in zip(node.get("output", []), outs):
                 env[name] = val
-        return [env[n] for n in self.output_names]
+
+    def _loop(self, node, env: Dict[str, np.ndarray]):
+        """ONNX Loop: body subgraph sees the outer scope (spec: names in
+        enclosing graphs are visible); loop-carried deps only, no scan outs."""
+        body = None
+        for a in node.get("attribute", []):
+            if a["name"] == "body":
+                body = a["g"]
+        if body is None:
+            raise ValueError("Loop node without body graph")
+        ins = node.get("input", [])
+        max_trip = env.get(ins[0]) if ins and ins[0] else None
+        cond = env[ins[1]] if len(ins) > 1 and ins[1] else np.asarray(True)
+        carries = [env[n] for n in ins[2:]]
+        body_in = [vi["name"] for vi in body.get("input", [])]
+        body_out = [vi["name"] for vi in body.get("output", [])]
+        n_carries = len(carries)
+        if len(body_out) != 1 + n_carries:
+            raise NotImplementedError("Loop scan outputs not supported")
+        sub_inits = {t["name"]: proto.tensor_to_numpy(t) for t in body.get("initializer", [])}
+        it = 0
+        while bool(np.asarray(cond).reshape(())) and (
+            max_trip is None or it < int(np.asarray(max_trip).reshape(()))
+        ):
+            if it > 1_000_000:
+                raise RuntimeError("Loop exceeded 1e6 iterations")
+            sub = dict(env)
+            sub.update(sub_inits)
+            sub[body_in[0]] = np.asarray(it, np.int64)
+            sub[body_in[1]] = np.asarray(cond)
+            for nm, v in zip(body_in[2:], carries):
+                sub[nm] = v
+            self._run_nodes(body.get("node", []), sub)
+            cond = sub[body_out[0]]
+            carries = [sub[n] for n in body_out[1:]]
+            it += 1
+        for nm, v in zip(node.get("output", []), carries):
+            env[nm] = v
 
 
 # --- operator implementations ------------------------------------------------

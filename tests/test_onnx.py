@@ -210,12 +210,8 @@ def test_unsupported_primitive_message():
     from bsyolo_tpu.onnx.lower import UnsupportedPrimitive
 
     x = jnp.arange(6.0).reshape(2, 3)
-
-    def loopy(a):
-        return jax.lax.while_loop(lambda s: s[0, 0] < 10.0, lambda s: s + 1.0, a)
-
-    with pytest.raises(UnsupportedPrimitive, match="while"):
-        export_onnx(loopy, [x], "/tmp/unsup.onnx")
+    with pytest.raises(UnsupportedPrimitive, match="sort"):
+        export_onnx(lambda a: jnp.sort(a, axis=1), [x], "/tmp/unsup.onnx")
 
 
 # --- full model export --------------------------------------------------------
@@ -322,9 +318,52 @@ def test_task_export_parity(yaml_name, n_outputs, tmp_path):
         np.testing.assert_allclose(r, g, atol=5e-4, rtol=1e-3)
 
 
-def test_export_nms_raises():
+def test_prim_while_loop():
+    def f(a):
+        def body(s):
+            i, x = s
+            return i + 1, x * 1.5 + 1.0
+
+        i, x = jax.lax.while_loop(lambda s: s[0] < 5, body, (jnp.asarray(0, jnp.int32), a))
+        return x + i.astype(jnp.float32)
+
+    _roundtrip(f, RNG.randn(2, 3).astype(np.float32))
+
+
+def test_nms_export_parity():
+    """The exact-greedy NMS (vmapped fixed-point while loop) lowers to an
+    ONNX Loop subgraph with bit-exact output (ops/nms.py)."""
+    from bsyolo_tpu.ops.nms import non_max_suppression
+
+    preds = np.concatenate(
+        [
+            RNG.uniform(10, 80, (2, 189, 2)),
+            RNG.uniform(5, 30, (2, 189, 2)),
+            RNG.beta(0.4, 3.0, (2, 189, 12)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    _roundtrip(
+        lambda p: non_max_suppression(p, conf_thres=0.25, iou_thres=0.5, max_det=20),
+        preds,
+        atol=1e-4,
+    )
+
+
+@pytest.mark.slow
+def test_export_nms_e2e(tmp_path):
+    """nms=True ONNX export: forward + decode + NMS in one artifact."""
+    import jax.numpy as jnp2
+
+    from bsyolo_tpu.engine.exporter import _build_export_predict
     from bsyolo_tpu.model import YOLO
 
     y = YOLO("yolo11n.yaml")
-    with pytest.raises(ValueError, match="decode-only"):
-        y.export(format="onnx", imgsz=96, nms=True)
+    predict, desc = _build_export_predict(y.spec, y.model, y.variables, True)
+    assert "6" in desc
+    x = RNG.rand(1, 96, 96, 3).astype(np.float32)
+    ref = np.asarray(predict(jnp2.asarray(x)))
+    out = y.export(format="onnx", imgsz=96, nms=True, output=str(tmp_path / "e2e.onnx"))
+    got = OnnxModule(out)(x)[0]
+    assert got.shape == ref.shape == (1, 300, 6)
+    np.testing.assert_allclose(ref, got, atol=5e-4, rtol=1e-3)
