@@ -43,7 +43,21 @@ class AutoBackend:
                 f"unsupported artifact: {weights} (supported: .stablehlo, "
                 "SavedModel dir, .tflite, .onnx, .ckpt, .yaml)"
             )
+        self.meta = self._load_meta(p)
         getattr(self, f"_init_{self.kind}")()
+
+    @staticmethod
+    def _load_meta(p: Path) -> dict:
+        """Exporter sidecar metadata (names/nc/imgsz/nms), when present."""
+        import json
+
+        for cand in (Path(str(p) + ".json"), p / "bsyolo_meta.json" if p.is_dir() else None):
+            if cand is not None and cand.exists():
+                try:
+                    return json.loads(cand.read_text())
+                except (OSError, ValueError):
+                    return {}
+        return {}
 
     # --- loaders ------------------------------------------------------
     def _init_stablehlo(self):
@@ -135,3 +149,103 @@ class AutoBackend:
     def warmup(self, batch: int = 1):
         self.forward(np.zeros((batch, self.imgsz, self.imgsz, 3), np.float32))
         return self
+
+
+def artifact_contract(backend: "AutoBackend", batch: int, imgsz: int, fallback_names=None):
+    """Probe an artifact's output contract: (e2e, nc, names).
+
+    e2e artifacts (nms=True / v10 / RT-DETR exports) emit (B, max_det, 6)
+    xyxy/conf/cls; decode-only artifacts emit (B, A, 4+nc) and need
+    consumer-side NMS. Uses the exporter's meta sidecar when present, probe
+    shapes otherwise."""
+    meta = backend.meta
+    probe = backend.forward(np.zeros((batch, imgsz, imgsz, 3), np.float32))
+    probe = probe[0] if isinstance(probe, (list, tuple)) else probe
+    out_desc = meta.get("output", "")
+    if meta.get("nms") or "xyxy" in out_desc:
+        e2e = True
+    elif out_desc:
+        e2e = False
+    else:
+        # no sidecar: (…, 6) is ambiguous with a 2-class decode graph; the
+        # exporter always writes the sidecar, so this is a foreign artifact
+        e2e = probe.shape[-1] == 6
+    nc = int(meta.get("nc") or (probe.shape[-1] - 4 if not e2e else 0))
+    names_meta = meta.get("names") or fallback_names
+    if isinstance(names_meta, dict):
+        names = {int(k): v for k, v in names_meta.items()}
+    elif names_meta:
+        names = {i: n for i, n in enumerate(names_meta)}
+    else:
+        names = {i: str(i) for i in range(max(nc, 1))}
+    nc = nc or len(names)
+    return e2e, nc, names
+
+
+def validate_artifact(
+    weights: str,
+    data: str,
+    batch: int = 16,
+    imgsz: Optional[int] = None,
+    conf: float = 0.001,
+    iou: float = 0.7,
+    max_det: int = 300,
+    split: str = "val",
+    verbose: bool = True,
+    **kwargs,
+):
+    """mAP-validate an exported artifact (reference `yolo val model=best.onnx`,
+    nn/autobackend.py + engine/validator.py).
+
+    Detect-family artifacts only: the artifact's embedded predict path must
+    emit either decode-only (B, A, 4+nc) predictions (NMS applied here,
+    matching the validator's thresholds) or an end-to-end (B, max_det, 6)
+    output (nms=True / v10 / RT-DETR exports — used as-is, so conf/iou
+    overrides don't apply to those).
+    """
+    import jax.numpy as jnp
+
+    from bsyolo_tpu.data import DataLoader, YOLODataset, load_dataset_yaml
+    from bsyolo_tpu.engine.validator import DetectionValidator
+    from bsyolo_tpu.ops.nms import non_max_suppression
+
+    backend = AutoBackend(weights, imgsz or 640)
+    meta = backend.meta
+    imgsz = imgsz or int(meta.get("imgsz", 640))
+    backend.imgsz = imgsz
+    art_batch = int(meta.get("batch", 1))
+    if batch != art_batch:
+        from bsyolo_tpu.utils import LOGGER
+
+        LOGGER.info(
+            f"artifact was exported with batch={art_batch} (static shapes); "
+            f"validating at that batch instead of batch={batch}"
+        )
+        batch = art_batch
+
+    d = load_dataset_yaml(data)
+    if not d.get(split):
+        raise KeyError(f"dataset {data} has no '{split}' split")
+    ds = YOLODataset(d[split], imgsz=imgsz, augment=False, max_gt=kwargs.get("max_gt", 128))
+    loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
+
+    e2e, nc, names = artifact_contract(backend, batch, imgsz, fallback_names=d.get("names"))
+
+    from types import SimpleNamespace
+
+    spec = SimpleNamespace(task="detect", nc=nc, names=tuple(names.values()), head_strides=(8, 16, 32))
+
+    def forward_fn(variables, img):
+        preds = backend.forward(np.asarray(img, np.float32))
+        preds = preds[0] if isinstance(preds, (list, tuple)) else preds
+        if e2e:
+            return preds
+        return non_max_suppression(
+            jnp.asarray(preds), conf_thres=conf, iou_thres=iou, max_det=max_det
+        )
+
+    validator = DetectionValidator(
+        model=None, spec=spec, conf=conf, iou=iou, max_det=max_det, names=names,
+        forward_fn=forward_fn,
+    )
+    return validator(None, loader, verbose=verbose)

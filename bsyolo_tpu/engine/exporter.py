@@ -265,6 +265,7 @@ def export_model(
             meta = {
                 "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
                 "nms": nms, "input": "NHWC float32 [0,1] RGB",
+                "output": output_desc,
             }
             (Path(str(out)) / "bsyolo_meta.json").write_text(json.dumps(meta, indent=2))
             return str(out)
@@ -291,6 +292,12 @@ def export_model(
         blob = converter.convert()
         out = Path(str(out.with_suffix("")) + format.replace("tflite", "").replace("-", "_")).with_suffix(".tflite")
         out.write_bytes(blob)
+        meta = {
+            "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
+            "nms": nms, "input": "NHWC float32 [0,1] RGB",
+            "output": output_desc,
+        }
+        Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
         return str(out)
 
     raise ValueError(

@@ -575,6 +575,7 @@ class DetectionValidator:
         classes=None,
         save_txt: bool = False,
         save_conf: bool = False,
+        forward_fn=None,
     ):
         self.model = model
         self.spec = spec
@@ -613,7 +614,9 @@ class DetectionValidator:
                 pre_k=pre_k, agnostic=single_cls,
             )
 
-        self._forward = jax.jit(forward)
+        # forward_fn override: exported-artifact validation (AutoBackend
+        # manages its own execution — not jittable from here)
+        self._forward = forward_fn if forward_fn is not None else jax.jit(forward)
 
     def __call__(self, variables, loader, verbose: bool = True) -> DetMetrics:
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}

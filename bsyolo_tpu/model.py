@@ -34,7 +34,19 @@ class YOLO:
         self.metrics = None
         self._predictor = None
         self._img_size = 640
-        if self.model_path.endswith(".ckpt"):
+        p = Path(self.model_path)
+        self._artifact = (
+            self.model_path
+            if p.suffix in (".onnx", ".stablehlo", ".tflite")
+            or p.name.endswith(".stablehlo-int8")
+            or (p.is_dir() and (p / "saved_model.pb").exists())
+            else None
+        )
+        if self._artifact:
+            # exported-artifact mode (reference YOLO("best.onnx")): val()
+            # runs through AutoBackend; train/predict need the live graph
+            pass
+        elif self.model_path.endswith(".ckpt"):
             self._load_ckpt(self.model_path)
         elif self.model_path.endswith(".pt"):
             raise ValueError(
@@ -158,7 +170,19 @@ class YOLO:
         """Validate with the task-appropriate validator (mirrors reference
         task_map dispatch, models/yolo/model.py:26): segment models get mask
         mAP, pose OKS, OBB probIoU, classify top1/top5 — not box-only metrics."""
-        assert self.model is not None, "no model loaded"
+        if getattr(self, "_artifact", None):
+            # exported-artifact validation (reference `yolo val model=best.onnx`)
+            from bsyolo_tpu.engine.backend import validate_artifact
+
+            self.metrics = validate_artifact(
+                self._artifact, data or self.overrides.get("data"),
+                batch=batch, imgsz=imgsz, **kwargs,
+            )
+            return self.metrics
+        assert self.model is not None, (
+            "no model loaded (exported artifacts support val() only; rebuild from "
+            "the .yaml/.ckpt for train/predict)"
+        )
         data = data or self.overrides.get("data")
         imgsz = imgsz or self._img_size
         task = self.spec.task
@@ -254,7 +278,10 @@ class YOLO:
     def predict(self, source, stream: bool = False, **kwargs):
         from bsyolo_tpu.engine.predictor import DetectionPredictor
 
-        assert self.model is not None, "no model loaded"
+        assert self.model is not None, (
+            "no model loaded (exported artifacts support val() only; rebuild from "
+            "the .yaml/.ckpt for train/predict)"
+        )
         conf = kwargs.get("conf")
         conf = 0.25 if conf is None else conf  # 0.0 is a valid threshold
         imgsz = kwargs.get("imgsz") or self._img_size
@@ -427,7 +454,10 @@ class YOLO:
         from bsyolo_tpu.engine.predictor import iter_source
         from bsyolo_tpu.ops.letterbox import letterbox_image
 
-        assert self.model is not None, "no model loaded"
+        assert self.model is not None, (
+            "no model loaded (exported artifacts support val() only; rebuild from "
+            "the .yaml/.ckpt for train/predict)"
+        )
         idxs = tuple(kwargs.get("embed") or (len(self.spec.layers) - 2,))
         imgsz = kwargs.get("imgsz") or self._img_size
 
@@ -517,12 +547,13 @@ class YOLO:
 
         return export_model(self, format=format, **kwargs)
 
-    def benchmark(self, imgsz: int = 320, out_dir: str = "runs/benchmark"):
-        """Export to every supported format and verify each artifact runs
+    def benchmark(self, imgsz: int = 320, out_dir: str = "runs/benchmark", data=None, batch: int = 8):
+        """Export to every supported format and verify each artifact runs;
+        with ``data``, mAP-validate and speed-time each runnable artifact
         (reference Model.benchmark, engine/model.py:643)."""
         from bsyolo_tpu.utils.benchmarks import benchmark
 
-        return benchmark(self, imgsz=imgsz, out_dir=out_dir)
+        return benchmark(self, imgsz=imgsz, out_dir=out_dir, data=data, batch=batch)
 
     def tune(self, iterations: int = 10, space=None, tune_dir: str = "runs/tune", **overrides):
         """Mutation-evolution hyperparameter search (reference Model.tune)."""

@@ -600,7 +600,13 @@ def _gather(lw, eqn):
     collapsed = sorted([int(d) for d in dn.collapsed_slice_dims] + ob)
     offset_out = [int(d) for d in dn.offset_dims]
 
-    if not ob and not collapsed and len(i_shape) == 1 and offset_out == list(range(len(out_shape))):
+    if (
+        not ob
+        and not collapsed
+        and len(i_shape) == 1
+        and offset_out == list(range(len(out_shape)))
+        and all(slice_sizes[d] == o_shape[d] for d in range(len(o_shape)) if d not in sim)
+    ):
         # dynamic_slice pattern: one scalar index vector selecting a
         # contiguous slice along sim; -> ONNX Slice with runtime starts,
         # clamped to [0, dim - size] (XLA dynamic_slice semantics)
@@ -664,6 +670,77 @@ def _gather(lw, eqn):
         perm[p] = len(gnd_prefix) + j
     out = lw.transpose(gnd, perm) if perm != list(range(len(out_shape))) else gnd
     return [lw.reshape(out, out_shape) if list(eqn.outvars[0].aval.shape) != out_shape else out]
+
+
+@_register("scatter")
+def _scatter(lw, eqn):
+    """Restricted lax.scatter: a scalar index writing one slice along a single
+    operand axis (`x.at[..., j].set(u)` patterns) -> one-hot Where blend.
+    XLA drop-on-OOB semantics hold for free: an out-of-range index matches no
+    iota lane, so the operand passes through unchanged."""
+    from bsyolo_tpu.onnx import proto
+
+    operand, indices, updates = eqn.invars
+    dn = eqn.params["dimension_numbers"]
+    o_shape = [int(d) for d in lw.shape(operand)]
+    u_shape = [int(d) for d in lw.shape(updates)]
+    sdo = [int(d) for d in dn.scatter_dims_to_operand_dims]
+    iwd = [int(d) for d in dn.inserted_window_dims]
+    uwd = [int(d) for d in dn.update_window_dims]
+    ob = list(getattr(dn, "operand_batching_dims", ()) or ())
+    idx_elems = int(np.prod(lw.shape(indices))) if lw.shape(indices) else 1
+    if ob or len(sdo) != 1 or sdo != iwd or idx_elems != 1 or uwd != list(range(len(u_shape))):
+        raise UnsupportedPrimitive("scatter outside the scalar-index single-axis pattern")
+    d = sdo[0]
+    expected_u = [s for i, s in enumerate(o_shape) if i != d]
+    if u_shape != expected_u:
+        raise UnsupportedPrimitive("scatter with partial window")
+
+    idx_name = lw.read(indices)
+    if _np_dtype(indices.aval.dtype) != "int64":
+        idx_name = lw.b.node("Cast", [idx_name], to=proto.TENSOR_DTYPE["int64"])[0]
+    idx_name = lw.reshape(idx_name, [1] * len(o_shape))
+    iota_view = [1] * len(o_shape)
+    iota_view[d] = o_shape[d]
+    iota = lw.const(np.arange(o_shape[d], dtype=np.int64).reshape(iota_view))
+    mask = lw.b.node("Equal", [iota, idx_name])[0]
+    upd_view = list(o_shape)
+    upd_view[d] = 1
+    upd = lw.reshape(lw.read(updates), upd_view)
+    return lw.b.node("Where", [mask, upd, lw.read(operand)])
+
+
+@_register("dynamic_slice")
+def _dynamic_slice(lw, eqn):
+    from bsyolo_tpu.onnx import proto
+
+    operand = eqn.invars[0]
+    starts_atoms = eqn.invars[1:]
+    o_shape = [int(d) for d in lw.shape(operand)]
+    sizes = [int(s) for s in eqn.params["slice_sizes"]]
+    parts = []
+    for a in starts_atoms:
+        nm = lw.read(a)
+        if nm in lw.const_values:
+            parts.append(lw.const(np.asarray(lw.const_values[nm], np.int64).reshape(1)))
+            continue
+        if _np_dtype(a.aval.dtype) != "int64":
+            nm = lw.b.node("Cast", [nm], to=proto.TENSOR_DTYPE["int64"])[0]
+        parts.append(lw.reshape(nm, [1]))
+    starts = lw.b.node("Concat", parts, axis=0)[0] if len(parts) > 1 else parts[0]
+    lo = lw.const(np.zeros((len(o_shape),), dtype=np.int64))
+    hi = lw.const(np.asarray([d - s for d, s in zip(o_shape, sizes)], dtype=np.int64))
+    starts = lw.b.node("Max", [starts, lo])[0]
+    starts = lw.b.node("Min", [starts, hi])[0]
+    ends = lw.b.node("Add", [starts, lw.const(np.asarray(sizes, dtype=np.int64))])[0]
+    return lw.b.node("Slice", [lw.read(operand), starts, ends, lw.i64(list(range(len(o_shape))))])
+
+
+@_register("erfc")
+def _erfc(lw, eqn):
+    e = lw.b.node("Erf", [lw.read(eqn.invars[0])])[0]
+    one = lw.const(np.asarray(1.0, dtype=np.float32))
+    return lw.b.node("Sub", [one, e])
 
 
 @_register("exp2")

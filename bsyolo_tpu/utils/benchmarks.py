@@ -67,34 +67,70 @@ def profile_model(
     return rows
 
 
-def benchmark(yolo, imgsz: int = 320, out_dir: str = "runs/benchmark") -> List[Dict]:
-    """Export to every supported format; verify each artifact runs."""
+def benchmark(
+    yolo,
+    imgsz: int = 320,
+    out_dir: str = "runs/benchmark",
+    data: Optional[str] = None,
+    batch: int = 8,
+) -> List[Dict]:
+    """Export to every supported format; verify each artifact runs.
+
+    With ``data`` (detect task only), each runnable artifact is additionally
+    mAP-validated through AutoBackend and its raw forward latency timed — the
+    reference's full format/size/mAP/speed table (utils/benchmarks.py:50
+    benchmark: export-all, then ``YOLO(export_path).val(...)`` per format).
+    """
     import jax.numpy as jnp
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rows = []
     formats = ["stablehlo", "onnx", "params", "saved_model", "tflite"]
+    runnable = {"stablehlo", "onnx", "saved_model", "tflite"}  # AutoBackend-loadable
+    val_data = data if getattr(yolo.spec, "task", "detect") == "detect" else None
     for fmt in formats:
         row = {"format": fmt, "status": "ok", "size_mb": None}
         try:
-            path = yolo.export(format=fmt, imgsz=imgsz, output=str(out / f"model.{fmt}"))
+            path = yolo.export(
+                format=fmt, imgsz=imgsz, batch=batch if val_data else 1,
+                output=str(out / f"model.{fmt}"),
+            )
             p = Path(path)
             size = p.stat().st_size if p.is_file() else sum(f.stat().st_size for f in p.rglob("*"))
             row["size_mb"] = round(size / 1e6, 2)
-            if fmt == "stablehlo":  # round-trip check
+            if fmt == "stablehlo" and not val_data:  # round-trip check
                 from bsyolo_tpu.engine.exporter import load_stablehlo
 
                 fn = load_stablehlo(path)
                 preds = fn(jnp.zeros((1, imgsz, imgsz, 3), jnp.float32))
                 row["output_shape"] = tuple(int(v) for v in preds.shape)
-            elif fmt == "onnx":  # round-trip through the bundled evaluator
+            elif fmt == "onnx" and not val_data:  # round-trip through the bundled evaluator
                 from bsyolo_tpu.onnx import OnnxModule
 
                 preds = OnnxModule(path)(jnp.zeros((1, imgsz, imgsz, 3), jnp.float32))[0]
                 row["output_shape"] = tuple(int(v) for v in preds.shape)
+            if val_data and fmt in runnable:
+                from bsyolo_tpu.engine.backend import AutoBackend, validate_artifact
+
+                m = validate_artifact(path, val_data, batch=batch, imgsz=imgsz, verbose=False)
+                row["map50"] = round(float(m.box.map50), 4)
+                row["map50_95"] = round(float(m.box.map), 4)
+                backend = AutoBackend(path, imgsz)
+                b = int(backend.meta.get("batch", batch))  # static artifact shapes
+                backend.warmup(b)
+                x = np.zeros((b, imgsz, imgsz, 3), np.float32)
+                t0 = time.perf_counter()
+                iters = 3
+                for _ in range(iters):
+                    backend.forward(x)
+                row["ms_per_img"] = round((time.perf_counter() - t0) / (iters * b) * 1000, 2)
         except Exception as e:
             row["status"] = f"failed: {type(e).__name__}: {e}"
         rows.append(row)
-        LOGGER.info(f"benchmark {fmt}: {row['status']} ({row['size_mb']} MB)")
+        LOGGER.info(
+            f"benchmark {fmt}: {row['status']} ({row['size_mb']} MB"
+            + (f", mAP50 {row['map50']}, {row['ms_per_img']} ms/img" if "map50" in row else "")
+            + ")"
+        )
     return rows

@@ -14,7 +14,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # Tests check correctness, not speed: backend optimization level 0 cuts
+    # a COLD test_model_parity run from >10 min to <5 min on the 1-core CI
+    # host (round-2 verdict weak #4); the persistent compilation cache below
+    # handles repeat runs either way.
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -293,6 +293,21 @@ class TestBenchmarkTuneVerbs:
         assert by_fmt["params"]["status"] == "ok"
         assert all(r["size_mb"] for r in rows if r["status"] == "ok")
 
+    def test_model_benchmark_with_data_vals_each_format(self, tmp_path):
+        """benchmark(data=...) adds the reference's per-format mAP + speed
+        columns (utils/benchmarks.py:50: export-all then val each artifact)."""
+        from bsyolo_tpu import YOLO
+
+        data = str(Path(__file__).parent / "fixtures" / "bsyolo8" / "bsyolo8.yaml")
+        m = YOLO(str(Path(__file__).parent / "fixtures" / "tiny.yaml"))
+        m._img_size = 96
+        rows = m.benchmark(imgsz=96, out_dir=str(tmp_path), data=data, batch=8)
+        by_fmt = {r["format"]: r for r in rows}
+        for fmt in ("stablehlo", "onnx", "saved_model", "tflite"):
+            assert by_fmt[fmt]["status"] == "ok", by_fmt[fmt]
+            assert "map50" in by_fmt[fmt] and by_fmt[fmt]["ms_per_img"] > 0
+        assert "map50" not in by_fmt["params"]  # pytree, not a runnable artifact
+
     def test_model_tune_binds_tuner(self, monkeypatch):
         """facade tune() passes model/overrides/iterations into the Tuner."""
         import bsyolo_tpu.engine.tuner as T

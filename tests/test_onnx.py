@@ -180,6 +180,17 @@ def test_prim_gather_take():
     _roundtrip(lambda a, i: jnp.take(a, i, axis=0), x, idx)
 
 
+def test_prim_dynamic_slice_and_scatter():
+    x = RNG.randn(2, 8, 6).astype(np.float32)
+    j = np.asarray(3, np.int32)
+    _roundtrip(
+        lambda a, i: jax.lax.dynamic_slice(a, (jnp.asarray(0), i, jnp.asarray(0)), (2, 2, 6)),
+        x, j,
+    )
+    u = RNG.randn(2, 8).astype(np.float32)
+    _roundtrip(lambda a, up, i: a.at[:, :, i].set(up), x, u, j)
+
+
 def test_prim_sincos():
     x = RNG.randn(3, 4).astype(np.float32)
     _roundtrip(lambda a: (jnp.sin(a), jnp.cos(a) * jnp.sin(a)), x)
@@ -348,6 +359,77 @@ def test_nms_export_parity():
         preds,
         atol=1e-4,
     )
+
+
+@pytest.mark.slow
+def test_artifact_val_matches_live(tmp_path):
+    """YOLO('best.onnx').val() (reference `yolo val model=best.onnx`): a
+    trained model's exported ONNX artifact validates to the same mAP as the
+    live graph (backend.validate_artifact over the bundled numpy runtime)."""
+    from pathlib import Path as _Path
+
+    from bsyolo_tpu.engine.trainer import DetectionTrainer
+    from bsyolo_tpu.model import YOLO
+    from test_e2e_train import make_synthetic_dataset
+
+    data_yaml = make_synthetic_dataset(tmp_path / "ds")
+    tiny = str(_Path(__file__).parent / "fixtures" / "tiny.yaml")
+    trainer = DetectionTrainer(
+        overrides={
+            "model": tiny, "data": str(data_yaml), "epochs": 16, "batch": 8,
+            "imgsz": 96, "optimizer": "SGD", "lr0": 0.02, "warmup_epochs": 1.0,
+            "close_mosaic": 6, "project": str(tmp_path / "runs"), "name": "t",
+            "max_gt": 32, "amp": False, "patience": 100, "nbs": 8,
+        }
+    )
+    trainer.train()
+    y = YOLO(str(tmp_path / "runs" / "t" / "weights" / "best.ckpt"))
+    live = y.val(data=str(data_yaml), batch=8, imgsz=96)
+    art = y.export(format="onnx", imgsz=96, batch=8, output=str(tmp_path / "best.onnx"))
+    onnx_metrics = YOLO(art).val(data=str(data_yaml), imgsz=96)
+    live50, art50 = live.box.map50, onnx_metrics.box.map50
+    assert art50 > 0.5, f"artifact mAP50 {art50}"
+    assert abs(live50 - art50) < 0.08, (live50, art50)
+
+
+@pytest.mark.slow
+def test_rtdetr_export_parity(tmp_path):
+    """RT-DETR (HGNetv2 + AIFI + deformable decoder) lowers end to end:
+    MSDeformAttn gathers, erfc (GELU), dynamic_slice, scalar-index scatter."""
+    import jax.numpy as jnp2
+
+    from bsyolo_tpu.engine.exporter import _build_export_predict
+    from bsyolo_tpu.model import RTDETR
+
+    y = RTDETR("rtdetr-l.yaml")
+    predict, _ = _build_export_predict(y.spec, y.model, y.variables, False)
+    x = RNG.rand(1, 96, 96, 3).astype(np.float32)
+    ref = np.asarray(predict(jnp2.asarray(x)))
+    out = y.export(format="onnx", imgsz=96, output=str(tmp_path / "rtdetr.onnx"))
+    got = OnnxModule(out)(x)[0]
+    assert got.shape == ref.shape == (1, 300, 6)
+    np.testing.assert_allclose(ref, got, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_world_export_parity(tmp_path):
+    """YOLOWorld exports with the set_classes text embeddings baked in."""
+    import jax.numpy as jnp2
+
+    from bsyolo_tpu.engine.exporter import _build_export_predict
+    from bsyolo_tpu.model import YOLOWorld, _TextConditioned
+
+    w = YOLOWorld("yolov8s-world.yaml")
+    w.set_classes(["person", "bus", "car"])
+    predict, _ = _build_export_predict(
+        w.spec, _TextConditioned(w.model, w.txt_feats), w.variables, False
+    )
+    x = RNG.rand(1, 96, 96, 3).astype(np.float32)
+    ref = np.asarray(predict(jnp2.asarray(x)))
+    out = w.export(format="onnx", imgsz=96, output=str(tmp_path / "world.onnx"))
+    got = OnnxModule(out)(x)[0]
+    assert got.shape == ref.shape  # (1, A, 4+3): nc = len(set_classes)
+    np.testing.assert_allclose(ref, got, atol=5e-4, rtol=1e-3)
 
 
 @pytest.mark.slow
