@@ -106,3 +106,94 @@ def autosplit(path, weights=(0.9, 0.1, 0.0), annotated_only: bool = False, seed:
         counts[i] += 1
     LOGGER.info(f"autosplit {sum(counts)} images -> train/val/test = {counts}")
     return counts
+
+
+def convert_grounding(
+    json_file: str,
+    img_path: str,
+    out_dir: str,
+    vocab_size: int = 80,
+) -> str:
+    """Grounding-caption JSON (Flickr30k/GQA layout: per-image ``caption`` +
+    annotation ``tokens_positive`` char spans; reference GroundingDataset,
+    data/dataset.py:283) -> YOLO labels + a phrase-vocabulary dataset yaml
+    that the world trainer consumes directly.
+
+    TPU-first redesign: the reference keeps per-image phrase lists and
+    samples up to 80 texts per step (RandomLoadText) — per-image variable
+    text shapes. A compiled static train step wants ONE text matrix, so the
+    phrases collapse to the ``vocab_size`` most frequent across the json (a
+    global open vocabulary); annotations whose phrase misses the cut are
+    dropped and counted. Returns the dataset yaml path; images are reached
+    through an ``images/train`` symlink to ``img_path`` (nothing is copied).
+    """
+    import numpy as np
+
+    src = Path(img_path)
+    out = Path(out_dir)
+    ann = json.loads(Path(json_file).read_text())
+    images = {int(x["id"]): x for x in ann["images"]}
+    by_img: Dict[int, list] = defaultdict(list)
+    for a in ann["annotations"]:
+        if a.get("iscrowd"):
+            continue
+        by_img[int(a["image_id"])].append(a)
+
+    def phrase(img, a) -> str:
+        cap = img.get("caption", "")
+        return " ".join(cap[t[0]: t[1]] for t in a.get("tokens_positive", [])).strip().lower()
+
+    counts: Dict[str, int] = defaultdict(int)
+    for img_id, anns in by_img.items():
+        img = images[img_id]
+        if not (src / img["file_name"]).exists():
+            continue
+        for a in anns:
+            p = phrase(img, a)
+            if p:
+                counts[p] += 1
+    vocab = [p for p, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]]
+    vid = {p: i for i, p in enumerate(vocab)}
+
+    lbl_dir = out / "labels" / "train"
+    lbl_dir.mkdir(parents=True, exist_ok=True)
+    img_link = out / "images" / "train"
+    img_link.parent.mkdir(parents=True, exist_ok=True)
+    if not img_link.exists():
+        img_link.symlink_to(src.resolve(), target_is_directory=True)
+
+    n_img = n_box = n_drop = 0
+    for img_id, anns in by_img.items():
+        img = images[img_id]
+        f = src / img["file_name"]
+        if not f.exists():
+            continue
+        w, h = float(img["width"]), float(img["height"])
+        lines = []
+        for a in anns:
+            p = phrase(img, a)
+            if p not in vid:
+                n_drop += 1
+                continue
+            box = np.asarray(a["bbox"], np.float64)  # xywh top-left pixels
+            cx, cy = (box[0] + box[2] / 2) / w, (box[1] + box[3] / 2) / h
+            bw, bh = box[2] / w, box[3] / h
+            if bw <= 0 or bh <= 0:
+                continue
+            lines.append(f"{vid[p]} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
+            n_box += 1
+        if lines:
+            (lbl_dir / (Path(img["file_name"]).stem + ".txt")).write_text("\n".join(lines))
+            n_img += 1
+    names = "\n".join(f"  {i}: {p}" for i, p in enumerate(vocab))
+    yaml_path = out / "grounding.yaml"
+    yaml_path.write_text(
+        f"# converted from {json_file} (convert_grounding; vocab={len(vocab)})\n"
+        f"path: {out.resolve()}\ntrain: images/train\nval: images/train\n"
+        f"nc: {len(vocab)}\nnames:\n{names}\n"
+    )
+    LOGGER.info(
+        f"convert_grounding: {n_img} images, {n_box} boxes, vocab {len(vocab)} "
+        f"phrases ({n_drop} out-of-vocab annotations dropped)"
+    )
+    return str(yaml_path)

@@ -117,7 +117,7 @@ def load_checkpoint(path, template=None):
 class DetectionTrainer:
     """Train a detection model from a model YAML + dataset YAML."""
 
-    def __init__(self, overrides: Optional[Dict] = None, callbacks=None):
+    def __init__(self, overrides: Optional[Dict] = None, callbacks=None, text_embeddings=None):
         self.args = get_cfg(overrides=overrides or {})
         self.save_dir = Path(self.args.project or "runs/detect") / (self.args.name or "train")
         self.best_fitness = 0.0
@@ -126,6 +126,10 @@ class DetectionTrainer:
         self.epoch_metrics = None
         self.callbacks = callbacks or default_callbacks()
         self.stopper = EarlyStopping(self.args.patience)
+        # world (open-vocab) training: optional precomputed (nc, 512) CLIP
+        # class-name embeddings; hashed n-gram fallback otherwise
+        self._text_embeddings = text_embeddings
+        self.txt_feats = None
 
     def add_callback(self, event: str, fn):
         self.callbacks.add(event, fn)
@@ -151,6 +155,40 @@ class DetectionTrainer:
         )
         if isinstance(args.pretrained, str) and args.pretrained.lower() not in ("true", "false", ""):
             variables = self._load_pretrained(variables, args.pretrained)
+
+        if any(l.module in ("C2fAttn", "ImagePoolingAttn", "WorldDetect") for l in self.spec.layers):
+            # WorldTrainer analog (reference models/yolo/world/train.py): train
+            # the open-vocab graph against the dataset's class-name text
+            # embeddings. The reference re-encodes the same names through CLIP
+            # every step (preprocess_batch); here the (1, nc, 512) text matrix
+            # is a constant baked into the compiled train step. CLIP is not in
+            # this image: callers inject embeddings, else the deterministic
+            # hashed n-gram fallback drives the full contrastive path.
+            names = [str(v) for v in (data.get("names") or {}).values()] or [
+                str(i) for i in range(data["nc"])
+            ]
+            emb = self._text_embeddings
+            if emb is None:
+                from bsyolo_tpu.utils.text_embed import hashed_text_embeddings
+
+                LOGGER.warning(
+                    "world training without text_embeddings: using hashed "
+                    "n-gram vectors (NOT CLIP; lexical only)"
+                )
+                # "/"-joined synonyms (reference YOLOMultiModalDataset
+                # update_labels_info, data/dataset.py:270): embed each synonym,
+                # average per class
+                emb = np.stack(
+                    [hashed_text_embeddings(n.split("/")).mean(0) for n in names]
+                )
+            emb = np.asarray(emb, np.float32)
+            if emb.shape[0] != len(names):
+                raise ValueError(f"text_embeddings rows {emb.shape[0]} != classes {len(names)}")
+            emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
+            self.txt_feats = jnp.asarray(emb[None])
+            from bsyolo_tpu.nn.model import TextConditioned
+
+            self.model = TextConditioned(self.model, self.txt_feats)
 
         if args.batch is not None and int(args.batch) < 1:
             args.batch = self._autobatch(variables)

@@ -130,7 +130,10 @@ class YOLO:
             self._predictor = None
             self._embed_fns = {}
             return self.metrics
-        trainer = DetectionTrainer(overrides=overrides, callbacks=getattr(self, "_callbacks", None))
+        trainer = DetectionTrainer(
+            overrides=overrides, callbacks=getattr(self, "_callbacks", None),
+            text_embeddings=getattr(self, "_world_text_embeddings", None),
+        )
         self.metrics = trainer.train()
         # adopt trained EMA weights + spec
         self.spec = trainer.spec
@@ -570,16 +573,7 @@ class YOLO:
         return {"layers": len(self.spec.layers), "parameters": n}
 
 
-class _TextConditioned:
-    """Wraps the graph so .apply always passes the text features
-    (predictor/validator call model.apply(variables, x, train=...))."""
-
-    def __init__(self, model, text):
-        self.model = model
-        self.text = text
-
-    def apply(self, variables, x, train=False, **kw):
-        return self.model.apply(variables, x, train=train, text=self.text, **kw)
+from bsyolo_tpu.nn.model import TextConditioned as _TextConditioned  # noqa: E402
 
 
 class YOLOWorld(YOLO):
@@ -600,6 +594,24 @@ class YOLOWorld(YOLO):
     def __init__(self, model: Union[str, Path] = "yolov8s-world.yaml", task: Optional[str] = None):
         super().__init__(model, task or "detect")
         self.txt_feats = None
+
+    def train(self, text_embeddings=None, **kwargs):
+        """Fine-tune the world graph on a close-set dataset (reference
+        WorldTrainer, models/yolo/world/train.py): detection loss over
+        contrastive class logits against the dataset's class-name text
+        embeddings. ``text_embeddings``: optional (nc, 512) CLIP vectors;
+        hashed n-gram fallback otherwise (clearly non-CLIP, offline)."""
+        self._world_text_embeddings = text_embeddings
+        metrics = super().train(**kwargs)
+        # base train adopts trainer.model (the TextConditioned wrapper);
+        # keep the facade invariant: raw graph in self.model, text in
+        # self.txt_feats (predict/export re-wrap on demand)
+        if isinstance(self.model, _TextConditioned):
+            self.txt_feats = self.model.text
+            self.model = self.model.model
+        names = self.trainer.data.get("names") or {}
+        self.overrides["names"] = {int(k): v for k, v in names.items()}
+        return metrics
 
     def set_classes(self, names: List[str], embeddings=None):
         """Bind class names to text embeddings ((K, 512)).

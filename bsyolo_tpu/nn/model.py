@@ -393,6 +393,26 @@ def make_forward(model: DetectionGraph, train: bool = False):
     return jax.jit(lambda variables, x: model.apply(variables, x, train=train))
 
 
+class TextConditioned:
+    """Wrap a world graph so .apply always passes the text features (the
+    predictor/validator/train-step call model.apply(variables, x, ...) with
+    no text kwarg). Text is a (1, K, 512) constant closed into the compiled
+    program — the TPU-native form of the reference's per-batch txt_feats
+    (models/yolo/world/train.py:85 preprocess_batch), which re-encodes the
+    same class names every step."""
+
+    def __init__(self, model, text):
+        self.model = model
+        self.text = text
+
+    def apply(self, variables, x, train=False, text=None, **kw):
+        # an explicit text kwarg (e.g. an outer re-wrap after set_classes)
+        # overrides the bound constant
+        return self.model.apply(
+            variables, x, train=train, text=self.text if text is None else text, **kw
+        )
+
+
 def cast_inference_params(variables, dtype=jnp.bfloat16):
     """Cast weight tensors to bf16 for inference (~30% faster on v5e; scalars
     and norm statistics stay f32). Training keeps f32 params."""

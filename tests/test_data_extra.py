@@ -458,3 +458,63 @@ class TestListSplitsAndObbSummary:
             (root / "labels" / "train" / f"{i}.txt").write_text("0 .5 .5 .1 .1")
         c = autosplit(root / "images", (1.0, 0.0, 0.0), annotated_only=True)
         assert sum(c) == 4
+
+
+class TestConvertGrounding:
+    def _make_grounding(self, tmp_path):
+        """Tiny Flickr30k-layout grounding json over 2 synthetic images."""
+        import cv2
+        import json as _json
+
+        img_dir = tmp_path / "srcimgs"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            cv2.imwrite(str(img_dir / f"g{i}.jpg"),
+                        rng.integers(0, 255, (80, 120, 3)).astype(np.uint8))
+        cap = "a red car next to a person on the road"
+        images = [
+            {"id": 1, "file_name": "g0.jpg", "height": 80, "width": 120, "caption": cap},
+            {"id": 2, "file_name": "g1.jpg", "height": 80, "width": 120, "caption": cap},
+        ]
+        anns = [
+            # "a red car" twice, "a person" once, one crowd (skipped)
+            {"image_id": 1, "bbox": [10, 10, 40, 30], "iscrowd": 0, "tokens_positive": [[0, 9]]},
+            {"image_id": 1, "bbox": [60, 20, 30, 30], "iscrowd": 0, "tokens_positive": [[18, 26]]},
+            {"image_id": 2, "bbox": [5, 5, 50, 40], "iscrowd": 0, "tokens_positive": [[0, 9]]},
+            {"image_id": 2, "bbox": [0, 0, 20, 20], "iscrowd": 1, "tokens_positive": [[0, 9]]},
+        ]
+        jf = tmp_path / "ground.json"
+        jf.write_text(_json.dumps({"images": images, "annotations": anns}))
+        return jf, img_dir
+
+    def test_convert_and_load(self, tmp_path):
+        """Grounding json -> YOLO labels + phrase-vocab yaml, loadable by the
+        standard dataset (reference GroundingDataset, data/dataset.py:283 —
+        redesigned as a static global-vocabulary conversion)."""
+        from bsyolo_tpu.data import YOLODataset, load_dataset_yaml
+        from bsyolo_tpu.data.converter import convert_grounding
+
+        jf, img_dir = self._make_grounding(tmp_path)
+        yaml_path = convert_grounding(str(jf), str(img_dir), str(tmp_path / "out"))
+        d = load_dataset_yaml(yaml_path)
+        assert d["nc"] == 2
+        # frequency-ranked vocab: "a red car" (2 uses) before "a person" (1)
+        assert d["names"][0] == "a red car" and d["names"][1] == "a person"
+        ds = YOLODataset(d["train"], imgsz=96, augment=False, max_gt=8)
+        assert len(ds.img_files) == 2
+        lbl = (tmp_path / "out" / "labels" / "train" / "g0.txt").read_text().splitlines()
+        assert len(lbl) == 2  # crowd ann was on image 2; g0 has car+person
+        cls0, cx, cy, w, h = map(float, lbl[0].split())
+        assert cls0 == 0 and abs(cx - 30 / 120) < 1e-5 and abs(h - 30 / 80) < 1e-5
+
+    def test_vocab_cap_drops_rare(self, tmp_path):
+        from bsyolo_tpu.data import load_dataset_yaml
+        from bsyolo_tpu.data.converter import convert_grounding
+
+        jf, img_dir = self._make_grounding(tmp_path)
+        yaml_path = convert_grounding(str(jf), str(img_dir), str(tmp_path / "o2"), vocab_size=1)
+        d = load_dataset_yaml(yaml_path)
+        assert d["nc"] == 1 and d["names"][0] == "a red car"
+        lbl = (tmp_path / "o2" / "labels" / "train" / "g0.txt").read_text().splitlines()
+        assert len(lbl) == 1  # "a person" box dropped with the vocab cut

@@ -93,3 +93,81 @@ class TestWorldFacade:
         assert len(res) == 1
         if res[0].boxes is not None and len(res[0].boxes):
             assert res[0].boxes.cls.max() < 3
+
+
+class TestWorldTrain:
+    def test_world_train_e2e(self, tmp_path):
+        """WorldTrainer analog (reference models/yolo/world/train.py): the
+        open-vocab graph fine-tunes on a close-set dataset — detection loss
+        over contrastive logits against the dataset's class-name text
+        embeddings — and reaches real mAP on the synthetic shapes set."""
+        from pathlib import Path as _Path
+
+        from bsyolo_tpu.model import YOLOWorld
+        from test_e2e_train import make_synthetic_dataset
+
+        data_yaml = make_synthetic_dataset(tmp_path / "ds")
+        m = YOLOWorld(str(_Path(__file__).parent / "fixtures" / "tinyworld.yaml"))
+        metrics = m.train(
+            data=str(data_yaml), epochs=14, batch=8, imgsz=96, optimizer="SGD",
+            lr0=0.02, warmup_epochs=1.0, close_mosaic=6, max_gt=32, amp=False,
+            patience=100, nbs=8, project=str(tmp_path / "runs"), name="w",
+        )
+        assert metrics.box.map50 > 0.3, f"world train mAP50 {metrics.box.map50}"
+        # facade invariant after train: raw graph + adopted dataset text
+        assert m.txt_feats is not None and m.txt_feats.shape == (1, 2, 512)
+        assert not hasattr(m.model, "model") or hasattr(m.model, "apply")
+        assert m.overrides["names"][0] == "square"
+        # and the trained open-vocab model still serves set_classes swaps
+        img = np.random.default_rng(1).integers(0, 255, (96, 96, 3), np.uint8)
+        res = m.predict(img, conf=0.0001, imgsz=96)
+        assert len(res) == 1
+
+
+class TestWorldSharded:
+    def test_world_train_step_sharded_matches_single(self, rng):
+        """World train step (C2fAttn text-gated einsums + contrastive head)
+        under the 8-device batch-sharded mesh reproduces the single-device
+        loss — the text constant must broadcast, not shard."""
+        import jax
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.engine.optim import OptimConfig
+        from bsyolo_tpu.engine.train_step import StepConfig, init_train_state, make_train_step
+        from bsyolo_tpu.losses import DetectionLossConfig
+        from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+        from bsyolo_tpu.nn.model import TextConditioned
+        from bsyolo_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+        from bsyolo_tpu.utils.text_embed import hashed_text_embeddings
+
+        d = load_model_yaml(str(Path(__file__).parent / "fixtures" / "tinyworld.yaml"))
+        spec = parse_model_yaml(d, scale="")
+        model, variables = build_model(spec, img_size=64)
+        model = TextConditioned(model, jnp.asarray(hashed_text_embeddings(["square", "circle"])[None]))
+
+        B, M = 8, 6
+        cfg = StepConfig(
+            loss=DetectionLossConfig(nc=2, strides=spec.head_strides),
+            optim=OptimConfig(name="SGD", lr0=1e-2, epochs=1, nbs=B),
+            batch_size=B, nb=1, nw=0, use_adamw=False, weight_decay=0.0,
+        )
+        step = make_train_step(model, cfg)
+        g = np.random.default_rng(5)
+        n_valid = (np.arange(B) % (M - 1)) + 1
+        batch = {
+            "img": g.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32),
+            "cls": g.integers(0, 2, (B, M)).astype(np.int32),
+            "bboxes": np.concatenate(
+                [g.uniform(0.3, 0.7, (B, M, 2)), g.uniform(0.1, 0.25, (B, M, 2))], -1
+            ).astype(np.float32),
+            "mask": (np.arange(M)[None] < n_valid[:, None]).astype(np.float32),
+        }
+
+        s1, m1 = step(init_train_state(variables), {k: jnp.asarray(v) for k, v in batch.items()})
+
+        mesh = make_mesh(8)
+        state0 = jax.device_put(init_train_state(variables), replicated_sharding(mesh))
+        s2, m2 = step(state0, shard_batch(batch, mesh))
+
+        assert np.isfinite(float(m1["loss"]))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-5)
