@@ -167,9 +167,19 @@ def main(argv=None) -> int:
         )
         LOGGER.info(f"exported: {out}")
     elif mode == "benchmark":
-        import subprocess
+        if overrides.get("data") or model_arg != "yolo11n.yaml":
+            # reference `yolo benchmark model=...`: per-format export/val table
+            rows = model.benchmark(
+                imgsz=int(overrides.get("imgsz") or 320),
+                data=overrides.get("data"),
+                batch=int(overrides.get("batch") or 8),
+            )
+            for r in rows:
+                LOGGER.info(str(r))
+        else:  # bare `benchmark`: the repo's TPU throughput harness
+            import subprocess
 
-        subprocess.run([sys.executable, "bench.py"], check=False)
+            subprocess.run([sys.executable, "bench.py"], check=False)
     return 0
 
 
