@@ -167,5 +167,86 @@ def loader_throughput(img_size: int, n_images: int = 64, workers: int = 4) -> fl
     return seen / (time.perf_counter() - t0)
 
 
+def dispatch_modes(scale=None, img_size=None, bs=32, k=8, steps=16):
+    """Trainer dispatch-pattern bench (BENCH_DISPATCH=1): wall time of
+    `steps` training steps under
+
+      per-step  — one jitted call per batch + per-step loss fetch, the
+                  classic host-driven loop (reference trainer.py:318 and
+                  this repo's default trainer path);
+      chunked   — K steps per compiled lax.scan call with the K batches
+                  staged in ONE transfer and ONE loss fetch
+                  (train_step.make_chunked_train_step, cfg chunk_steps).
+
+    Unlike the scan-diff numbers above this INCLUDES dispatch + transfer +
+    fetch — the quantity chunking improves. Through the axon relay one
+    fetch costs ~30-60 ms, so per-step mode pays ~steps x RTT."""
+    import jax
+    import jax.numpy as jnp
+
+    img_size = img_size or int(os.environ.get("BENCH_IMGSZ", 640))
+    scale = scale or os.environ.get("BENCH_SCALE", "n")
+    M = 64
+    spec, raw_step, state0 = build_step(scale, img_size, bs)
+    step = jax.jit(raw_step, donate_argnums=(0,))
+    chunk = jax.jit(
+        lambda st, bb: jax.lax.scan(raw_step, st, bb), donate_argnums=(0,)
+    )
+    rng = np.random.default_rng(0)
+
+    def host_batch(i):
+        return {
+            "img": rng.uniform(0, 1, (bs, img_size, img_size, 3)).astype(np.float32),
+            "cls": rng.integers(0, 80, (bs, M)).astype(np.int32),
+            "bboxes": np.concatenate(
+                [rng.uniform(0.3, 0.7, (bs, M, 2)), rng.uniform(0.05, 0.25, (bs, M, 2))], -1
+            ).astype(np.float32),
+            "mask": (np.arange(M)[None] < 8).astype(np.float32).repeat(bs, 0),
+        }
+
+    host_batches = [host_batch(i) for i in range(steps)]
+
+    def per_step_mode():
+        st = jax.device_put(state0)
+        acc = 0.0
+        t0 = time.perf_counter()
+        for hb in host_batches:
+            st, m = step(st, {k2: jnp.asarray(v) for k2, v in hb.items()})
+            acc += float(m["loss"])  # the trainer's per-step metric fetch
+        return time.perf_counter() - t0, acc
+
+    def chunked_mode():
+        st = jax.device_put(state0)
+        acc = 0.0
+        t0 = time.perf_counter()
+        for c0 in range(0, steps, k):
+            stacked = {
+                k2: jnp.asarray(np.stack([b[k2] for b in host_batches[c0 : c0 + k]]))
+                for k2 in host_batches[0]
+            }
+            st, m = chunk(st, stacked)
+            acc += float(jnp.sum(m["loss"]))
+        return time.perf_counter() - t0, acc
+
+    for name, fn in (("per-step", per_step_mode), ("chunked", chunked_mode)):
+        fn()  # compile + warm
+        t, _ = fn()
+        print(
+            json.dumps(
+                {
+                    "metric": f"trainer dispatch mode {name} @{img_size} "
+                    f"(yolo11{scale}, batch={bs}, {steps} steps"
+                    + (f", k={k}" if name == "chunked" else "")
+                    + ", incl dispatch+transfer+fetch)",
+                    "value": round(bs * steps / t, 1),
+                    "unit": "images/sec/chip",
+                    "wall_ms_per_step": round(t / steps * 1000, 2),
+                }
+            )
+        )
+
+
 if __name__ == "__main__":
     main()
+    if os.environ.get("BENCH_DISPATCH"):
+        dispatch_modes()

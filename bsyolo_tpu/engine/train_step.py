@@ -213,3 +213,27 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
+
+
+def make_chunked_train_step(model, cfg: StepConfig, criterion: Callable = None,
+                            item_names=None) -> Callable:
+    """K training steps in ONE compiled program: lax.scan of the raw step
+    over a stacked (K, B, ...) batch pytree (stage with parallel.shard_chunk).
+
+    TPU-native dispatch amortization (no reference analog — the reference's
+    DDP loop is host-driven per step): every train_step dispatch pays one
+    host->device round trip, and through a TPU relay that RTT is ~30-60 ms
+    against a ~140 ms yolo11n@640 step — single-step dispatch leaves ~25% of
+    the chip idle. One chunked call pays the RTT once for K steps and ships
+    K batches in one transfer. Semantics are IDENTICAL to K sequential
+    train_step calls (warmup/EMA/accumulation are functions of state.step,
+    which the scan carries); pinned by tests/test_train_features.py.
+
+    Returns jitted (state, batches) -> (state, metrics with (K,) leaves).
+    """
+    raw = make_train_step(model, cfg, criterion=criterion, item_names=item_names, jit=False)
+
+    def chunk_fn(state: TrainState, batches):
+        return jax.lax.scan(raw, state, batches)
+
+    return jax.jit(chunk_fn, donate_argnums=(0,))

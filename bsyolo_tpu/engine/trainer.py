@@ -330,6 +330,18 @@ class DetectionTrainer:
         self.train_step = make_train_step(
             self.model, self.step_cfg, criterion=criterion, item_names=item_names
         )
+        # chunked dispatch (TPU addition, default.yaml chunk_steps): K steps
+        # per compiled call amortize the per-dispatch host->device RTT.
+        # Single-host only (multi-host staging needs per-host global arrays)
+        # and off under multi_scale (bucketed shapes recompile per size).
+        self._chunk_step = None
+        self.chunk_steps = int(getattr(args, "chunk_steps", 0) or 0)
+        if self.chunk_steps > 1 and self.world == 1 and not args.multi_scale:
+            from bsyolo_tpu.engine.train_step import make_chunked_train_step
+
+            self._chunk_step = make_chunked_train_step(
+                self.model, self.step_cfg, criterion=criterion, item_names=item_names
+            )
         self.state = init_train_state(variables)
         self.mesh = get_mesh()
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
@@ -450,6 +462,18 @@ class DetectionTrainer:
             LOGGER.info(f"freezing layers {sorted(keys)} (no grads, no decay)")
         return keys
 
+    def _run_chunk(self, buf, em) -> int:
+        """Stage K host batches as one (K, B, ...) transfer and run the
+        K-step compiled scan; fold the stacked (K,) loss metrics into em."""
+        from bsyolo_tpu.parallel import shard_chunk
+
+        batches = {k: np.stack([np.asarray(b[k]) for b in buf]) for k in buf[0]}
+        self.state, m = self._chunk_step(self.state, shard_chunk(batches, self.mesh))
+        for k, v in m.items():
+            if k.endswith("loss"):
+                em[k] = em.get(k, 0.0) + float(jnp.sum(v))
+        return len(buf)
+
     def _autobatch(self, variables) -> int:
         """Resolve batch=-1 via the compiler memory model (reference
         trainer.py:476-484 check_train_batch_size). Probes fwd+bwd memory at
@@ -518,6 +542,7 @@ class DetectionTrainer:
             self.train_loader.set_epoch(epoch)
             em = {}
             n = 0
+            chunk_buf = []
             for batch in self.train_loader:
                 if args.plots and epoch == 0 and n < 3 and self.rank == 0:
                     # train_batch{0,1,2}.jpg mosaics (reference trainer
@@ -530,6 +555,12 @@ class DetectionTrainer:
                         {i2: nm for i2, nm in enumerate(self.spec.names)},
                         save_path=str(self.save_dir / f"train_batch{n}.jpg"),
                     )
+                if self._chunk_step is not None:
+                    chunk_buf.append(batch)
+                    if len(chunk_buf) == self.chunk_steps:
+                        n += self._run_chunk(chunk_buf, em)
+                        chunk_buf = []
+                    continue
                 if self.world > 1:
                     batch = pdist.host_local_batch_to_global(batch, self.mesh)
                 else:
@@ -537,6 +568,12 @@ class DetectionTrainer:
                 if self._ms_sizes:
                     batch = self._apply_multi_scale(batch, epoch * self.nb + n)
                 self.state, m = self.train_step(self.state, batch)
+                n += 1
+                for k, v in m.items():
+                    if k.endswith("loss"):
+                        em[k] = em.get(k, 0.0) + float(v)
+            for batch in chunk_buf:  # epoch tail shorter than a chunk
+                self.state, m = self.train_step(self.state, shard_batch(batch, self.mesh))
                 n += 1
                 for k, v in m.items():
                     if k.endswith("loss"):

@@ -7,10 +7,11 @@ from bsyolo_tpu.parallel.mesh import (
     make_mesh,
     replicated_sharding,
     shard_batch,
+    shard_chunk,
 )
 from bsyolo_tpu.parallel.tp import apply_tp, sam_encoder_tp_shardings
 
 __all__ = [
-    "make_mesh", "get_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+    "make_mesh", "get_mesh", "batch_sharding", "replicated_sharding", "shard_batch", "shard_chunk",
     "dp_sp_shardings", "apply_tp", "sam_encoder_tp_shardings",
 ]

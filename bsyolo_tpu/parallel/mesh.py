@@ -72,6 +72,15 @@ def shard_batch(batch, mesh: Optional[Mesh] = None):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_chunk(batches, mesh: Optional[Mesh] = None):
+    """Device-put a stacked (K, B, ...) pytree: step axis replicated, batch
+    axis sharded over "data". One transfer stages K training steps' inputs
+    (see train_step.make_chunked_train_step)."""
+    mesh = mesh or get_mesh()
+    sh = NamedSharding(mesh, P(None, "data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batches)
+
+
 def dp_sp_shardings(mesh: Optional[Mesh] = None):
     """Shardings for a data x spatial (sequence-parallel analog) train step.
 

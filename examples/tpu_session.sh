@@ -22,8 +22,9 @@ run python bench.py
 # 2. per-stage forward profile (docs/performance.md lane-fill decomposition)
 run python examples/profile_forward.py
 
-# 3. train-step bench (batch sweep happens inside)
-run python bench_train.py
+# 3. train-step bench (batch sweep happens inside; BENCH_DISPATCH adds the
+#    per-step-vs-chunked dispatch-mode comparison backing cfg chunk_steps)
+run env BENCH_DISPATCH=1 python bench_train.py
 
 if [ "${1:-}" != "quick" ]; then
   # 4. train-step slice profile
