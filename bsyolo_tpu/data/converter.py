@@ -183,9 +183,15 @@ def convert_grounding(
             lines.append(f"{vid[p]} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
             n_box += 1
         if lines:
-            (lbl_dir / (Path(img["file_name"]).stem + ".txt")).write_text("\n".join(lines))
+            # keep any file_name sub-directories: img2label_path maps
+            # images/train/<rel>.jpg -> labels/train/<rel>.txt
+            lbl = lbl_dir / Path(img["file_name"]).with_suffix(".txt")
+            lbl.parent.mkdir(parents=True, exist_ok=True)
+            lbl.write_text("\n".join(lines))
             n_img += 1
-    names = "\n".join(f"  {i}: {p}" for i, p in enumerate(vocab))
+    # phrases are arbitrary caption text: json.dumps-quote them so ':', '#',
+    # quotes etc. survive yaml parsing (json strings are valid yaml scalars)
+    names = "\n".join(f"  {i}: {json.dumps(p)}" for i, p in enumerate(vocab))
     yaml_path = out / "grounding.yaml"
     yaml_path.write_text(
         f"# converted from {json_file} (convert_grounding; vocab={len(vocab)})\n"

@@ -156,21 +156,23 @@ def artifact_contract(backend: "AutoBackend", batch: int, imgsz: int, fallback_n
 
     e2e artifacts (nms=True / v10 / RT-DETR exports) emit (B, max_det, 6)
     xyxy/conf/cls; decode-only artifacts emit (B, A, 4+nc) and need
-    consumer-side NMS. Uses the exporter's meta sidecar when present, probe
-    shapes otherwise."""
+    consumer-side NMS. Uses the exporter's meta sidecar when present (no
+    probe inference needed), probe shapes otherwise."""
     meta = backend.meta
-    probe = backend.forward(np.zeros((batch, imgsz, imgsz, 3), np.float32))
-    probe = probe[0] if isinstance(probe, (list, tuple)) else probe
     out_desc = meta.get("output", "")
     if meta.get("nms") or "xyxy" in out_desc:
         e2e = True
     elif out_desc:
         e2e = False
     else:
-        # no sidecar: (…, 6) is ambiguous with a 2-class decode graph; the
-        # exporter always writes the sidecar, so this is a foreign artifact
+        # no sidecar: probe. (…, 6) is ambiguous with a 2-class decode
+        # graph; the exporter always writes the sidecar, so this is a
+        # foreign artifact and the heuristic is best-effort
+        probe = backend.forward(np.zeros((batch, imgsz, imgsz, 3), np.float32))
+        probe = probe[0] if isinstance(probe, (list, tuple)) else probe
         e2e = probe.shape[-1] == 6
-    nc = int(meta.get("nc") or (probe.shape[-1] - 4 if not e2e else 0))
+        meta = {**meta, "nc": meta.get("nc") or (0 if e2e else int(probe.shape[-1]) - 4)}
+    nc = int(meta.get("nc") or 0)
     names_meta = meta.get("names") or fallback_names
     if isinstance(names_meta, dict):
         names = {int(k): v for k, v in names_meta.items()}
@@ -192,31 +194,46 @@ def validate_artifact(
     max_det: int = 300,
     split: str = "val",
     verbose: bool = True,
+    backend: Optional["AutoBackend"] = None,
     **kwargs,
 ):
     """mAP-validate an exported artifact (reference `yolo val model=best.onnx`,
     nn/autobackend.py + engine/validator.py).
 
-    Detect-family artifacts only: the artifact's embedded predict path must
-    emit either decode-only (B, A, 4+nc) predictions (NMS applied here,
-    matching the validator's thresholds) or an end-to-end (B, max_det, 6)
-    output (nms=True / v10 / RT-DETR exports — used as-is, so conf/iou
-    overrides don't apply to those).
+    Detect-family artifacts only (enforced against the meta sidecar's task):
+    the artifact's embedded predict path must emit either decode-only
+    (B, A, 4+nc) predictions (NMS applied here, matching the validator's
+    thresholds) or an end-to-end (B, max_det, 6) output (nms=True / v10 /
+    RT-DETR exports — used as-is, so conf/iou overrides don't apply to
+    those). Pass a prebuilt ``backend`` to reuse a loaded artifact.
     """
+    import jax
     import jax.numpy as jnp
 
     from bsyolo_tpu.data import DataLoader, YOLODataset, load_dataset_yaml
     from bsyolo_tpu.engine.validator import DetectionValidator
     from bsyolo_tpu.ops.nms import non_max_suppression
+    from bsyolo_tpu.utils import LOGGER
 
-    backend = AutoBackend(weights, imgsz or 640)
+    backend = backend or AutoBackend(weights, imgsz or 640)
     meta = backend.meta
-    imgsz = imgsz or int(meta.get("imgsz", 640))
+    task = meta.get("task")
+    if task is not None and task != "detect":
+        raise ValueError(
+            f"artifact validation supports detect-family artifacts; this one "
+            f"was exported from a '{task}' model (its output layout needs the "
+            f"{task} validator — rebuild from the .yaml/.ckpt to val it)"
+        )
+    art_imgsz = int(meta.get("imgsz", 0) or 0)
+    if art_imgsz and imgsz and imgsz != art_imgsz:
+        LOGGER.info(
+            f"artifact was exported at imgsz={art_imgsz} (static shapes); "
+            f"validating at that size instead of imgsz={imgsz}"
+        )
+    imgsz = art_imgsz or imgsz or 640
     backend.imgsz = imgsz
     art_batch = int(meta.get("batch", 1))
     if batch != art_batch:
-        from bsyolo_tpu.utils import LOGGER
-
         LOGGER.info(
             f"artifact was exported with batch={art_batch} (static shapes); "
             f"validating at that batch instead of batch={batch}"
@@ -235,14 +252,20 @@ def validate_artifact(
 
     spec = SimpleNamespace(task="detect", nc=nc, names=tuple(names.values()), head_strides=(8, 16, 32))
 
+    # the NMS stage is pure jax on a fixed shape: compile it once rather
+    # than dispatching the greedy loop eagerly per batch
+    nms_fn = jax.jit(
+        lambda p: non_max_suppression(
+            p, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc
+        )
+    )
+
     def forward_fn(variables, img):
         preds = backend.forward(np.asarray(img, np.float32))
         preds = preds[0] if isinstance(preds, (list, tuple)) else preds
         if e2e:
             return preds
-        return non_max_suppression(
-            jnp.asarray(preds), conf_thres=conf, iou_thres=iou, max_det=max_det
-        )
+        return nms_fn(jnp.asarray(preds))
 
     validator = DetectionValidator(
         model=None, spec=spec, conf=conf, iou=iou, max_det=max_det, names=names,

@@ -185,6 +185,7 @@ def export_model(
         out.write_bytes(blob)
         meta = {
             "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
+            "task": spec.task,
             "nms": nms, "quant": "int8 convs, per-out-channel weight + static activation scales",
             "input": "NHWC float32 [0,1] RGB",
             "output": output_desc,
@@ -206,6 +207,7 @@ def export_model(
             "batch": batch,
             "nc": spec.nc,
             "names": list(spec.names),
+            "task": spec.task,
             "nms": nms,
             "input": "NHWC float32 [0,1] RGB",
             "output": output_desc,
@@ -233,6 +235,7 @@ def export_model(
         )
         meta = {
             "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
+            "task": spec.task,
             "nms": nms, "opset": 13, "input": "NHWC float32 [0,1] RGB",
             "output": output_desc,
         }
@@ -264,6 +267,7 @@ def export_model(
             )
             meta = {
                 "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
+            "task": spec.task,
                 "nms": nms, "input": "NHWC float32 [0,1] RGB",
                 "output": output_desc,
             }
@@ -294,6 +298,7 @@ def export_model(
         out.write_bytes(blob)
         meta = {
             "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
+            "task": spec.task,
             "nms": nms, "input": "NHWC float32 [0,1] RGB",
             "output": output_desc,
         }

@@ -32,12 +32,15 @@ from bsyolo_tpu.utils import LOGGER
 from bsyolo_tpu.utils.callbacks import EarlyStopping, default_callbacks
 
 
-def save_checkpoint(path: Path, state: TrainState, meta: Dict, full: bool = False):
+def save_checkpoint(path: Path, state: TrainState, meta: Dict, full: bool = False,
+                    extras: Optional[Dict] = None):
     """Serialize {params, ema, batch_stats, counters} + meta (reference
     trainer.py:512-543 save_model; orbax-free msgpack via flax).
 
     With full=True the complete TrainState (optimizer slots, accumulators,
-    loss state) is embedded so training can resume exactly.
+    loss state) is embedded so training can resume exactly. ``extras``:
+    additional arrays the model needs at load time (e.g. a world model's
+    trained-against text embeddings) — merged into the payload.
     """
     from flax import serialization
 
@@ -48,6 +51,8 @@ def save_checkpoint(path: Path, state: TrainState, meta: Dict, full: bool = Fals
         "step": state.step,
         "ema_updates": state.ema_updates,
     }
+    if extras:
+        payload.update(extras)
     if full:
         payload["train_state"] = serialization.to_state_dict(state)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -542,9 +547,10 @@ class DetectionTrainer:
             self.train_loader.set_epoch(epoch)
             em = {}
             n = 0
+            n_seen = 0  # host batches seen (n lags while a chunk buffers)
             chunk_buf = []
             for batch in self.train_loader:
-                if args.plots and epoch == 0 and n < 3 and self.rank == 0:
+                if args.plots and epoch == 0 and n_seen < 3 and self.rank == 0:
                     # train_batch{0,1,2}.jpg mosaics (reference trainer
                     # plot_training_samples)
                     from bsyolo_tpu.utils.plotting import plot_images
@@ -553,8 +559,9 @@ class DetectionTrainer:
                         {k: np.asarray(v) for k, v in batch.items()
                          if k in ("img", "cls", "bboxes", "mask")},
                         {i2: nm for i2, nm in enumerate(self.spec.names)},
-                        save_path=str(self.save_dir / f"train_batch{n}.jpg"),
+                        save_path=str(self.save_dir / f"train_batch{n_seen}.jpg"),
                     )
+                n_seen += 1
                 if self._chunk_step is not None:
                     chunk_buf.append(batch)
                     if len(chunk_buf) == self.chunk_steps:
@@ -609,14 +616,30 @@ class DetectionTrainer:
                     "fitness": fitness,
                     "best_fitness": self.best_fitness,
                     "args": {k: str(v) for k, v in vars(args).items()},
+                    "names": [str(v) for v in (self.data.get("names") or {}).values()],
                 }
-                save_checkpoint(self.save_dir / "weights" / "last.ckpt", self.state, meta, full=True)
+                # a world model is only meaningful with the text it trained
+                # against: embed the matrix in the ckpt (reloaders re-wrap)
+                extras = (
+                    {"txt_feats": np.asarray(self.txt_feats)}
+                    if self.txt_feats is not None
+                    else None
+                )
+                save_checkpoint(
+                    self.save_dir / "weights" / "last.ckpt", self.state, meta,
+                    full=True, extras=extras,
+                )
                 if fitness >= self.best_fitness:
-                    save_checkpoint(self.save_dir / "weights" / "best.ckpt", self.state, meta)
+                    save_checkpoint(
+                        self.save_dir / "weights" / "best.ckpt", self.state, meta, extras=extras
+                    )
                 sp = int(getattr(args, "save_period", -1) or -1)
                 if sp > 0 and epoch % sp == 0:
                     # periodic epoch{N} snapshot (reference trainer.py:547)
-                    save_checkpoint(self.save_dir / "weights" / f"epoch{epoch}.ckpt", self.state, meta)
+                    save_checkpoint(
+                        self.save_dir / "weights" / f"epoch{epoch}.ckpt", self.state, meta,
+                        extras=extras,
+                    )
                 self.callbacks.run("on_model_save", self)
 
             if self.stopper(epoch, fitness):

@@ -84,6 +84,20 @@ class YOLO:
             "batch_stats": payload["batch_stats"],
         }
         self.ckpt_meta = meta
+        tf = payload.get("txt_feats")
+        if tf is not None:
+            # world ckpt: rebind the text embeddings the model trained
+            # against (without them the graph falls back to the untrained
+            # placeholder text and the weights are meaningless)
+            import dataclasses
+
+            import jax.numpy as jnp
+
+            self.txt_feats = jnp.asarray(np.asarray(tf))
+            self.model = _TextConditioned(self.model, self.txt_feats)
+            names = meta.get("names") or [str(i) for i in range(self.txt_feats.shape[1])]
+            self.spec = dataclasses.replace(self.spec, nc=len(names), names=tuple(names))
+            self.overrides["names"] = {i: n for i, n in enumerate(names)}
 
     def load(self, weights: str) -> "YOLO":
         """Import reference torch weights into the current graph."""
@@ -541,8 +555,13 @@ class YOLO:
         from bsyolo_tpu.engine.trainer import save_checkpoint
 
         state = init_train_state(self.variables)
-        meta = {"args": {"model": self.model_path}, "epoch": -1, "fitness": 0.0}
-        save_checkpoint(Path(path), state, meta)
+        meta = {
+            "args": {"model": self.model_path}, "epoch": -1, "fitness": 0.0,
+            "names": [str(n) for n in (self.spec.names if self.spec else ())],
+        }
+        tf = getattr(self, "txt_feats", None)
+        extras = {"txt_feats": np.asarray(tf)} if tf is not None else None
+        save_checkpoint(Path(path), state, meta, extras=extras)
         return path
 
     def export(self, format: str = "stablehlo", **kwargs):
@@ -593,7 +612,10 @@ class YOLOWorld(YOLO):
 
     def __init__(self, model: Union[str, Path] = "yolov8s-world.yaml", task: Optional[str] = None):
         super().__init__(model, task or "detect")
-        self.txt_feats = None
+        # a world .ckpt restores its trained text in _load_ckpt — keep it
+        self.txt_feats = getattr(self, "txt_feats", None)
+        if self.txt_feats is not None and hasattr(self.model, "model"):
+            self.model = self.model.model  # facade invariant: raw graph here
 
     def train(self, text_embeddings=None, **kwargs):
         """Fine-tune the world graph on a close-set dataset (reference

@@ -113,13 +113,15 @@ def benchmark(
             if val_data and fmt in runnable:
                 from bsyolo_tpu.engine.backend import AutoBackend, validate_artifact
 
-                m = validate_artifact(path, val_data, batch=batch, imgsz=imgsz, verbose=False)
+                backend = AutoBackend(path, imgsz)  # loaded once: val + timing
+                m = validate_artifact(
+                    path, val_data, batch=batch, imgsz=imgsz, verbose=False, backend=backend
+                )
                 row["map50"] = round(float(m.box.map50), 4)
                 row["map50_95"] = round(float(m.box.map), 4)
-                backend = AutoBackend(path, imgsz)
                 b = int(backend.meta.get("batch", batch))  # static artifact shapes
                 backend.warmup(b)
-                x = np.zeros((b, imgsz, imgsz, 3), np.float32)
+                x = np.zeros((b, backend.imgsz, backend.imgsz, 3), np.float32)
                 t0 = time.perf_counter()
                 iters = 3
                 for _ in range(iters):
@@ -128,9 +130,10 @@ def benchmark(
         except Exception as e:
             row["status"] = f"failed: {type(e).__name__}: {e}"
         rows.append(row)
-        LOGGER.info(
-            f"benchmark {fmt}: {row['status']} ({row['size_mb']} MB"
-            + (f", mAP50 {row['map50']}, {row['ms_per_img']} ms/img" if "map50" in row else "")
-            + ")"
+        speed = (
+            f", mAP50 {row['map50']}, {row['ms_per_img']} ms/img"
+            if "map50" in row and "ms_per_img" in row
+            else ""
         )
+        LOGGER.info(f"benchmark {fmt}: {row['status']} ({row['size_mb']} MB{speed})")
     return rows

@@ -518,3 +518,29 @@ class TestConvertGrounding:
         assert d["nc"] == 1 and d["names"][0] == "a red car"
         lbl = (tmp_path / "o2" / "labels" / "train" / "g0.txt").read_text().splitlines()
         assert len(lbl) == 1  # "a person" box dropped with the vocab cut
+
+    def test_phrase_yaml_escaping_and_nested_paths(self, tmp_path):
+        """Captions with yaml-hostile chars survive; nested file_names keep
+        their sub-directory so img2label_path resolves."""
+        import cv2
+        import json as _json
+
+        from bsyolo_tpu.data import YOLODataset, load_dataset_yaml
+        from bsyolo_tpu.data.converter import convert_grounding
+
+        img_dir = tmp_path / "src"
+        (img_dir / "part1").mkdir(parents=True)
+        cv2.imwrite(str(img_dir / "part1" / "x.jpg"),
+                    np.random.default_rng(0).integers(0, 255, (60, 60, 3)).astype(np.uint8))
+        cap = 'a sign that says: "stop" #now'
+        images = [{"id": 1, "file_name": "part1/x.jpg", "height": 60, "width": 60, "caption": cap}]
+        anns = [{"image_id": 1, "bbox": [10, 10, 30, 30], "iscrowd": 0,
+                 "tokens_positive": [[0, len(cap)]]}]
+        jf = tmp_path / "g.json"
+        jf.write_text(_json.dumps({"images": images, "annotations": anns}))
+        yaml_path = convert_grounding(str(jf), str(img_dir), str(tmp_path / "o3"))
+        d = load_dataset_yaml(yaml_path)
+        assert d["names"][0] == cap.lower()
+        assert (tmp_path / "o3" / "labels" / "train" / "part1" / "x.txt").exists()
+        ds = YOLODataset(d["train"], imgsz=64, augment=False, max_gt=4)
+        assert len(ds.labels[0][0]) == 1  # the box was found via the nested label

@@ -449,3 +449,17 @@ def test_export_nms_e2e(tmp_path):
     got = OnnxModule(out)(x)[0]
     assert got.shape == ref.shape == (1, 300, 6)
     np.testing.assert_allclose(ref, got, atol=5e-4, rtol=1e-3)
+
+
+def test_artifact_val_rejects_non_detect(tmp_path):
+    """Task guard: a segment export must refuse artifact val with a clear
+    error (its (4+nc+nm) layout would otherwise NMS mask coefficients as
+    class scores and report silently wrong mAP)."""
+    from pathlib import Path
+
+    from bsyolo_tpu.model import YOLO
+
+    m = YOLO(str(Path(__file__).parent / "fixtures" / "tinyseg.yaml"))
+    art = m.export(format="onnx", imgsz=96, output=str(tmp_path / "seg.onnx"))
+    with pytest.raises(ValueError, match="detect-family"):
+        YOLO(art).val(data=str(Path(__file__).parent / "fixtures" / "bsyolo8" / "bsyolo8.yaml"))

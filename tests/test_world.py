@@ -122,6 +122,18 @@ class TestWorldTrain:
         img = np.random.default_rng(1).integers(0, 255, (96, 96, 3), np.uint8)
         res = m.predict(img, conf=0.0001, imgsz=96)
         assert len(res) == 1
+        # ckpt roundtrip: the text matrix the model trained against is
+        # embedded in the checkpoint and rebound on load — without it the
+        # reloaded graph would score against placeholder text and collapse
+        from bsyolo_tpu.model import YOLO as _Y
+
+        reloaded = _Y(str(tmp_path / "runs" / "w" / "weights" / "best.ckpt"))
+        assert reloaded.txt_feats is not None and reloaded.txt_feats.shape == (1, 2, 512)
+        assert reloaded.spec.nc == 2 and reloaded.spec.names == ("square", "circle")
+        m2 = reloaded.val(data=str(data_yaml), imgsz=96, batch=8)
+        assert abs(float(m2.box.map50) - float(metrics.box.map50)) < 0.05, (
+            float(m2.box.map50), float(metrics.box.map50),
+        )
 
 
 class TestWorldSharded:
