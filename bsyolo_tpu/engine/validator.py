@@ -636,10 +636,23 @@ class DetectionValidator:
                 "no predictions.json will be written"
             )
             jdict = None
-        for batch in loader:
-            img = jnp.asarray(batch["img"])
+        def _pipelined(loader):
+            # one-batch software pipeline: dispatch batch k+1's forward (jax
+            # arrays are futures) before blocking on batch k's result, so the
+            # host's metric matching overlaps the device's next forward
+            prev = None
+            for nxt in loader:
+                pending = self._forward(variables, jnp.asarray(nxt["img"]))
+                if prev is not None:
+                    yield prev
+                prev = (nxt, pending)
+            if prev is not None:
+                yield prev
+
+        for batch, pending in _pipelined(loader):
             t0 = time.perf_counter()
-            dets = np.asarray(self._forward(variables, img))  # (B, max_det, 6)
+            img = batch["img"]
+            dets = np.asarray(pending)  # (B, max_det, 6)
             t_infer += time.perf_counter() - t0
             if self.single_cls:
                 dets = _collapse_single_cls(dets)
@@ -724,6 +737,9 @@ class DetectionValidator:
             target_cls = np.concatenate(stats["target_cls"])
             if len(target_cls):
                 metrics.process(tp, conf, pred_cls, target_cls)
+        # exposed wait, not device wall: the pipeline overlaps batch k+1's
+        # forward with batch k's host-side matching, so this is the time val
+        # actually spent blocked on the device
         metrics.speed["inference"] = t_infer / max(n_img, 1) * 1000
         metrics.confusion_matrix = confusion
         if self.plots and self.save_dir is not None:
