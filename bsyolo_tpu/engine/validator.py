@@ -101,6 +101,20 @@ def _mask_to_original(mask: np.ndarray, input_hw, orig_wh, r: float, dw: float, 
 
 
 
+def _pipeline_forward(forward, variables, loader):
+    """One-batch software pipeline shared by all validators: dispatch batch
+    k+1's forward (jax arrays are futures) before batch k's result is read,
+    so the host's metric matching overlaps the device's next forward."""
+    prev = None
+    for nxt in loader:
+        pending = forward(variables, jnp.asarray(nxt["img"]))
+        if prev is not None:
+            yield prev
+        prev = (nxt, pending)
+    if prev is not None:
+        yield prev
+
+
 def _collapse_single_cls(dets: np.ndarray) -> np.ndarray:
     """val single_cls: predictions collapse to class 0, padding rows keep
     their -1 sentinel (reference detect/val.py); one copy for 4 validators."""
@@ -159,9 +173,9 @@ class OBBValidator:
         confusion = ConfusionMatrix(nc=self.spec.nc, conf=self.conf)
         jc = _JsonCollector(loader, self.save_dir, self.class_map) if self.save_json else None
         n_seen = 0
-        for batch in loader:
-            img = jnp.asarray(batch["img"])
-            dets = np.asarray(self._forward(variables, img))  # (B, max_det, 7)
+        for batch, pending in _pipeline_forward(self._forward, variables, loader):
+            img = batch["img"]
+            dets = np.asarray(pending)  # (B, max_det, 7)
             if self.single_cls:
                 # nms_rotated has no agnostic mode; the class-separated
                 # suppression can keep marginally more boxes than the
@@ -341,10 +355,9 @@ class SegmentationValidator:
         confusion = ConfusionMatrix(nc=self.spec.nc, conf=self.conf)
         jc = _JsonCollector(loader, self.save_dir, self.class_map) if self.save_json else None
         n_seen = 0
-        for batch in loader:
-            img = jnp.asarray(batch["img"])
-            dets_d, masks_d = self._forward(variables, img)
-            dets, masks = np.asarray(dets_d), np.asarray(masks_d)
+        for batch, pending in _pipeline_forward(self._forward, variables, loader):
+            img = batch["img"]
+            dets, masks = np.asarray(pending[0]), np.asarray(pending[1])
             if self.single_cls:
                 dets = _collapse_single_cls(dets)
             dets = _filter_classes(dets, self.classes)
@@ -485,10 +498,9 @@ class PoseValidator:
         confusion = ConfusionMatrix(nc=self.spec.nc, conf=self.conf)
         jc = _JsonCollector(loader, self.save_dir, self.class_map) if self.save_json else None
         n_seen = 0
-        for batch in loader:
-            img = jnp.asarray(batch["img"])
-            dets_d, kpts_d = self._forward(variables, img)
-            dets, kpts = np.asarray(dets_d), np.asarray(kpts_d)
+        for batch, pending in _pipeline_forward(self._forward, variables, loader):
+            img = batch["img"]
+            dets, kpts = np.asarray(pending[0]), np.asarray(pending[1])
             if self.single_cls:
                 dets = _collapse_single_cls(dets)
             dets = _filter_classes(dets, self.classes)
@@ -636,20 +648,7 @@ class DetectionValidator:
                 "no predictions.json will be written"
             )
             jdict = None
-        def _pipelined(loader):
-            # one-batch software pipeline: dispatch batch k+1's forward (jax
-            # arrays are futures) before blocking on batch k's result, so the
-            # host's metric matching overlaps the device's next forward
-            prev = None
-            for nxt in loader:
-                pending = self._forward(variables, jnp.asarray(nxt["img"]))
-                if prev is not None:
-                    yield prev
-                prev = (nxt, pending)
-            if prev is not None:
-                yield prev
-
-        for batch, pending in _pipelined(loader):
+        for batch, pending in _pipeline_forward(self._forward, variables, loader):
             t0 = time.perf_counter()
             img = batch["img"]
             dets = np.asarray(pending)  # (B, max_det, 6)
