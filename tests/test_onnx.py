@@ -463,3 +463,41 @@ def test_artifact_val_rejects_non_detect(tmp_path):
     art = m.export(format="onnx", imgsz=96, output=str(tmp_path / "seg.onnx"))
     with pytest.raises(ValueError, match="detect-family"):
         YOLO(art).val(data=str(Path(__file__).parent / "fixtures" / "bsyolo8" / "bsyolo8.yaml"))
+
+
+@pytest.mark.parametrize(
+    "yaml_name",
+    [
+        "yolo11.yaml",       # the BS fork graph: PMSFA/C3k2_gai, SCDown, MSCA, ELA
+        "yolov9t.yaml",      # GELAN: RepNCSPELAN4/AConv/SPPELAN
+        "yolov8-ghost.yaml", # GhostConv/GhostBottleneck/C3Ghost
+        "yolov6.yaml",       # ConvTranspose upsampling
+        "yolov3-tiny.yaml",  # MaxPool2d/ZeroPad2d graph layers
+    ],
+)
+@pytest.mark.slow
+def test_family_export_parity(yaml_name, tmp_path):
+    """Architecture families beyond the yolo11 task heads export to ONNX with
+    numeric parity — the primitive-level lowering claim (docs/architecture.md)
+    checked on the fork graph, GELAN, Ghost, ConvTranspose, and MaxPool
+    module sets."""
+    from bsyolo_tpu.engine.exporter import _build_export_predict
+    from bsyolo_tpu.model import YOLO
+
+    y = YOLO(yaml_name)
+    predict, _ = _build_export_predict(y.spec, y.model, y.variables, False)
+    x = RNG.rand(1, 64, 64, 3).astype(np.float32)
+    ref = np.asarray(predict(jnp.asarray(x)))
+    out = y.export(format="onnx", imgsz=64, output=str(tmp_path / "m.onnx"))
+    (got,) = OnnxModule(out)(x)
+    assert ref.shape == got.shape
+    np.testing.assert_allclose(ref, got, atol=5e-4, rtol=1e-3)
+
+
+def test_prim_avgpool():
+    def f(a):
+        import flax.linen as fnn
+
+        return fnn.avg_pool(a, (2, 2), strides=(2, 2), padding=((1, 0), (0, 1)))
+
+    _roundtrip(f, RNG.randn(2, 7, 7, 3).astype(np.float32))
