@@ -467,6 +467,28 @@ class DetectionTrainer:
             LOGGER.info(f"freezing layers {sorted(keys)} (no grads, no decay)")
         return keys
 
+    def _profile_tick(self, n: int):
+        """profile=True: open the xprof trace after the first (compiling)
+        step, close it ~3 steady-state steps later."""
+        if self._profile_pending and n >= 1:
+            (self.save_dir / "profile").mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(str(self.save_dir / "profile"))
+            self._profile_pending = False
+            self._profiling = True
+            self._profile_stop_at = n + 3
+        elif self._profiling and n >= self._profile_stop_at:
+            self._profile_stop()
+
+    def _profile_stop(self):
+        if getattr(self, "_profiling", False):
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self._profiling = False
+            LOGGER.info(
+                f"profile=True: xprof trace (post-compile steps) written to "
+                f"{self.save_dir / 'profile'} — open with TensorBoard's profile plugin"
+            )
+
     def _run_chunk(self, buf, em) -> int:
         """Stage K host batches as one (K, B, ...) transfer and run the
         K-step compiled scan; fold the stacked (K,) loss metrics into em."""
@@ -539,6 +561,12 @@ class DetectionTrainer:
         )
         t_start = time.time()
         stop_epoch = args.epochs
+        # profile=True (reference default.yaml:35 profiles ONNX/TRT speeds
+        # during train; the TPU-native mapping per SURVEY §5.1 is an xprof
+        # trace): capture steps 2-4 of the first epoch — past the compile —
+        # into save_dir/profile, loadable by TensorBoard's profile plugin.
+        self._profiling = False
+        self._profile_pending = bool(getattr(args, "profile", False))
         for epoch in range(self.start_epoch, args.epochs):
             self.epoch = epoch
             self.callbacks.run("on_train_epoch_start", self)
@@ -567,6 +595,7 @@ class DetectionTrainer:
                     if len(chunk_buf) == self.chunk_steps:
                         n += self._run_chunk(chunk_buf, em)
                         chunk_buf = []
+                        self._profile_tick(n)
                     continue
                 if self.world > 1:
                     batch = pdist.host_local_batch_to_global(batch, self.mesh)
@@ -579,12 +608,14 @@ class DetectionTrainer:
                 for k, v in m.items():
                     if k.endswith("loss"):
                         em[k] = em.get(k, 0.0) + float(v)
+                self._profile_tick(n)
             for batch in chunk_buf:  # epoch tail shorter than a chunk
                 self.state, m = self.train_step(self.state, shard_batch(batch, self.mesh))
                 n += 1
                 for k, v in m.items():
                     if k.endswith("loss"):
                         em[k] = em.get(k, 0.0) + float(v)
+            self._profile_stop()  # short first epoch: close the trace anyway
             em = {k: v / max(n, 1) for k, v in em.items()}
 
             self.callbacks.run("on_train_epoch_end", self)

@@ -320,3 +320,15 @@ def test_trainer_chunked_run_with_tail(data_yaml, tmp_path):
     assert int(t.state.step) == 4  # 2 epochs x 2 steps: every batch trained
     assert np.isfinite(t.epoch_metrics["train/loss"])
     assert (tmp_path / "runs" / "t" / "weights" / "last.ckpt").exists()
+
+
+def test_profile_flag_writes_xprof_trace(data_yaml, tmp_path):
+    """profile=True captures a post-compile xprof trace into save_dir/profile
+    (SURVEY §5.1 TPU mapping of the reference's inert profile flag)."""
+    from bsyolo_tpu.engine.trainer import DetectionTrainer
+
+    t = DetectionTrainer(overrides=_overrides(data_yaml, tmp_path, profile=True, epochs=1))
+    t.train()
+    prof = tmp_path / "runs" / "t" / "profile"
+    traces = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace.json.gz"))
+    assert traces, f"no trace files under {prof}"
