@@ -171,9 +171,44 @@ def mixup(img1, labels1, img2, labels2, rng: np.random.Generator):
     return img, cls, boxes
 
 
-def copy_paste(img, cls, boxes, rng: np.random.Generator, p: float = 0.5):
-    """Flip-mode copy-paste (reference augment.py:1634, copy_paste_mode=flip):
-    horizontally mirror a subset of boxes and paste the mirrored pixels."""
+def copy_paste(img, cls, boxes, rng: np.random.Generator, p: float = 0.5, donor=None):
+    """Copy-paste augmentation (reference augment.py:1634 CopyPaste).
+
+    flip mode (donor=None): horizontally mirror a subset of this image's
+    boxes and paste the mirrored pixels. mixup mode (donor=(dimg, dcls,
+    dboxes), reference copy_paste_mode="mixup"/_mix_transform): paste box
+    regions from ANOTHER training image at their own coordinates instead.
+    Both gate each paste on IoA < 0.30 against all current boxes."""
+    if donor is not None:
+        dimg, dcls, dboxes = donor
+        if len(dboxes) == 0:
+            return img, cls, boxes
+        h, w = img.shape[:2]
+        n = max(1, int(len(dboxes) * p))
+        sel = rng.choice(len(dboxes), n, replace=False)
+        new_cls, new_boxes = [cls] if len(cls) else [], [boxes] if len(boxes) else []
+        img = img.copy()
+        for j in sel:
+            x1 = int(np.clip(dboxes[j, 0], 0, w - 1))
+            y1 = int(np.clip(dboxes[j, 1], 0, h - 1))
+            x2 = int(np.clip(dboxes[j, 2], 0, w))
+            y2 = int(np.clip(dboxes[j, 3], 0, h))
+            if x2 <= x1 or y2 <= y1:
+                continue
+            if new_boxes:
+                cur = np.concatenate(new_boxes)
+                iw = np.minimum(cur[:, 2], x2) - np.maximum(cur[:, 0], x1)
+                ih = np.minimum(cur[:, 3], y2) - np.maximum(cur[:, 1], y1)
+                inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+                area = (cur[:, 2] - cur[:, 0]) * (cur[:, 3] - cur[:, 1]) + 1e-9
+                if (inter / area >= 0.30).any():
+                    continue
+            img[y1:y2, x1:x2] = dimg[y1:y2, x1:x2]
+            new_cls.append(np.asarray(dcls[j : j + 1]))
+            new_boxes.append(np.asarray([[x1, y1, x2, y2]], np.float32))
+        if not new_boxes:
+            return img, cls, boxes
+        return img, np.concatenate(new_cls), np.concatenate(new_boxes)
     if len(boxes) == 0 or p <= 0:
         return img, cls, boxes
     h, w = img.shape[:2]
@@ -301,7 +336,19 @@ def train_transform(
         border=border,
     )
     if hyp.get("copy_paste", 0.0) > 0 and rng.random() < hyp.get("copy_paste", 0.0):
-        img, cls, boxes = copy_paste(img, cls, boxes, rng)
+        donor = None
+        if str(hyp.get("copy_paste_mode", "flip")) == "mixup" and len(imgs) > 1:
+            # donor = one of the other random source images, letterboxed to
+            # this canvas (the reference draws one extra dataset sample;
+            # mosaic sources ARE random dataset samples, so reuse one)
+            k = int(rng.integers(1, len(imgs)))
+            dimg, (dcls, dboxes) = imgs[k], labels[k]
+            dimg, r, (dw, dh) = letterbox_image(dimg, img.shape[:2], scaleup=True)
+            dboxes = dboxes * r
+            dboxes[:, [0, 2]] += dw
+            dboxes[:, [1, 3]] += dh
+            donor = (dimg, dcls, dboxes)
+        img, cls, boxes = copy_paste(img, cls, boxes, rng, donor=donor)
     from bsyolo_tpu.data.photometric import photometric_suite
 
     # Albumentations-analog photometric suite (reference augment.py:1735;

@@ -13,7 +13,8 @@ from bsyolo_tpu.data.dataset import IMG_FORMATS
 
 class ClassificationDataset:
     def __init__(self, root: str, imgsz: int = 224, augment: bool = True, fliplr: float = 0.5,
-                 auto_augment: Optional[str] = None, erasing: float = 0.0):
+                 auto_augment: Optional[str] = None, erasing: float = 0.0,
+                 crop_fraction: float = 1.0):
         self.root = Path(root)
         classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
         if not classes:
@@ -29,6 +30,7 @@ class ClassificationDataset:
         self.fliplr = fliplr
         self.auto_augment = auto_augment
         self.erasing = erasing
+        self.crop_fraction = crop_fraction
 
     def __len__(self):
         return len(self.samples)
@@ -52,7 +54,7 @@ class ClassificationDataset:
             )
         else:
             # shortest-edge resize + center crop (reference classify_transforms)
-            img = classify_eval_transform(im, size=self.imgsz)
+            img = classify_eval_transform(im, size=self.imgsz, crop_fraction=self.crop_fraction)
         return img, np.int32(cls)
 
 

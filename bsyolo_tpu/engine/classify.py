@@ -94,7 +94,10 @@ class ClassificationTrainer:
             erasing=float(getattr(args, "erasing", 0.0) or 0.0),
         )
         val_dir = root / ("val" if (root / "val").exists() else "test")
-        val_ds = ClassificationDataset(val_dir, imgsz=args.imgsz, augment=False)
+        val_ds = ClassificationDataset(
+            val_dir, imgsz=args.imgsz, augment=False,
+            crop_fraction=float(getattr(args, "crop_fraction", 1.0) or 1.0),
+        )
         names = train_ds.class_names
         nc = len(names)
 

@@ -212,7 +212,10 @@ class YOLO:
 
             root = _P(data)
             val_dir = root / ("val" if (root / "val").exists() else "test")
-            ds = ClassificationDataset(val_dir, imgsz=imgsz, augment=False)
+            ds = ClassificationDataset(
+                val_dir, imgsz=imgsz, augment=False,
+                crop_fraction=float(kwargs.get("crop_fraction", 1.0) or 1.0),
+            )
             loader = ClassifyLoader(ds, batch, shuffle=False, drop_last=False)
             self.metrics = ClassificationValidator(self.model)(self.variables, loader)
             return self.metrics
@@ -535,10 +538,19 @@ class YOLO:
     def reset_callbacks(self):
         self._callbacks = None
 
-    def track(self, source, persist: bool = False, tracker: str = "bytetrack.yaml", **kwargs):
-        """Detection + multi-object tracking (reference engine/model.py:560)."""
+    def track(self, source, persist: bool = False, tracker: Optional[str] = None, **kwargs):
+        """Detection + multi-object tracking (reference engine/model.py:560).
+
+        ``tracker`` defaults to the cfg ``tracker`` key (botsort.yaml, like
+        the reference default.yaml:133)."""
         from bsyolo_tpu.trackers import track_results
 
+        if tracker is None:
+            from bsyolo_tpu.cfg import DEFAULT_CFG_DICT
+
+            tracker = self.overrides.get("tracker") or DEFAULT_CFG_DICT.get(
+                "tracker", "botsort.yaml"
+            )
         if not persist or not hasattr(self, "_tracker"):
             from bsyolo_tpu.trackers import create_tracker
 

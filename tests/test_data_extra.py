@@ -544,3 +544,42 @@ class TestConvertGrounding:
         assert (tmp_path / "o3" / "labels" / "train" / "part1" / "x.txt").exists()
         ds = YOLODataset(d["train"], imgsz=64, augment=False, max_gt=4)
         assert len(ds.labels[0][0]) == 1  # the box was found via the nested label
+
+
+class TestConfigKeyWirings:
+    def test_copy_paste_mixup_mode(self):
+        """copy_paste_mode=mixup pastes boxes from a donor image (reference
+        CopyPaste._mix_transform) with the IoA gate; flip stays default."""
+        from bsyolo_tpu.data.augment import copy_paste
+
+        rng = np.random.default_rng(0)
+        img = np.zeros((64, 64, 3), np.uint8)
+        dimg = np.full((64, 64, 3), 200, np.uint8)
+        dcls = np.asarray([3])
+        dboxes = np.asarray([[8.0, 8.0, 24.0, 24.0]], np.float32)
+        out, cls, boxes = copy_paste(
+            img, np.zeros((0,), np.int64), np.zeros((0, 4), np.float32), rng,
+            p=1.0, donor=(dimg, dcls, dboxes),
+        )
+        assert (out[10, 10] == 200).all() and (out[40, 40] == 0).all()
+        assert list(cls) == [3] and boxes.shape == (1, 4)
+
+    def test_crop_fraction_changes_eval_crop(self):
+        from bsyolo_tpu.data.photometric import classify_eval_transform
+
+        im = np.zeros((100, 100, 3), np.uint8)
+        im[40:60, 40:60] = 255  # center patch
+        full = classify_eval_transform(im, size=32, crop_fraction=1.0)
+        tight = classify_eval_transform(im, size=32, crop_fraction=0.5)
+        # tighter crop zooms the center patch: more bright pixels
+        assert tight.mean() > full.mean()
+
+    def test_track_default_tracker_is_cfg_botsort(self, monkeypatch):
+        from bsyolo_tpu import YOLO
+        from bsyolo_tpu.trackers.bot_sort import BOTSORT
+
+        m = YOLO.__new__(YOLO)
+        m.overrides = {}
+        m.predict = lambda source, **kw: []
+        out = m.track("x")
+        assert isinstance(m._tracker, BOTSORT)
