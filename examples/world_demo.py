@@ -37,5 +37,25 @@ def main():
     print(f"speed: {r.speed}")
 
 
+def train(data_yaml: str, epochs: int = 10):
+    """Fine-tune the world graph on a close-set dataset (WorldTrainer analog,
+    reference models/yolo/world/train.py):
+
+        JAX_PLATFORMS=cpu python examples/world_demo.py train car.yaml 10
+
+    Text embeddings come from the hashed fallback unless you pass CLIP
+    vectors via YOLOWorld.train(text_embeddings=...). Grounding-caption
+    json trains the same way after data/converter.convert_grounding."""
+    from bsyolo_tpu import YOLOWorld
+
+    m = YOLOWorld("yolov8s-worldv2.yaml")
+    metrics = m.train(data=data_yaml, epochs=epochs)
+    print(f"mAP50 {metrics.box.map50:.4f}; trained text {m.txt_feats.shape}")
+    return m
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "train":
+        train(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    else:
+        main()
