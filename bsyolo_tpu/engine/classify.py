@@ -161,8 +161,9 @@ class ClassificationTrainer:
             for batch in train_loader:
                 batch = {"img": jnp.asarray(batch["img"]), "cls": jnp.asarray(batch["cls"])}
                 state, m = step(state, batch)
-                tot += float(m["loss"])
+                tot += m["loss"]  # lazy device scalar: no per-step sync
                 n += 1
+            tot = float(tot)
             variables_eval = {"params": state.ema_params, "batch_stats": state.batch_stats}
             self.callbacks.run("on_train_epoch_end", self)
             self.metrics = validator(variables_eval, val_loader)
