@@ -157,7 +157,10 @@ class DataLoader:
                 # wrapped rows are encoded NEGATIVE (-(idx+1)) so _assemble
                 # can mark them im_idx=-1 — downstream metric/json/txt
                 # consumers skip the duplicates instead of double-counting
-                pad = order[: self.batch_size - len(tail)]
+                # np.resize repeats order when the dataset itself is smaller
+                # than the pad (n < batch_size - len(tail)) — a single wrap
+                # would come up short and break static-shape consumers
+                pad = np.resize(order, self.batch_size - len(tail))
                 batches.append(np.concatenate([tail, -(pad + 1)]))
         return batches
 

@@ -128,6 +128,20 @@ def _build_export_predict(spec, model, variables, nms: bool):
     return predict, "(B, 300, 6) xyxy conf cls" if nms else "(B, anchors, 4+nc) xywh+scores"
 
 
+def _write_meta(out, spec, imgsz, batch, nms, output_desc, extra=None, path=None):
+    """One meta-sidecar writer for every format (AutoBackend/validate_artifact
+    read this contract): imgsz/batch pin the static shapes, task gates
+    artifact validation, names feed metrics."""
+    meta = {
+        "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
+        "task": spec.task, "nms": nms, "input": "NHWC float32 [0,1] RGB",
+        "output": output_desc,
+    }
+    if extra:
+        meta.update(extra)
+    (path or Path(str(out) + ".json")).write_text(json.dumps(meta, indent=2))
+
+
 def export_model(
     yolo,
     format: str = "stablehlo",
@@ -183,14 +197,8 @@ def export_model(
         out = Path(output or f"{name}.stablehlo-int8")
         blob = exported.serialize()
         out.write_bytes(blob)
-        meta = {
-            "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
-            "task": spec.task,
-            "nms": nms, "quant": "int8 convs, per-out-channel weight + static activation scales",
-            "input": "NHWC float32 [0,1] RGB",
-            "output": output_desc,
-        }
-        Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
+        _write_meta(out, spec, imgsz, batch, nms, output_desc,
+                    extra={"quant": "int8 convs, per-out-channel weight + static activation scales"})
         LOGGER.info(f"exported int8 StableHLO to {out} ({len(blob)} bytes)")
         return str(out)
 
@@ -202,17 +210,7 @@ def export_model(
         # baked in as constants). examples/cpp_client/pjrt_main.cpp hands
         # this straight to PJRT_Client_Compile on any PJRT plugin.
         Path(str(out) + ".mlir").write_bytes(exported.mlir_module_serialized)
-        meta = {
-            "imgsz": imgsz,
-            "batch": batch,
-            "nc": spec.nc,
-            "names": list(spec.names),
-            "task": spec.task,
-            "nms": nms,
-            "input": "NHWC float32 [0,1] RGB",
-            "output": output_desc,
-        }
-        Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
+        _write_meta(out, spec, imgsz, batch, nms, output_desc)
         LOGGER.info(f"exported StableHLO to {out} ({len(blob)} bytes)")
         return str(out)
 
@@ -233,13 +231,7 @@ def export_model(
             output_names=["output0", "output1"],
             name=name,
         )
-        meta = {
-            "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
-            "task": spec.task,
-            "nms": nms, "opset": 13, "input": "NHWC float32 [0,1] RGB",
-            "output": output_desc,
-        }
-        Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
+        _write_meta(out, spec, imgsz, batch, nms, output_desc, extra={"opset": 13})
         LOGGER.info(f"exported ONNX (opset 13) to {out}")
         return str(out)
 
@@ -265,13 +257,8 @@ def export_model(
             tf.saved_model.save(
                 module, str(out), signatures={"serving_default": tf_fn.get_concrete_function()}
             )
-            meta = {
-                "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
-            "task": spec.task,
-                "nms": nms, "input": "NHWC float32 [0,1] RGB",
-                "output": output_desc,
-            }
-            (Path(str(out)) / "bsyolo_meta.json").write_text(json.dumps(meta, indent=2))
+            _write_meta(out, spec, imgsz, batch, nms, output_desc,
+                        path=Path(str(out)) / "bsyolo_meta.json")
             return str(out)
         converter = tf.lite.TFLiteConverter.from_concrete_functions(
             [tf_fn.get_concrete_function()], module
@@ -296,13 +283,7 @@ def export_model(
         blob = converter.convert()
         out = Path(str(out.with_suffix("")) + format.replace("tflite", "").replace("-", "_")).with_suffix(".tflite")
         out.write_bytes(blob)
-        meta = {
-            "imgsz": imgsz, "batch": batch, "nc": spec.nc, "names": list(spec.names),
-            "task": spec.task,
-            "nms": nms, "input": "NHWC float32 [0,1] RGB",
-            "output": output_desc,
-        }
-        Path(str(out) + ".json").write_text(json.dumps(meta, indent=2))
+        _write_meta(out, spec, imgsz, batch, nms, output_desc)
         return str(out)
 
     raise ValueError(

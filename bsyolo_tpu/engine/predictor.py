@@ -510,11 +510,14 @@ class DetectionPredictor:
                 # undo the letterbox: crop the padded region then resize
                 import cv2
 
+                from bsyolo_tpu.ops.letterbox import letterbox_params
+
+                # one source of truth for the letterbox inversion arithmetic
                 h0, w0 = frame.shape[:2]
-                gain = min(self.imgsz / h0, self.imgsz / w0)
-                ph = round((self.imgsz - h0 * gain) / 2 - 0.1)
-                pw = round((self.imgsz - w0 * gain) / 2 - 0.1)
-                hs, ws = int(round(h0 * gain)), int(round(w0 * gain))
+                gain, (pw_f, ph_f), (ws, hs) = letterbox_params(
+                    (h0, w0), (self.imgsz, self.imgsz)
+                )
+                ph, pw = round(ph_f - 0.1), round(pw_f - 0.1)
                 cropped = masks[:, ph : ph + hs, pw : pw + ws]
                 out_masks = np.stack(
                     [cv2.resize(m, (w0, h0), interpolation=cv2.INTER_LINEAR) for m in cropped]
@@ -545,9 +548,11 @@ class DetectionPredictor:
         ph, pw, nm = proto.shape
         m = c.astype(np.float32) @ proto.reshape(-1, nm).T.astype(np.float32)
         m = 1.0 / (1.0 + np.exp(-m.reshape(-1, ph, pw)))
-        gain = min(self.imgsz / h0, self.imgsz / w0)
-        top = int(round((self.imgsz - h0 * gain) / 2 / self.imgsz * ph - 0.1))
-        left = int(round((self.imgsz - w0 * gain) / 2 / self.imgsz * pw - 0.1))
+        from bsyolo_tpu.ops.letterbox import letterbox_params
+
+        _, (pad_w, pad_h), _ = letterbox_params((h0, w0), (self.imgsz, self.imgsz))
+        top = int(round(pad_h / self.imgsz * ph - 0.1))
+        left = int(round(pad_w / self.imgsz * pw - 0.1))
         bottom = ph - max(top, 0)
         right = pw - max(left, 0)
         m = m[:, max(top, 0) : bottom, max(left, 0) : right]

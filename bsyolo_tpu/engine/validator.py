@@ -636,18 +636,13 @@ class DetectionValidator:
         t_infer = 0.0
         n_img = 0
         # COCO-format predictions (reference val.py:281 pred_to_json); only
-        # meaningful with shuffle=False loaders, which is how val runs
-        jdict = [] if self.save_json else None
+        # meaningful with shuffle=False loaders, which is how val runs.
+        # Same _JsonCollector plumbing as the OBB/segment/pose validators.
+        jc = _JsonCollector(loader, self.save_dir, self.class_map) if self.save_json else None
+        if jc is not None and not jc.im_files:
+            jc = None
         im_files = getattr(getattr(loader, "dataset", None), "img_files", None)
         n_total = len(im_files) if im_files else 0
-        if self.save_json and not im_files:
-            from bsyolo_tpu.utils import LOGGER
-
-            LOGGER.warning(
-                "save_json requested but the loader's dataset has no img_files; "
-                "no predictions.json will be written"
-            )
-            jdict = None
         for batch, pending in _pipeline_forward(self._forward, variables, loader):
             t0 = time.perf_counter()
             img = batch["img"]
@@ -685,7 +680,7 @@ class DetectionValidator:
                 stats["pred_cls"].append(d[:, 5])
                 stats["target_cls"].append(gt_cls)
                 confusion.process_batch(d, gt_xyxy, gt_cls)
-            if jdict is not None or (self.save_txt and im_files):
+            if jc is not None or (self.save_txt and im_files):
                 from bsyolo_tpu.utils.coco import pred_to_json
 
                 for i in range(b):
@@ -694,8 +689,8 @@ class DetectionValidator:
                         continue
                     ub = _unletterbox_file(im_files[k], (h, w))
                     d = _boxes_to_original(dets[i][dets[i][:, 4] > 0], ub)
-                    if jdict is not None:
-                        jdict.extend(pred_to_json(d, im_files[k], class_map=self.class_map))
+                    if jc is not None:
+                        jc.jdict.extend(pred_to_json(d, im_files[k], class_map=self.class_map))
                     if self.save_txt:
                         # labels/{stem}.txt, normalized xywh [+ conf]
                         # (reference detect/val.py:270 save_one_txt) — lines
@@ -717,16 +712,8 @@ class DetectionValidator:
                         (out / f"{_Path(im_files[k]).stem}.txt").write_text(
                             "\n".join(lines) + ("\n" if lines else ""))
 
-        if jdict is not None:
-            from pathlib import Path as _Path
-
-            from bsyolo_tpu.utils import LOGGER
-            from bsyolo_tpu.utils.coco import save_predictions_json
-
-            out = _Path(self.save_dir or ".") / "predictions.json"
-            out.parent.mkdir(parents=True, exist_ok=True)
-            save_predictions_json(jdict, out)
-            LOGGER.info(f"saved {len(jdict)} COCO-format predictions to {out}")
+        if jc is not None:
+            jc.save()
 
         metrics = DetMetrics(names=self.names)
         if stats["tp"]:

@@ -101,9 +101,15 @@ def task_aligned_assign(
     # lax.top_k over (b, M, 8400) measures ~38 ms at batch 64 — it sorts),
     # compare against the k-th largest VALUE, computed by k-1 iterated
     # masked max-reductions (~3 ms: k streaming passes, no sort). Inside a
-    # valid row this selects the same anchors except exact ties at the
-    # threshold; ties only occur at metric==0 (CIoU clipped), which carry
-    # zero target-score weight either way, so training is unchanged. Rows
+    # valid row this selects the same anchors except EXACT float ties at
+    # the threshold: the reference's top_k breaks such ties arbitrarily
+    # (lowest index) and keeps exactly k, while >= kth keeps every tied
+    # anchor. In practice ties above zero need bit-identical score*CIoU
+    # products (duplicated GT geometry / saturated scores); when they do
+    # occur the extra tied anchors are equally-good positives and only
+    # dilute that GT's target-score normalization marginally — an accepted,
+    # documented divergence, NOT an impossibility. Ties at metric==0
+    # (CIoU clipped) carry zero weight either way and don't matter. Rows
     # with fewer than k distinct positive metrics threshold at -inf and
     # keep every positive anchor — also what the reference's top-k does.
     # The positivity cut is STRICT > 0, not > eps: beta=6 makes tiny-IoU

@@ -422,14 +422,17 @@ def _top_k(lw, eqn):
     return [vals, idx]
 
 
-@_register("reduce_window_max")
-def _reduce_window_max(lw, eqn):
+def _lower_pool(lw, eqn, prim_name, emit_pool):
+    """Shared reduce_window pool scaffolding: partition pooled/free axes,
+    collapse free axes into a fake batch, run the 1-channel ONNX pool, and
+    restore the original layout. ``emit_pool(xt, kernel, strides, pads) ->
+    name`` supplies the op-specific node(s)."""
     p = eqn.params
     window = [int(w) for w in p["window_dimensions"]]
     strides = [int(s) for s in p["window_strides"]]
     padding = [(int(lo), int(hi)) for lo, hi in p["padding"]]
     if any(int(d) != 1 for d in p.get("base_dilation", [1] * len(window))):
-        raise UnsupportedPrimitive("reduce_window_max with base dilation")
+        raise UnsupportedPrimitive(f"{prim_name} with base dilation")
     dil = [int(d) for d in p.get("window_dilation", [1] * len(window))]
     rank = len(window)
     pooled = [i for i in range(rank) if window[i] != 1 or strides[i] != 1 or padding[i] != (0, 0)]
@@ -444,16 +447,25 @@ def _reduce_window_max(lw, eqn):
     free_elems = int(np.prod([in_shape[i] for i in free])) if free else 1
     xt = lw.reshape(xt, [free_elems, 1] + [int(in_shape[i]) for i in pooled])
     pads = [padding[i][0] for i in pooled] + [padding[i][1] for i in pooled]
-    pool = lw.b.node(
-        "MaxPool",
-        [xt],
-        kernel_shape=[window[i] for i in pooled],
-        strides=[strides[i] for i in pooled],
-        pads=pads,
-        dilations=[dil[i] for i in pooled],
-    )[0]
+    pool = emit_pool(
+        xt,
+        [window[i] for i in pooled],
+        [strides[i] for i in pooled],
+        pads,
+        [dil[i] for i in pooled],
+    )
     pool = lw.reshape(pool, [int(out_shape[i]) for i in free] + [int(out_shape[i]) for i in pooled])
     return [lw.transpose(pool, _inverse_perm(perm))]
+
+
+@_register("reduce_window_max")
+def _reduce_window_max(lw, eqn):
+    def emit(xt, kernel, strides, pads, dil):
+        return lw.b.node(
+            "MaxPool", [xt], kernel_shape=kernel, strides=strides, pads=pads, dilations=dil
+        )[0]
+
+    return _lower_pool(lw, eqn, "reduce_window_max", emit)
 
 
 @_register("reduce_window_sum")
@@ -461,39 +473,17 @@ def _reduce_window_sum(lw, eqn):
     """Sum-pool (jax avg_pool traces as reduce_window_sum + div): ONNX has
     no SumPool, so AveragePool with count_include_pad=1 times the window
     element count reproduces the sum exactly (pad contributes zeros)."""
-    p = eqn.params
-    window = [int(w) for w in p["window_dimensions"]]
-    strides = [int(s) for s in p["window_strides"]]
-    padding = [(int(lo), int(hi)) for lo, hi in p["padding"]]
-    if any(int(d) != 1 for d in p.get("base_dilation", [1] * len(window))):
-        raise UnsupportedPrimitive("reduce_window_sum with base dilation")
-    if any(int(d) != 1 for d in p.get("window_dilation", [1] * len(window))):
-        raise UnsupportedPrimitive("reduce_window_sum with window dilation")
-    rank = len(window)
-    pooled = [i for i in range(rank) if window[i] != 1 or strides[i] != 1 or padding[i] != (0, 0)]
-    if not pooled:
-        return [lw.read(eqn.invars[0])]
-    free = [i for i in range(rank) if i not in pooled]
-    x = lw.read(eqn.invars[0])
-    in_shape = lw.shape(eqn.invars[0])
-    out_shape = [int(d) for d in eqn.outvars[0].aval.shape]
-    perm = free + pooled
-    xt = lw.transpose(x, perm)
-    free_elems = int(np.prod([in_shape[i] for i in free])) if free else 1
-    xt = lw.reshape(xt, [free_elems, 1] + [int(in_shape[i]) for i in pooled])
-    pads = [padding[i][0] for i in pooled] + [padding[i][1] for i in pooled]
-    pool = lw.b.node(
-        "AveragePool",
-        [xt],
-        kernel_shape=[window[i] for i in pooled],
-        strides=[strides[i] for i in pooled],
-        pads=pads,
-        count_include_pad=1,
-    )[0]
-    n_elem = float(np.prod([window[i] for i in pooled]))
-    pool = lw.b.node("Mul", [pool, lw.const(np.asarray(n_elem, np.float32))])[0]
-    pool = lw.reshape(pool, [int(out_shape[i]) for i in free] + [int(out_shape[i]) for i in pooled])
-    return [lw.transpose(pool, _inverse_perm(perm))]
+    def emit(xt, kernel, strides, pads, dil):
+        if any(d != 1 for d in dil):
+            raise UnsupportedPrimitive("reduce_window_sum with window dilation")
+        pool = lw.b.node(
+            "AveragePool", [xt], kernel_shape=kernel, strides=strides, pads=pads,
+            count_include_pad=1,
+        )[0]
+        n_elem = float(np.prod(kernel))
+        return lw.b.node("Mul", [pool, lw.const(np.asarray(n_elem, np.float32))])[0]
+
+    return _lower_pool(lw, eqn, "reduce_window_sum", emit)
 
 
 @_register("conv_general_dilated")

@@ -77,6 +77,25 @@ class OnnxModule:
         ]
         self.output_names = [vi["name"] for vi in graph.get("output", [])]
         self.nodes = graph.get("node", [])
+        # liveness: last top-level node index that reads each tensor
+        # (including reads from inside Loop body subgraphs, which see the
+        # outer scope) — lets __call__ free consumed activations instead of
+        # holding every intermediate until the end (a full YOLO graph's
+        # activations sum to GBs of host f32)
+        def _refs(node):
+            names = [n for n in node.get("input", []) if n]
+            for a in node.get("attribute", []):
+                g = a.get("g")
+                if g:
+                    for sub in g.get("node", []):
+                        names += _refs(sub)
+            return names
+
+        self._last_use: Dict[str, int] = {}
+        for i, node in enumerate(self.nodes):
+            for n in _refs(node):
+                self._last_use[n] = i
+        self._keep = set(self.output_names) | set(self.initializers)
 
     @property
     def opset(self) -> int:
@@ -89,24 +108,28 @@ class OnnxModule:
         env: Dict[str, np.ndarray] = dict(self.initializers)
         for name, val in zip(self.input_names, inputs):
             env[name] = np.asarray(val)
-        self._run_nodes(self.nodes, env)
+        self._run_nodes(self.nodes, env, free=True)
         return [env[n] for n in self.output_names]
 
-    def _run_nodes(self, nodes, env: Dict[str, np.ndarray]):
-        for node in nodes:
+    def _run_nodes(self, nodes, env: Dict[str, np.ndarray], free: bool = False):
+        for i, node in enumerate(nodes):
             op = node["op_type"]
             if op == "Loop":
                 self._loop(node, env)
-                continue
-            fn = _OPS.get(op)
-            if fn is None:
-                raise NotImplementedError(f"onnx runtime: op {op} not implemented")
-            args = [env[n] if n else None for n in node.get("input", [])]
-            outs = fn(_attr_map(node), *args)
-            if not isinstance(outs, (list, tuple)):
-                outs = [outs]
-            for name, val in zip(node.get("output", []), outs):
-                env[name] = val
+            else:
+                fn = _OPS.get(op)
+                if fn is None:
+                    raise NotImplementedError(f"onnx runtime: op {op} not implemented")
+                args = [env[n] if n else None for n in node.get("input", [])]
+                outs = fn(_attr_map(node), *args)
+                if not isinstance(outs, (list, tuple)):
+                    outs = [outs]
+                for name, val in zip(node.get("output", []), outs):
+                    env[name] = val
+            if free:  # top-level liveness: drop tensors past their last reader
+                for n in set(node.get("input", [])):
+                    if n and n in env and n not in self._keep and self._last_use.get(n, -1) <= i:
+                        del env[n]
 
     def _loop(self, node, env: Dict[str, np.ndarray]):
         """ONNX Loop: body subgraph sees the outer scope (spec: names in
@@ -572,6 +595,19 @@ def _resize(attrs, x, roi=None, scales=None, sizes=None):
         target = [int(s) for s in sizes]
     else:
         target = [int(round(d * float(s))) for d, s in zip(x.shape, scales)]
+    # implemented indexing is asymmetric/floor; ONNX defaults (half_pixel +
+    # round_prefer_floor) coincide with it ONLY for integer upscale factors —
+    # refuse the combinations that would silently pick different pixels
+    ctm = attrs.get("coordinate_transformation_mode", "half_pixel")
+    nearest = attrs.get("nearest_mode", "round_prefer_floor")
+    explicit_ok = ctm == "asymmetric" and nearest == "floor"
+    integer_scale = all(t % d == 0 for d, t in zip(x.shape, target))
+    if not (explicit_ok or integer_scale):
+        raise NotImplementedError(
+            f"Resize with coordinate_transformation_mode={ctm}/nearest_mode="
+            f"{nearest} at non-integer scale is not implemented (asymmetric/"
+            "floor indexing only)"
+        )
     out = x
     for ax in range(x.ndim):
         if target[ax] == out.shape[ax]:

@@ -59,6 +59,10 @@ def ap_per_class(
         n_l = nt[ci]
         n_p = m.sum()
         if n_p == 0 or n_l == 0:
+            # keep prec_values rows 1:1 with unique_classes: a class with
+            # ground truths but zero predictions gets a zero PR curve, so
+            # PR_curve.png legends (indexed by ap_class_index) stay aligned
+            prec_values.append(np.zeros_like(x))
             continue
         fpc = (1 - tp[m]).cumsum(0)
         tpc = tp[m].cumsum(0)

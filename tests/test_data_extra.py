@@ -583,3 +583,30 @@ class TestConfigKeyWirings:
         m.predict = lambda source, **kw: []
         out = m.track("x")
         assert isinstance(m._tracker, BOTSORT)
+
+
+def test_tail_wrap_pads_to_full_batch_on_tiny_dataset(tmp_path):
+    """A dataset smaller than (batch - tail) must still yield full static
+    batches: the wrap pad repeats indices via np.resize (a single wrap came
+    up short and broke fixed-shape artifact validation)."""
+    import cv2
+
+    from bsyolo_tpu.data import DataLoader, YOLODataset
+
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    for i in range(3):  # 3 images, batch 8: pad needs 5 > len(order)
+        cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                    np.random.default_rng(i).integers(0, 255, (48, 48, 3)).astype(np.uint8))
+        (lbl_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    ds = YOLODataset(str(img_dir), imgsz=64, augment=False, max_gt=4)
+    loader = DataLoader(ds, 8, shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["img"].shape[0] == 8
+    im_idx = np.asarray(b["im_idx"])
+    assert (im_idx >= 0).sum() == 3  # real rows
+    assert (im_idx < 0).sum() == 5   # wrapped duplicates, excluded downstream
