@@ -139,7 +139,7 @@ class OBBValidator:
     """Rotated-box validation: probIoU matching at 10 thresholds
     (reference models/yolo/obb/val.py)."""
 
-    def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.45, max_det: int = 300,
+    def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 300,
                  names: Optional[Dict[int, str]] = None, save_dir=None, plots: bool = False,
                  single_cls: bool = False, classes=None, save_json: bool = False,
                  class_map=None):
@@ -310,7 +310,7 @@ class SegmentationValidator:
     """Box + mask mAP (reference models/yolo/segment/val.py): mask true
     positives use flattened mask IoU against the overlap-encoded gt masks."""
 
-    def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 100,
+    def __init__(self, model, spec, conf: float = 0.001, iou: float = 0.7, max_det: int = 300,
                  names: Optional[Dict[int, str]] = None, save_json: bool = False,
                  save_dir=None, class_map=None, plots: bool = False,
                  single_cls: bool = False, classes=None):

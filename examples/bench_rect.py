@@ -7,7 +7,7 @@ the per-canvas device e2e rate (forward + XLA-fused decode + NMS — the same
 compiled program `val(rect=True)` runs per bucket, engine/validator.py) with
 bench.py's relay-safe scan-diff protocol.
 
-Usage: [BENCH_SCALE=n] [BENCH_BATCH=128] python examples/bench_rect.py
+Usage: [BENCH_SCALE=n] [BENCH_BATCH=128] [BENCH_IMGSZ=640] python examples/bench_rect.py
 """
 
 import json
@@ -22,6 +22,10 @@ import numpy as np
 
 
 def main():
+    from bench import _require_device
+
+    _require_device(int(os.environ.get("BENCH_DEVICE_TIMEOUT", 600)))
+
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +37,9 @@ def main():
     scale = os.environ.get("BENCH_SCALE", "n")
     bs = int(os.environ.get("BENCH_BATCH", 128))
     imgsz = int(os.environ.get("BENCH_IMGSZ", 640))
-    short = int(imgsz * 0.75 / 32) * 32  # validator's stride-snapped short side
+    # validator's stride-snapped short side (mirror data/build.py rect buckets,
+    # including the >=32 floor)
+    short = max(32, int(imgsz * 0.75 / 32) * 32)
 
     d = load_model_yaml(model_yaml_path("yolo11.yaml"))
     d["nc"] = 80
