@@ -25,6 +25,40 @@ except Exception:  # pragma: no cover
 from bsyolo_tpu.ops.letterbox import letterbox_image
 
 
+def resample_poly(poly: np.ndarray, n: int) -> np.ndarray:
+    """Re-sample a closed polygon to exactly ``n`` points.
+
+    Mirrors reference ops.resample_segments (utils/ops.py:620): close the
+    ring, then linearly interpolate; when up-sampling the original vertices
+    are kept and new points inserted between them.
+    """
+    poly = np.asarray(poly, np.float32)
+    if len(poly) == n:
+        return poly
+    s = np.concatenate([poly, poly[:1]], 0)
+    xp = np.arange(len(s), dtype=np.float32)
+    if len(s) < n:
+        x = np.linspace(0, len(s) - 1, n - len(s))
+        x = np.insert(x, np.searchsorted(x, xp), xp)
+    else:
+        x = np.linspace(0, len(s) - 1, n)
+    return np.stack([np.interp(x, xp, s[:, k]) for k in range(2)], -1).astype(np.float32)
+
+
+def segment2box(seg: np.ndarray, w: float, h: float) -> np.ndarray:
+    """Tight xyxy box over a polygon's inside-canvas points (reference
+    utils/ops.py:65 segment2box, incl. the 3-sides-outside pre-clip)."""
+    x, y = seg.T
+    if int(x.min() < 0) + int(y.min() < 0) + int(x.max() > w) + int(y.max() > h) >= 3:
+        x = x.clip(0, w)
+        y = y.clip(0, h)
+    inside = (x >= 0) & (y >= 0) & (x <= w) & (y <= h)
+    x, y = x[inside], y[inside]
+    if x.size == 0 or not x.any():
+        return np.zeros(4, np.float32)
+    return np.array([x.min(), y.min(), x.max(), y.max()], np.float32)
+
+
 def random_hsv(img: np.ndarray, rng: np.random.Generator, hgain=0.015, sgain=0.7, vgain=0.4):
     """HSV jitter via LUTs (reference augment.py:1303-1380 RandomHSV)."""
     if hgain or sgain or vgain:
@@ -40,35 +74,60 @@ def random_hsv(img: np.ndarray, rng: np.random.Generator, hgain=0.015, sgain=0.7
     return img
 
 
-def random_flip(img, boxes_xyxy, rng, fliplr=0.5, flipud=0.0):
-    """Horizontal/vertical flips (reference augment.py:1383-1460)."""
+def random_flip(img, boxes_xyxy, rng, fliplr=0.5, flipud=0.0, pts=None, vis=None,
+                flip_idx=None):
+    """Horizontal/vertical flips (reference augment.py:1383-1460).
+
+    ``pts``/``vis`` mirror Instances.fliplr/flipud (all coords flipped,
+    visibility untouched); ``flip_idx`` reorders left/right keypoints on
+    horizontal flips (reference RandomFlip flip_idx handling).
+    Returns (img, boxes) when pts is None, else (img, boxes, pts, vis).
+    """
     h, w = img.shape[:2]
     if flipud and rng.random() < flipud:
         img = np.flipud(img)
         y1 = boxes_xyxy[:, 1].copy()
         boxes_xyxy[:, 1] = h - boxes_xyxy[:, 3]
         boxes_xyxy[:, 3] = h - y1
+        if pts is not None:
+            pts[..., 1] = h - pts[..., 1]
     if fliplr and rng.random() < fliplr:
         img = np.fliplr(img)
         x1 = boxes_xyxy[:, 0].copy()
         boxes_xyxy[:, 0] = w - boxes_xyxy[:, 2]
         boxes_xyxy[:, 2] = w - x1
-    return np.ascontiguousarray(img), boxes_xyxy
+        if pts is not None:
+            pts[..., 0] = w - pts[..., 0]
+            if flip_idx is not None and len(pts) and pts.shape[1] == len(flip_idx):
+                pts = np.ascontiguousarray(pts[:, flip_idx])
+                if vis is not None:
+                    vis = np.ascontiguousarray(vis[:, flip_idx])
+    if pts is None:
+        return np.ascontiguousarray(img), boxes_xyxy
+    return np.ascontiguousarray(img), boxes_xyxy, pts, vis
 
 
 def mosaic4(
     images: List[np.ndarray],
-    labels: List[Tuple[np.ndarray, np.ndarray]],  # [(cls (n,), xyxy-pixel (n,4)), ...] x4
+    labels: List[Tuple],  # [(cls (n,), xyxy-pixel (n,4)[, pts (n,K,2), vis (n,K)|None]), ...] x4
     imgsz: int,
     rng: np.random.Generator,
 ):
-    """4-way mosaic on a 2x canvas (reference augment.py:490-620 Mosaic._mosaic4)."""
+    """4-way mosaic on a 2x canvas (reference augment.py:490-620 Mosaic._mosaic4).
+
+    Label tuples may carry an optional per-instance point payload (polygon /
+    keypoint / OBB-corner coordinates) plus visibility; points get the same
+    (padw, padh) offset and 2s-canvas clip the reference applies via
+    Instances.add_padding / _cat_labels' clip. Return arity follows input
+    arity: (img, cls, boxes, border) or (img, cls, boxes, pts, vis, border).
+    """
     s = imgsz
+    has_pts = len(labels[0]) > 2
     border = (-s // 2, -s // 2)
     yc = int(rng.uniform(-border[0], 2 * s + border[0]))
     xc = int(rng.uniform(-border[1], 2 * s + border[1]))
     img4 = np.full((s * 2, s * 2, images[0].shape[2]), 114, dtype=np.uint8)
-    out_cls, out_boxes = [], []
+    out_cls, out_boxes, out_pts, out_vis = [], [], [], []
     for i in range(4):
         img = images[i]
         h, w = img.shape[:2]
@@ -86,29 +145,47 @@ def mosaic4(
             x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
         img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
         padw, padh = x1a - x1b, y1a - y1b
-        cls, boxes = labels[i]
+        cls, boxes = labels[i][0], labels[i][1]
         if len(boxes):
             b = boxes.copy()
             b[:, [0, 2]] += padw
             b[:, [1, 3]] += padh
             out_cls.append(cls)
             out_boxes.append(b)
+            if has_pts:
+                p = labels[i][2].copy()
+                p[..., 0] += padw
+                p[..., 1] += padh
+                out_pts.append(p)
+                if labels[i][3] is not None:
+                    out_vis.append(labels[i][3])
     cls = np.concatenate(out_cls) if out_cls else np.zeros((0,), np.float32)
     boxes = np.concatenate(out_boxes) if out_boxes else np.zeros((0, 4), np.float32)
     boxes = np.clip(boxes, 0, 2 * s)
-    return img4, cls, boxes, border
+    if not has_pts:
+        return img4, cls, boxes, border
+    k = labels[0][2].shape[1] if labels[0][2].ndim == 3 else 0
+    pts = np.concatenate(out_pts) if out_pts else np.zeros((0, k, 2), np.float32)
+    pts = np.clip(pts, 0, 2 * s)  # reference _cat_labels: instances.clip(2s, 2s)
+    vis = (np.concatenate(out_vis) if out_vis else np.zeros((0, k), np.float32)) \
+        if labels[0][3] is not None else None
+    return img4, cls, boxes, pts, vis, border
 
 
 def mosaic9(
     images: List[np.ndarray],
-    labels: List[Tuple[np.ndarray, np.ndarray]],
+    labels: List[Tuple],
     imgsz: int,
     rng: np.random.Generator,
 ):
-    """9-way mosaic on a 3x canvas (reference augment.py Mosaic._mosaic9)."""
+    """9-way mosaic on a 3x canvas (reference augment.py Mosaic._mosaic9).
+
+    Same optional point-payload contract as :func:`mosaic4`.
+    """
     s = imgsz
+    has_pts = len(labels[0]) > 2
     canvas = np.full((s * 3, s * 3, images[0].shape[2]), 114, dtype=np.uint8)
-    out_cls, out_boxes = [], []
+    out_cls, out_boxes, out_pts, out_vis = [], [], [], []
     h0 = w0 = 0  # center image dims
     hp = wp = 0  # previous image dims
     for i in range(9):
@@ -139,13 +216,20 @@ def mosaic9(
             canvas[y1:y2, x1:x2] = img[
                 (y1 - c[1]) : (y1 - c[1]) + (y2 - y1), (x1 - c[0]) : (x1 - c[0]) + (x2 - x1)
             ]
-            cls, boxes = labels[i]
+            cls, boxes = labels[i][0], labels[i][1]
             if len(boxes):
                 b = boxes.copy()
                 b[:, [0, 2]] += c[0]
                 b[:, [1, 3]] += c[1]
                 out_cls.append(cls)
                 out_boxes.append(b)
+                if has_pts:
+                    p = labels[i][2].copy()
+                    p[..., 0] += c[0]
+                    p[..., 1] += c[1]
+                    out_pts.append(p)
+                    if labels[i][3] is not None:
+                        out_vis.append(labels[i][3])
         hp, wp = h, w
     # crop a 2s x 2s window at a random offset (must fit the 3s canvas)
     yc = int(rng.uniform(0, s))
@@ -153,13 +237,25 @@ def mosaic9(
     canvas = canvas[yc : yc + 2 * s, xc : xc + 2 * s]
     cls = np.concatenate(out_cls) if out_cls else np.zeros((0,), np.float32)
     boxes = np.concatenate(out_boxes) if out_boxes else np.zeros((0, 4), np.float32)
+    k = labels[0][2].shape[1] if has_pts and labels[0][2].ndim == 3 else 0
+    pts = (np.concatenate(out_pts) if out_pts else np.zeros((0, k, 2), np.float32)) if has_pts else None
+    vis = None
+    if has_pts and labels[0][3] is not None:
+        vis = np.concatenate(out_vis) if out_vis else np.zeros((0, k), np.float32)
     if len(boxes):
         boxes[:, [0, 2]] -= xc
         boxes[:, [1, 3]] -= yc
         boxes = np.clip(boxes, 0, 2 * s)
         keep = ((boxes[:, 2] - boxes[:, 0]) > 2) & ((boxes[:, 3] - boxes[:, 1]) > 2)
         cls, boxes = cls[keep], boxes[keep]
-    return canvas, cls, boxes, (-s // 2, -s // 2)
+        if has_pts:
+            pts[..., 0] -= xc
+            pts[..., 1] -= yc
+            pts = np.clip(pts[keep], 0, 2 * s)
+            vis = vis[keep] if vis is not None else None
+    if not has_pts:
+        return canvas, cls, boxes, (-s // 2, -s // 2)
+    return canvas, cls, boxes, pts, vis, (-s // 2, -s // 2)
 
 
 def mixup(img1, labels1, img2, labels2, rng: np.random.Generator):
@@ -248,8 +344,22 @@ def random_perspective(
     shear=0.0,
     perspective=0.0,
     border=(0, 0),
+    pts: Optional[np.ndarray] = None,
+    vis: Optional[np.ndarray] = None,
+    kind: str = "detect",
 ):
-    """Affine warp + box transform + candidate filter (augment.py:952-1300)."""
+    """Affine warp + label transform + candidate filter (augment.py:952-1300).
+
+    ``pts`` (n, K, 2) carries per-instance points through the warp:
+    - kind="segment"/"obb": polygon / corner points; boxes are RE-DERIVED
+      from the warped points' inside-canvas extent (reference apply_segments
+      + segment2box, augment.py:1110-1148) and points clipped to their box;
+      candidate filter uses area_thr=0.01 (augment.py:1253).
+    - kind="pose": keypoints; warped coords with visibility zeroed outside
+      the canvas (reference apply_keypoints, augment.py:1150-1183), then
+      coords clipped (Instances.clip); boxes via the 4-corner transform.
+    Returns (img, cls, boxes) when pts is None, else (img, cls, boxes, pts, vis).
+    """
     size = (img.shape[1] + border[1] * 2, img.shape[0] + border[0] * 2)
 
     C = np.eye(3, dtype=np.float32)
@@ -276,8 +386,37 @@ def random_perspective(
         else:
             img = cv2.warpAffine(img, M[:2], dsize=size, borderValue=(114, 114, 114))
 
+    if len(boxes_xyxy):
+        cls, boxes_xyxy, pts, vis = warp_instance_labels(
+            cls, boxes_xyxy, pts, vis, M, s, size, perspective, kind
+        )
+    if pts is None and vis is None and kind == "detect":
+        return img, cls, boxes_xyxy
+    return img, cls, boxes_xyxy, pts, vis
+
+
+def warp_instance_labels(cls, boxes_xyxy, pts, vis, M, s, size, perspective, kind):
+    """Label side of RandomPerspective given the affine matrix M: transform
+    boxes/points, re-derive boxes from warped points for segment/obb, zero
+    out-of-canvas keypoint visibility, clip, candidate-filter. Mirrors
+    reference apply_bboxes/apply_segments/apply_keypoints + box_candidates
+    (augment.py:1086-1300); split out so parity tests can drive it with a
+    fixed M."""
     n = len(boxes_xyxy)
-    if n:
+    new_pts, new_vis = pts, vis
+    if pts is not None and kind in ("segment", "obb"):
+        # warp the points, then re-derive boxes from their inside-canvas
+        # extent (reference apply_segments); clip points to their box
+        k = pts.shape[1]
+        xy = np.ones((n * k, 3), dtype=np.float32)
+        xy[:, :2] = pts.reshape(-1, 2)
+        xy = xy @ M.T
+        new_pts = (xy[:, :2] / xy[:, 2:3]).reshape(n, k, 2)
+        new = np.stack([segment2box(p, size[0], size[1]) for p in new_pts], 0)
+        new_pts[..., 0] = new_pts[..., 0].clip(new[:, 0:1], new[:, 2:3])
+        new_pts[..., 1] = new_pts[..., 1].clip(new[:, 1:2], new[:, 3:4])
+        area_thr = 0.01
+    else:
         xy = np.ones((n * 4, 3), dtype=np.float32)
         xy[:, :2] = boxes_xyxy[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
         xy = xy @ M.T
@@ -285,17 +424,31 @@ def random_perspective(
         x = xy[:, [0, 2, 4, 6]]
         y = xy[:, [1, 3, 5, 7]]
         new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, size[0])
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, size[1])
-        # candidate filter (reference box_candidates, augment.py:1280-1300)
-        w1 = boxes_xyxy[:, 2] - boxes_xyxy[:, 0]
-        h1 = boxes_xyxy[:, 3] - boxes_xyxy[:, 1]
-        w2 = new[:, 2] - new[:, 0]
-        h2 = new[:, 3] - new[:, 1]
-        ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
-        keep = (w2 > 2) & (h2 > 2) & (w2 * h2 / (w1 * h1 * s * s + 1e-16) > 0.1) & (ar < 100)
-        cls, boxes_xyxy = cls[keep], new[keep]
-    return img, cls, boxes_xyxy
+        area_thr = 0.1
+        if pts is not None:  # pose keypoints
+            k = pts.shape[1]
+            kxy = np.ones((n * k, 3), dtype=np.float32)
+            kxy[:, :2] = pts.reshape(-1, 2)
+            kxy = kxy @ M.T
+            kxy = kxy[:, :2] / kxy[:, 2:3]
+            out = (kxy[:, 0] < 0) | (kxy[:, 1] < 0) | (kxy[:, 0] > size[0]) | (kxy[:, 1] > size[1])
+            new_vis = None if vis is None else np.where(out.reshape(n, k), 0.0, vis)
+            new_pts = kxy.reshape(n, k, 2)
+            new_pts[..., 0] = new_pts[..., 0].clip(0, size[0])
+            new_pts[..., 1] = new_pts[..., 1].clip(0, size[1])
+    new[:, [0, 2]] = new[:, [0, 2]].clip(0, size[0])
+    new[:, [1, 3]] = new[:, [1, 3]].clip(0, size[1])
+    # candidate filter (reference box_candidates, augment.py:1280-1300;
+    # area_thr 0.01 with segments, 0.10 otherwise — augment.py:1253)
+    w1 = boxes_xyxy[:, 2] - boxes_xyxy[:, 0]
+    h1 = boxes_xyxy[:, 3] - boxes_xyxy[:, 1]
+    w2 = new[:, 2] - new[:, 0]
+    h2 = new[:, 3] - new[:, 1]
+    ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+    keep = (w2 > 2) & (h2 > 2) & (w2 * h2 / (w1 * h1 * s * s + 1e-16) > area_thr) & (ar < 100)
+    out_pts = new_pts[keep] if pts is not None else None
+    out_vis = new_vis[keep] if (pts is not None and new_vis is not None) else None
+    return cls[keep], new[keep], out_pts, out_vis
 
 
 def train_transform(
@@ -365,6 +518,81 @@ def train_transform(
     # applies it after blending (dataset.py); rolling it per-component would
     # let MixUp blend a swapped image with an unswapped one.
     return img, cls, boxes
+
+
+def train_transform_task(
+    imgs: List[np.ndarray],
+    labels: List[Tuple],  # [(cls, boxes_xyxy_px, pts (n,K,2) px, vis (n,K)|None), ...]
+    imgsz: int,
+    rng: np.random.Generator,
+    hyp: Optional[Dict] = None,
+    mosaic: bool = True,
+    kind: str = "segment",
+    flip_idx: Optional[np.ndarray] = None,
+):
+    """Full train pipeline for tasks with per-instance point payloads
+    (segment polygons / pose keypoints / OBB corners), mirroring the
+    reference v8_transforms order (augment.py:2275): Mosaic ->
+    RandomPerspective -> photometric -> HSV -> flips, with points warped
+    through every geometric stage.
+
+    Returns (img uint8 HWC, cls (n,), boxes xyxy px (n,4), pts (n,K,2) px,
+    vis (n,K)|None).
+    """
+    hyp = hyp or {}
+    if mosaic and len(imgs) >= 9 and rng.random() < hyp.get("mosaic9", 0.0):
+        img, cls, boxes, pts, vis, border = mosaic9(imgs[:9], labels[:9], imgsz, rng)
+    elif mosaic and len(imgs) >= 4:
+        img, cls, boxes, pts, vis, border = mosaic4(imgs[:4], labels[:4], imgsz, rng)
+    else:
+        img0 = imgs[0]
+        cls, boxes, pts, vis = labels[0]
+        img, r, (dw, dh) = letterbox_image(img0, (imgsz, imgsz), scaleup=True)
+        boxes = boxes * r
+        boxes[:, [0, 2]] += dw
+        boxes[:, [1, 3]] += dh
+        pts = pts * r
+        pts[..., 0] += dw
+        pts[..., 1] += dh
+        border = (0, 0)
+    img, cls, boxes, pts, vis = random_perspective(
+        img, cls, boxes, rng,
+        degrees=hyp.get("degrees", 0.0),
+        translate=hyp.get("translate", 0.1),
+        scale=hyp.get("scale", 0.5),
+        shear=hyp.get("shear", 0.0),
+        perspective=hyp.get("perspective", 0.0),
+        border=border, pts=pts, vis=vis, kind=kind,
+    )
+    from bsyolo_tpu.data.photometric import photometric_suite
+
+    img = photometric_suite(img, rng, p=hyp.get("albumentations", 1.0))
+    img = random_hsv(
+        img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
+    )
+    fliplr = hyp.get("fliplr", 0.5)
+    if kind == "pose" and flip_idx is None:
+        # reference v8_transforms:2323-2326 — no flip_idx => no hflip for pose
+        fliplr = 0.0
+    img, boxes, pts, vis = random_flip(
+        img, boxes, rng, fliplr=fliplr, flipud=hyp.get("flipud", 0.0),
+        pts=pts, vis=vis, flip_idx=flip_idx,
+    )
+    return img, cls, boxes, pts, vis
+
+
+def mixup_task(img1, labels1, img2, labels2, rng: np.random.Generator):
+    """MixUp for point-payload tasks: Beta(32,32) blend + payload union
+    (reference augment.py:867 MixUp over Instances.concatenate)."""
+    r = rng.beta(32.0, 32.0)
+    img = (img1.astype(np.float32) * r + img2.astype(np.float32) * (1 - r)).astype(img1.dtype)
+    cls = np.concatenate([labels1[0], labels2[0]])
+    boxes = np.concatenate([labels1[1], labels2[1]])
+    pts = np.concatenate([labels1[2], labels2[2]])
+    vis = None
+    if labels1[3] is not None and labels2[3] is not None:
+        vis = np.concatenate([labels1[3], labels2[3]])
+    return img, cls, boxes, pts, vis
 
 
 def format_labels(img: np.ndarray, cls: np.ndarray, boxes_xyxy: np.ndarray, max_gt: int):

@@ -23,6 +23,22 @@ except Exception:  # pragma: no cover
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
 
 
+def _rbox_from_corners(pts: np.ndarray) -> np.ndarray:
+    """Fit (cx, cy, w, h, r) to 4 corner points via minAreaRect with the
+    angle canonicalized into the OBB head's (-pi/4, 3pi/4) range (reference
+    ops.xyxyxyxy2xywhr semantics)."""
+    (cx, cy), (bw, bh), ang = cv2.minAreaRect(np.asarray(pts, np.float32))
+    r = np.deg2rad(ang)
+    if bw < bh:
+        bw, bh = bh, bw
+        r += np.pi / 2
+    while r >= 3 * np.pi / 4:
+        r -= np.pi
+    while r < -np.pi / 4:
+        r += np.pi
+    return np.asarray([cx, cy, bw, bh, r], np.float32)
+
+
 def load_dataset_yaml(path) -> Dict:
     """Load + resolve a dataset YAML (reference data/utils.py check_det_dataset).
 
@@ -132,7 +148,8 @@ class YOLODataset:
         import hashlib
 
         h = hashlib.sha1()
-        h.update(f"{self.task}:{self.single_cls}".encode())
+        # v2: obb caches additionally carry raw corner points (rcorners)
+        h.update(f"v2:{self.task}:{self.single_cls}".encode())
         for f in self.label_files:
             try:
                 st = os.stat(f)
@@ -154,6 +171,7 @@ class YOLODataset:
                 "segments": obj(getattr(self, "segments", {})),
                 "keypoints": obj(getattr(self, "keypoints", {})),
                 "rboxes": obj(getattr(self, "rboxes", {})),
+                "rcorners": obj(getattr(self, "rcorners", {})),
             }
             np.savez(self._cache_path(), **payload, allow_pickle=True)
         except OSError:
@@ -171,6 +189,7 @@ class YOLODataset:
             self.segments = dict(z["segments"][0])
             self.keypoints = dict(z["keypoints"][0])
             self.rboxes = dict(z["rboxes"][0])
+            self.rcorners = dict(z["rcorners"][0])
             return True
         except Exception:
             return False
@@ -212,9 +231,10 @@ class YOLODataset:
             self.segments = {}
             self.keypoints = {}
             self.rboxes = {}
+            self.rcorners = {}
         if not os.path.exists(lp):
             return empty
-        rows, polys, kpts, rbs = [], [], [], []
+        rows, polys, kpts, rbs, rcs = [], [], [], [], []
         for line in Path(lp).read_text().splitlines():
             parts = line.split()
             if self.task == "segment" and len(parts) >= 7 and len(parts) % 2 == 1:
@@ -228,18 +248,12 @@ class YOLODataset:
             elif self.task == "obb" and len(parts) == 9:
                 vals = [float(x) for x in parts]
                 pts = np.asarray(vals[1:], np.float32).reshape(4, 2)
-                (cx, cy), (bw, bh), ang = cv2.minAreaRect(pts)
-                r = np.deg2rad(ang)
-                # canonicalize into the head's (-pi/4, 3pi/4) range
-                if bw < bh:
-                    bw, bh = bh, bw
-                    r += np.pi / 2
-                while r >= 3 * np.pi / 4:
-                    r -= np.pi
-                while r < -np.pi / 4:
-                    r += np.pi
-                rows.append([vals[0], cx, cy, bw, bh])
-                rbs.append(np.asarray([cx, cy, bw, bh, r], np.float32))
+                rb = _rbox_from_corners(pts)
+                rows.append([vals[0], rb[0], rb[1], rb[2], rb[3]])
+                rbs.append(rb)
+                rcs.append(pts)  # raw normalized corners: the augment pipeline
+                # warps these (reference carries OBB as 4-pt segments through
+                # Mosaic/RandomPerspective, dataset.py:204 update_labels_info)
             elif self.task == "pose" and len(parts) > 5 and (len(parts) - 5) % 3 == 0:
                 vals = [float(x) for x in parts]
                 rows.append(vals[:5])
@@ -256,6 +270,7 @@ class YOLODataset:
             self.keypoints[i] = kpts
         if rbs:
             self.rboxes[i] = rbs
+            self.rcorners[i] = rcs
         arr = np.asarray(rows, np.float32)
         cls = arr[:, 0] * (0 if self.single_cls else 1)
         return cls, np.clip(arr[:, 1:5], 0, 1)
@@ -335,11 +350,11 @@ class YOLODataset:
         from bsyolo_tpu.data.augment import format_labels, train_transform
 
         if self.task == "segment":
-            return self._get_segment_sample(i, rng)
+            return self._get_segment_sample(i, rng, mosaic=mosaic, shape=shape)
         if self.task == "pose":
-            return self._get_pose_sample(i, rng)
+            return self._get_pose_sample(i, rng, mosaic=mosaic, shape=shape)
         if self.task == "obb":
-            return self._get_obb_sample(i, rng)
+            return self._get_obb_sample(i, rng, mosaic=mosaic, shape=shape)
         if self.augment:
             use_mosaic = mosaic and rng.random() < self.hyp.get("mosaic", 1.0)
             if use_mosaic:
@@ -383,43 +398,176 @@ class YOLODataset:
         out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
         return {"img": out_img, "cls": out_cls, "bboxes": out_box, "mask": out_mask}
 
-    def _get_pose_sample(self, i: int, rng: np.random.Generator) -> Dict:
-        """Pose sample: letterbox (+hflip) with keypoints carried through;
-        keypoints stay normalized to the letterboxed frame."""
+    # --- point-payload tasks (segment / pose / obb) -------------------------
+
+    POLY_PTS = 1000  # segment resample count (reference dataset.py:204
+    # update_labels_info resamples segments to 1000 points before transforms)
+
+    @property
+    def nkpt(self) -> int:
+        """Dataset-global keypoint count (consistent batch shapes)."""
+        if not hasattr(self, "_nkpt"):
+            self._nkpt = max(
+                (len(k) for kl in self.keypoints.values() for k in kl if k is not None),
+                default=1,
+            )
+        return self._nkpt
+
+    def _task_payload(self, j: int, shape: Tuple[int, int], K: int):
+        """(cls, boxes xyxy px, pts (n,K,2) px, vis (n,K)|None) for image j
+        at its pre-resized shape — the augment pipeline's label payload."""
+        from bsyolo_tpu.data.augment import resample_poly
+
+        h, w = shape
+        cls, boxes = self.label_pixels(j, shape)
+        n = len(cls)
+        wh = np.asarray([w, h], np.float32)
+        if self.task == "segment":
+            polys = self.segments.get(j, [None] * n)
+            pts = np.zeros((n, K, 2), np.float32)
+            for t in range(n):
+                poly = polys[t] if t < len(polys) else None
+                if poly is None:  # box-only row in a mixed file: rect outline
+                    x1, y1, x2, y2 = boxes[t]
+                    poly = np.asarray(
+                        [[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32
+                    )
+                else:
+                    poly = poly * wh
+                pts[t] = resample_poly(poly, K)
+            return cls, boxes, pts, None
+        if self.task == "obb":
+            corners = self.rcorners.get(j, [])
+            pts = np.zeros((n, 4, 2), np.float32)
+            for t in range(n):
+                if t < len(corners):
+                    pts[t] = corners[t] * wh
+                else:
+                    x1, y1, x2, y2 = boxes[t]
+                    pts[t] = [[x1, y1], [x2, y1], [x2, y2], [x1, y2]]
+            return cls, boxes, pts, None
+        # pose
+        kl = self.keypoints.get(j, [])
+        nk = self.nkpt
+        pts = np.zeros((n, nk, 2), np.float32)
+        vis = np.zeros((n, nk), np.float32)
+        for t in range(n):
+            k = kl[t] if t < len(kl) else None
+            if k is None:
+                continue
+            pts[t, : len(k), 0] = k[:, 0] * w
+            pts[t, : len(k), 1] = k[:, 1] * h
+            vis[t, : len(k)] = k[:, 2]
+        return cls, boxes, pts, vis
+
+    def _rasterize_overlap(self, pts: np.ndarray, imgsz: int):
+        """Overlap-encoded instance masks at imgsz/mask_ratio from (already
+        warped) polygons. Instances sort by rasterized area descending so
+        smaller instances overwrite larger ones in overlap regions —
+        reference polygons2masks_overlap (data/utils.py) behavior; returns
+        (masks (ms,ms) int32 with values rank+1, order) and callers reorder
+        cls/boxes by ``order`` like reference Format._format_segments."""
+        ms = imgsz // self.mask_ratio
+        scale = ms / imgsz
+        n = len(pts)
+        per = np.zeros((n, ms, ms), np.uint8)
+        for t in range(n):
+            cv2.fillPoly(per[t], [(np.asarray(pts[t], np.float32) * scale).astype(np.int32)], 1)
+        areas = per.reshape(n, -1).sum(-1) if n else np.zeros((0,))
+        order = np.argsort(-areas, kind="stable")
+        masks = np.zeros((ms, ms), np.int32)
+        for rank, idx in enumerate(order):
+            masks[per[idx] > 0] = rank + 1
+        return masks, order
+
+    def _aug_task_sample(self, i: int, rng: np.random.Generator, mosaic: bool) -> Dict:
+        """Full train-time augmentation for segment/pose/obb: mosaic + affine
+        with the instance points warped through every geometric stage
+        (reference v8_transforms augment.py:2275 — RandomPerspective
+        apply_segments/apply_keypoints), masks rasterized POST-warp."""
+        from bsyolo_tpu.data.augment import format_labels, mixup_task, train_transform_task
+
+        kind = self.task
+        K = self.POLY_PTS if kind == "segment" else 4
+        flip_idx = self.flip_idx if kind == "pose" else None
+        use_mosaic = mosaic and rng.random() < self.hyp.get("mosaic", 1.0)
+        idxs = [i] + (list(rng.integers(0, len(self), 3)) if use_mosaic else [])
+        imgs = [self.load_image(j) for j in idxs]
+        labels = [self._task_payload(j, imgs[t].shape[:2], K) for t, j in enumerate(idxs)]
+        img, cls, boxes, pts, vis = train_transform_task(
+            imgs, labels, self.imgsz, rng, self.hyp,
+            mosaic=use_mosaic, kind=kind, flip_idx=flip_idx,
+        )
+        if use_mosaic and rng.random() < self.hyp.get("mixup", 0.0):
+            idxs2 = list(rng.integers(0, len(self), 4))
+            imgs2 = [self.load_image(j) for j in idxs2]
+            labels2 = [self._task_payload(j, imgs2[t].shape[:2], K) for t, j in enumerate(idxs2)]
+            img2, cls2, boxes2, pts2, vis2 = train_transform_task(
+                imgs2, labels2, self.imgsz, rng, self.hyp,
+                mosaic=True, kind=kind, flip_idx=flip_idx,
+            )
+            img, cls, boxes, pts, vis = mixup_task(
+                img, (cls, boxes, pts, vis), img2, (cls2, boxes2, pts2, vis2), rng
+            )
+        if self.hyp.get("bgr", 0.0) and rng.random() < self.hyp.get("bgr", 0.0):
+            img = np.ascontiguousarray(img[..., ::-1])
+        # truncate to max_gt BEFORE per-task encoding so mask indices /
+        # keypoint rows line up with the padded label slots
+        cls, boxes, pts = cls[: self.max_gt], boxes[: self.max_gt], pts[: self.max_gt]
+        vis = None if vis is None else vis[: self.max_gt]
+        out: Dict = {}
+        if kind == "segment":
+            masks, order = self._rasterize_overlap(pts, self.imgsz)
+            cls, boxes = cls[order], boxes[order]
+            out["masks"] = masks
+        elif kind == "pose":
+            nk = pts.shape[1]
+            out_kpts = np.zeros((self.max_gt, nk, 3), np.float32)
+            if len(pts):
+                out_kpts[: len(pts), :, 0] = pts[..., 0] / self.imgsz
+                out_kpts[: len(pts), :, 1] = pts[..., 1] / self.imgsz
+                out_kpts[: len(pts), :, 2] = vis
+            out["keypoints"] = out_kpts
+        else:  # obb: fit xywhr on the warped corners (reference Format
+            # return_obb -> xyxyxyxy2xywhr, augment.py:2062)
+            out_rb = np.zeros((self.max_gt, 5), np.float32)
+            for t in range(len(pts)):
+                rb = _rbox_from_corners(pts[t])
+                out_rb[t] = [rb[0] / self.imgsz, rb[1] / self.imgsz,
+                             rb[2] / self.imgsz, rb[3] / self.imgsz, rb[4]]
+            out["rboxes"] = out_rb
+        out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
+        out.update({"img": out_img, "cls": out_cls, "bboxes": out_box, "mask": out_mask})
+        return out
+
+    def _get_pose_sample(self, i: int, rng: np.random.Generator, mosaic: bool = True,
+                         shape: Optional[Tuple[int, int]] = None) -> Dict:
+        """Pose sample. Train: full mosaic/affine pipeline with keypoints
+        warped through (reference apply_keypoints). Val: letterbox only."""
         from bsyolo_tpu.data.augment import format_labels
         from bsyolo_tpu.ops.letterbox import letterbox_image
 
+        if self.augment:
+            return self._aug_task_sample(i, rng, mosaic)
         im = self.load_image(i)
         h, w = im.shape[:2]
         cls, boxes = self.label_pixels(i, (h, w))
         kpts_list = self.keypoints.get(i, [])
-        nkpt = max((len(k) for k in kpts_list if k is not None), default=1)
-        img, r, (dw, dh) = letterbox_image(im, (self.imgsz, self.imgsz), scaleup=self.augment)
+        nkpt = self.nkpt
+        target = shape or (self.imgsz, self.imgsz)
+        img, r, (dw, dh) = letterbox_image(im, target, scaleup=False)
+        th, tw = img.shape[:2]
         if len(boxes):
             boxes = boxes * r
             boxes[:, [0, 2]] += dw
             boxes[:, [1, 3]] += dh
-        # hflip requires flip_idx to reorder left/right keypoints; like the
-        # reference (augment.py:2321-2326) pose flipping is disabled without it.
-        can_flip = self.flip_idx is not None
-        flip = can_flip and self.augment and rng.random() < self.hyp.get("fliplr", 0.5)
-        if flip:
-            img = np.ascontiguousarray(np.fliplr(img))
-            if len(boxes):
-                x1 = boxes[:, 0].copy()
-                boxes[:, 0] = self.imgsz - boxes[:, 2]
-                boxes[:, 2] = self.imgsz - x1
         out_kpts = np.zeros((self.max_gt, nkpt, 3), np.float32)
         for j, k in enumerate(kpts_list[: self.max_gt]):
             if k is None:
                 continue
             kk = k.copy()
-            kk[:, 0] = (kk[:, 0] * w * r + dw) / self.imgsz
-            kk[:, 1] = (kk[:, 1] * h * r + dh) / self.imgsz
-            if flip:
-                kk[:, 0] = np.where(kk[:, 2] > 0, 1.0 - kk[:, 0], kk[:, 0])
-                if len(kk) == len(self.flip_idx):
-                    kk = kk[self.flip_idx]
+            kk[:, 0] = (kk[:, 0] * w * r + dw) / tw
+            kk[:, 1] = (kk[:, 1] * h * r + dh) / th
             out_kpts[j, : len(kk)] = kk
         out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
         return {
@@ -430,16 +578,22 @@ class YOLODataset:
             "keypoints": out_kpts,
         }
 
-    def _get_obb_sample(self, i: int, rng: np.random.Generator) -> Dict:
-        """OBB sample: letterbox only; rboxes normalized xywhr of the frame."""
+    def _get_obb_sample(self, i: int, rng: np.random.Generator, mosaic: bool = True,
+                        shape: Optional[Tuple[int, int]] = None) -> Dict:
+        """OBB sample. Train: mosaic/affine with the 4 corner points warped
+        (reference carries OBB as 4-pt segments). Val: letterbox only."""
         from bsyolo_tpu.data.augment import format_labels
         from bsyolo_tpu.ops.letterbox import letterbox_image
 
+        if self.augment:
+            return self._aug_task_sample(i, rng, mosaic)
         im = self.load_image(i)
         h, w = im.shape[:2]
         cls, boxes = self.label_pixels(i, (h, w))
         rb_list = self.rboxes.get(i, [])
-        img, r, (dw, dh) = letterbox_image(im, (self.imgsz, self.imgsz), scaleup=self.augment)
+        target = shape or (self.imgsz, self.imgsz)
+        img, r, (dw, dh) = letterbox_image(im, target, scaleup=False)
+        th, tw = img.shape[:2]
         if len(boxes):
             boxes = boxes * r
             boxes[:, [0, 2]] += dw
@@ -447,10 +601,10 @@ class YOLODataset:
         out_rb = np.zeros((self.max_gt, 5), np.float32)
         for j, rb in enumerate(rb_list[: self.max_gt]):
             # rb is (cx, cy, w, h, r) in normalized source coords
-            cx = (rb[0] * w * r + dw) / self.imgsz
-            cy = (rb[1] * h * r + dh) / self.imgsz
-            bw = rb[2] * w * r / self.imgsz
-            bh = rb[3] * h * r / self.imgsz
+            cx = (rb[0] * w * r + dw) / tw
+            cy = (rb[1] * h * r + dh) / th
+            bw = rb[2] * w * r / tw
+            bh = rb[3] * h * r / th
             out_rb[j] = [cx, cy, bw, bh, rb[4]]
         out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
         return {
@@ -461,46 +615,45 @@ class YOLODataset:
             "rboxes": out_rb,
         }
 
-    def _get_segment_sample(self, i: int, rng: np.random.Generator) -> Dict:
-        """Segmentation sample: letterbox + flips only this round (polygon
-        warping through mosaic/affine lands with the full augment set);
-        masks are rasterized overlap-encoded at imgsz/mask_ratio (reference
-        overlap_mask=True semantics, data/dataset.py + loss.py:455)."""
-        import cv2
-
+    def _get_segment_sample(self, i: int, rng: np.random.Generator, mosaic: bool = True,
+                            shape: Optional[Tuple[int, int]] = None) -> Dict:
+        """Segmentation sample. Train: full mosaic/affine pipeline with
+        polygons warped through (reference apply_segments) and masks
+        rasterized post-warp, overlap-encoded at imgsz/mask_ratio
+        (reference overlap_mask=True, data/dataset.py + loss.py:455).
+        Val: letterbox only."""
         from bsyolo_tpu.data.augment import format_labels
         from bsyolo_tpu.ops.letterbox import letterbox_image
 
+        if self.augment:
+            return self._aug_task_sample(i, rng, mosaic)
         im = self.load_image(i)
         h, w = im.shape[:2]
         cls, boxes = self.label_pixels(i, (h, w))
         polys = self.segments.get(i, [None] * len(cls))
-        img, r, (dw, dh) = letterbox_image(im, (self.imgsz, self.imgsz), scaleup=self.augment)
+        target = shape or (self.imgsz, self.imgsz)
+        img, r, (dw, dh) = letterbox_image(im, target, scaleup=False)
+        th, tw = img.shape[:2]
         if len(boxes):
             boxes = boxes * r
             boxes[:, [0, 2]] += dw
             boxes[:, [1, 3]] += dh
-        flip = self.augment and rng.random() < self.hyp.get("fliplr", 0.5)
-        if flip:
-            img = np.ascontiguousarray(np.fliplr(img))
-            if len(boxes):
-                x1 = boxes[:, 0].copy()
-                boxes[:, 0] = self.imgsz - boxes[:, 2]
-                boxes[:, 2] = self.imgsz - x1
-        ms = self.imgsz // self.mask_ratio
-        masks = np.zeros((ms, ms), np.int32)
-        scale = ms / self.imgsz
-        for j, poly in enumerate(polys[: self.max_gt]):
+        n = min(len(cls), self.max_gt)
+        pts = []
+        for j in range(n):
+            poly = polys[j] if j < len(polys) else None
             if poly is None:
-                x1, y1, x2, y2 = boxes[j] * scale
-                cv2.rectangle(masks, (int(x1), int(y1)), (int(x2), int(y2)), j + 1, -1)
-                continue
-            p = poly.copy() * [w, h] * r
-            p[:, 0] += dw
-            p[:, 1] += dh
-            if flip:
-                p[:, 0] = self.imgsz - p[:, 0]
-            cv2.fillPoly(masks, [(p * scale).astype(np.int32)], j + 1)
+                x1, y1, x2, y2 = boxes[j]
+                poly = np.asarray([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32)
+            else:
+                poly = poly * [w, h] * r
+                poly = poly + [dw, dh]
+            pts.append(np.asarray(poly, np.float32))
+        # NOTE: rasterize on the (th, tw) canvas; _rasterize_overlap assumes a
+        # square imgsz, so use max(th, tw) — extra area is padding-only.
+        masks, order = self._rasterize_overlap(pts, max(th, tw))
+        masks = masks[: th // self.mask_ratio, : tw // self.mask_ratio]
+        cls, boxes = (cls[: n][order], boxes[: n][order]) if n else (cls, boxes)
         out_img, out_cls, out_box, out_mask = format_labels(img, cls, boxes, self.max_gt)
         return {
             "img": out_img,

@@ -128,3 +128,20 @@ def numpy_greedy_nms(boxes, scores, iou_thres):
         suppressed |= iou > iou_thres
         suppressed[idx] = True  # self
     return np.asarray(keep, dtype=np.int64)
+
+
+def random_perspective_cls():
+    """The RandomPerspective transform from ultralytics/data/augment.py with
+    its segment2box dependency injected (for label-warp parity tests)."""
+    import random
+
+    import cv2
+    import numpy as np
+
+    ns = _extract("ultralytics/data/augment.py", ("RandomPerspective",))
+    ops_ns = _extract("ultralytics/utils/ops.py", ("segment2box",))
+    ns["cv2"] = cv2
+    ns["np"] = np
+    ns["random"] = random
+    ns["segment2box"] = ops_ns["segment2box"]
+    return ns["RandomPerspective"]

@@ -415,16 +415,21 @@ def test_pose_flip_idx(tmp_path):
         "0 0.4 0.5 0.2 0.3 0.30 0.5 2 0.50 0.5 2 0.35 0.4 2\n"
     )
 
+    # geometric augments off so only the flip moves coordinates (the pose
+    # path now runs the full mosaic/affine pipeline)
+    still = {"fliplr": 1.0, "mosaic": 0.0, "translate": 0.0, "scale": 0.0,
+             "albumentations": 0.0, "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0}
+
     # without flip_idx hflip must be disabled even at fliplr=1.0
     ds = YOLODataset(
-        str(root / "images"), imgsz=64, augment=True, hyp={"fliplr": 1.0}, max_gt=4, task="pose"
+        str(root / "images"), imgsz=64, augment=True, hyp=dict(still), max_gt=4, task="pose"
     )
     k = ds.get_sample(0, np.random.default_rng(1))["keypoints"][0]
     assert abs(k[0, 0] - 0.30) < 0.02 and abs(k[1, 0] - 0.50) < 0.02
 
     # with flip_idx=[1,0,2] a flipped sample mirrors x AND swaps kpt 0<->1
     ds2 = YOLODataset(
-        str(root / "images"), imgsz=64, augment=True, hyp={"fliplr": 1.0}, max_gt=4,
+        str(root / "images"), imgsz=64, augment=True, hyp=dict(still), max_gt=4,
         task="pose", flip_idx=[1, 0, 2],
     )
     k2 = ds2.get_sample(0, np.random.default_rng(1))["keypoints"][0]
