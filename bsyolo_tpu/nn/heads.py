@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from bsyolo_tpu.nn.modules import ConvBN, DWConvBN, dfl_decode
+from bsyolo_tpu.nn.modules import TORCH_INIT, ConvBN, DWConvBN, TConv, TDense, dfl_decode
 from bsyolo_tpu.ops.anchors import dist2bbox, make_anchors
 
 Array = jax.Array
@@ -51,7 +51,7 @@ class Detect(nn.Module):
             # box branch: Conv3x3 -> Conv3x3 -> 1x1 (bias=1.0, head.py:133-141)
             b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
             b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
-            b = nn.Conv(
+            b = TConv(
                 4 * self.reg_max,
                 (1, 1),
                 use_bias=True,
@@ -69,7 +69,7 @@ class Detect(nn.Module):
                 c = DWConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1_0")(c, train)
                 c = ConvBN(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1_1")(c, train)
             cls_bias = math.log(5 / self.nc / (640 / stride) ** 2)
-            c = nn.Conv(
+            c = TConv(
                 self.nc,
                 (1, 1),
                 use_bias=True,
@@ -98,7 +98,7 @@ class Proto(nn.Module):
         # (kernel (k, k, out, in) = torch (in, out, k, k).transpose(2, 3, 1, 0))
         x = nn.ConvTranspose(
             self.c_, (2, 2), strides=(2, 2), use_bias=True, transpose_kernel=True,
-            dtype=self.dtype, name="upsample",
+            kernel_init=TORCH_INIT, dtype=self.dtype, name="upsample",
         )(x)
         x = ConvBN(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
         return ConvBN(self.c2, 1, dtype=self.dtype, name="cv3")(x, train)
@@ -127,7 +127,7 @@ class Segment(nn.Module):
         for i, x in enumerate(feats):
             m = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
             m = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
-            m = nn.Conv(self.nm, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(m)
+            m = TConv(self.nm, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(m)
             mcs.append(m)
         outs = [jnp.concatenate([d, m], axis=-1) for d, m in zip(det, mcs)]
         return {"feats": outs, "proto": proto}
@@ -155,7 +155,7 @@ class Pose(nn.Module):
         for i, x in enumerate(feats):
             k = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
             k = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(k, train)
-            k = nn.Conv(nk, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(k)
+            k = TConv(nk, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(k)
             outs.append(jnp.concatenate([det[i], k], axis=-1))
         return outs
 
@@ -181,7 +181,7 @@ class OBB(nn.Module):
         for i, x in enumerate(feats):
             a = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
             a = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(a, train)
-            a = nn.Conv(self.ne, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(a)
+            a = TConv(self.ne, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv4_{i}_2")(a)
             outs.append(jnp.concatenate([det[i], a], axis=-1))
         return outs
 
@@ -201,7 +201,7 @@ class Classify(nn.Module):
         x = jnp.mean(x, axis=(1, 2))  # GAP
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=not train)
-        return nn.Dense(self.nc, dtype=self.dtype, name="linear")(x)
+        return TDense(self.nc, dtype=self.dtype, name="linear")(x)
 
 
 def decode_extras(
@@ -324,7 +324,7 @@ class v10Detect(nn.Module):
                 stride = self.strides[i]
                 b = ConvBN(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_0")(x, train)
                 b = ConvBN(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_1")(b, train)
-                b = nn.Conv(
+                b = TConv(
                     4 * self.reg_max, (1, 1), use_bias=True, bias_init=_bias_const(1.0),
                     dtype=self.dtype, name=f"{prefix}cv2_{i}_2",
                 )(b)
@@ -334,7 +334,7 @@ class v10Detect(nn.Module):
                 c = ConvBN(c3, 3, g=c3, dtype=self.dtype, name=f"{prefix}cv3_{i}_1_0")(c, train)
                 c = ConvBN(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_1_1")(c, train)
                 cls_bias = math.log(5 / self.nc / (640 / stride) ** 2)
-                c = nn.Conv(
+                c = TConv(
                     self.nc, (1, 1), use_bias=True, bias_init=_bias_const(cls_bias),
                     dtype=self.dtype, name=f"{prefix}cv3_{i}_2",
                 )(c)
@@ -397,13 +397,13 @@ class WorldDetect(nn.Module):
         for i, x in enumerate(feats):
             b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
             b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
-            b = nn.Conv(
+            b = TConv(
                 4 * self.reg_max, (1, 1), use_bias=True, bias_init=_bias_const(1.0),
                 dtype=self.dtype, name=f"cv2_{i}_2",
             )(b)
             e = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
             e = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(e, train)
-            e = nn.Conv(self.embed, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv3_{i}_2")(e)
+            e = TConv(self.embed, (1, 1), use_bias=True, dtype=self.dtype, name=f"cv3_{i}_2")(e)
             if self.with_bn:
                 cls = BNContrastiveHead(self.embed, dtype=self.dtype, name=f"cv4_{i}")(e, text, train)
             else:

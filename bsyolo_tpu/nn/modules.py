@@ -30,6 +30,23 @@ Array = jax.Array
 BN_MOMENTUM = 0.97  # torch momentum 0.03
 BN_EPS = 1e-3
 
+# torch's Conv2d/Linear default weight init is kaiming_uniform(a=sqrt(5)):
+# uniform(+-sqrt(1/fan_in)), variance 1/(3*fan_in). flax's default
+# lecun_normal has 3x that variance; for BN-normalized layers the weight
+# norm sets the effective per-layer step size (gradients are orthogonal to
+# scale-invariant weights, so |dw|/|w| ~ lr/|w|^2), so a 3x-hotter init
+# trains measurably SLOWER at the same lr. Matching the reference's init
+# distribution is required for training-DYNAMICS parity
+# (tests/test_train_parity.py), not just converted-weight forward parity.
+TORCH_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# nn.Conv/nn.Dense with the torch-matching kernel init; functools.partial
+# keeps the flax class (auto-names stay Conv_N/Dense_N, so checkpoint and
+# converter param paths are unchanged).
+import functools  # noqa: E402
+
+TConv = functools.partial(nn.Conv, kernel_init=TORCH_INIT)
+TDense = functools.partial(nn.Dense, kernel_init=TORCH_INIT)
+
 
 def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
     """Same-shape padding (reference conv.py autopad)."""
@@ -125,7 +142,7 @@ class _RawConv(nn.Module):
     def __call__(self, x: Array, int8: bool = False) -> Array:
         c1 = x.shape[-1]
         kshape = (*self.kernel_size, c1 // self.feature_group_count, self.features)
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape, jnp.float32)
+        kernel = self.param("kernel", TORCH_INIT, kshape, jnp.float32)
         dn = jax.lax.conv_dimension_numbers(x.shape, kshape, ("NHWC", "HWIO", "NHWC"))
         if _QUANT["calibrate"] and self.feature_group_count == 1:
             int8 = False
@@ -489,7 +506,7 @@ class PSA(nn.Module):
 
 def _dw_conv2d(x, features, kernel, padding, name, dtype, bias=True, dilation=(1, 1)):
     """Raw depthwise conv2d with bias (torch nn.Conv2d(groups=dim) equivalent)."""
-    return nn.Conv(
+    return TConv(
         features=features,
         kernel_size=kernel,
         padding=padding,
@@ -524,7 +541,7 @@ class MSCAAttention(nn.Module):
             return _dw_conv2d(t, d, (k, 1), [(k // 2, k // 2), (0, 0)], f"{name}_2", self.dtype)
 
         # The 1x1 "dilconv" is shared across branches 0-2 in the reference
-        dilconv = nn.Conv(d, (1, 1), feature_group_count=d, use_bias=True, dtype=self.dtype, name="dilconv")
+        dilconv = TConv(d, (1, 1), feature_group_count=d, use_bias=True, dtype=self.dtype, name="dilconv")
         attn_0 = dilconv(strip(attn, 5, "conv0"))
         attn_1 = dilconv(strip(attn, 7, "conv1"))
         attn_2 = dilconv(strip(attn, 11, "conv2"))
@@ -532,14 +549,14 @@ class MSCAAttention(nn.Module):
 
         def se(t, name):
             g = jnp.mean(t, axis=(1, 2), keepdims=True)  # GAP (B,1,1,C)
-            return nn.Conv(d, (1, 1), use_bias=True, dtype=self.dtype, name=name)(g)
+            return TConv(d, (1, 1), use_bias=True, dtype=self.dtype, name=name)(g)
 
         w = jnp.stack(
             [se(attn_0, "SE1"), se(attn_1, "SE2"), se(attn_2, "SE3"), se(attn_3, "SE4")], axis=0
         )  # (4, B, 1, 1, C)
         w = jax.nn.softmax(jax.nn.sigmoid(w), axis=0)
         x_att = w[0] * attn_0 + w[1] * attn_1 + w[2] * attn_2 + w[3] * attn_3
-        attn = nn.Conv(d, (1, 1), use_bias=True, dtype=self.dtype, name="conv4")(x_att)
+        attn = TConv(d, (1, 1), use_bias=True, dtype=self.dtype, name="conv4")(x_att)
         return attn * u
 
 
@@ -565,7 +582,7 @@ class ELA(nn.Module):
         pad_sp = (ks - 1) * 2 // 2
 
         # shared spatial conv (applied to both H and W sequences)
-        spatial_conv = nn.Conv(
+        spatial_conv = TConv(
             C,
             (ks,),
             padding=[(pad_sp, pad_sp)],
@@ -579,7 +596,7 @@ class ELA(nn.Module):
 
         # channel attention: GAP -> (B, 1, C) -> dw conv1d k=ks -> sigmoid
         gap = jnp.mean(x, axis=(1, 2), keepdims=False)[:, None, :]  # (B, 1, C)
-        ch = nn.Conv(
+        ch = TConv(
             C,
             (ks,),
             padding=[(pad_ch, pad_ch)],
@@ -613,7 +630,7 @@ class ConvBNRect(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = nn.Conv(
+        x = TConv(
             self.c2,
             self.kernel,
             strides=(self.s, self.s),
@@ -860,7 +877,7 @@ class MaxSigmoidAttnBlock(nn.Module):
             if c1 != self.ec
             else x
         )
-        g = nn.Dense(self.ec, dtype=self.dtype, name="gl")(guide)  # (B, K, ec)
+        g = TDense(self.ec, dtype=self.dtype, name="gl")(guide)  # (B, K, ec)
         g = g.reshape(B, -1, self.nh, self.ec // self.nh)
         e = embed.reshape(B, H, W, self.nh, self.ec // self.nh)
         aw = jnp.einsum("bhwmc,bnmc->bmhwn", e, g, preferred_element_type=jnp.float32)
@@ -918,16 +935,16 @@ class ImagePoolingAttn(nn.Module):
         hc = self.ec // self.nh
         pooled = []
         for i, f in enumerate(feats):
-            p = nn.Conv(self.ec, (1, 1), use_bias=True, dtype=self.dtype, name=f"projections_{i}")(f)
+            p = TConv(self.ec, (1, 1), use_bias=True, dtype=self.dtype, name=f"projections_{i}")(f)
             pooled.append(adaptive_max_pool2d(p, self.k).reshape(B, self.k * self.k, self.ec))
         img = jnp.concatenate(pooled, axis=1)  # (B, nf*k*k, ec)
 
         q = nn.LayerNorm(dtype=self.dtype, name="query_0")(text)
-        q = nn.Dense(self.ec, dtype=self.dtype, name="query_1")(q)
+        q = TDense(self.ec, dtype=self.dtype, name="query_1")(q)
         kk = nn.LayerNorm(dtype=self.dtype, name="key_0")(img)
-        kk = nn.Dense(self.ec, dtype=self.dtype, name="key_1")(kk)
+        kk = TDense(self.ec, dtype=self.dtype, name="key_1")(kk)
         v = nn.LayerNorm(dtype=self.dtype, name="value_0")(img)
-        v = nn.Dense(self.ec, dtype=self.dtype, name="value_1")(v)
+        v = TDense(self.ec, dtype=self.dtype, name="value_1")(v)
 
         q = q.reshape(B, -1, self.nh, hc)
         kk = kk.reshape(B, -1, self.nh, hc)
@@ -935,7 +952,7 @@ class ImagePoolingAttn(nn.Module):
         aw = jnp.einsum("bnmc,bkmc->bmnk", q, kk, preferred_element_type=jnp.float32) / (hc**0.5)
         aw = jax.nn.softmax(aw, axis=-1).astype(v.dtype)
         out = jnp.einsum("bmnk,bkmc->bnmc", aw, v).reshape(B, -1, self.ec)
-        out = nn.Dense(self.ct, dtype=self.dtype, name="proj")(out)
+        out = TDense(self.ct, dtype=self.dtype, name="proj")(out)
         return out + text  # reference scale=False -> scale == 1.0? (it is 1.0 when scale=False)
 
 
@@ -1249,7 +1266,7 @@ class ConvTranspose2dLayer(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         return nn.ConvTranspose(
             self.c2, (self.k, self.k), strides=(self.s, self.s), padding="VALID",
-            transpose_kernel=True, dtype=self.dtype, name="ct",
+            transpose_kernel=True, kernel_init=TORCH_INIT, dtype=self.dtype, name="ct",
         )(x)
 
 
@@ -1265,7 +1282,7 @@ class CBLinear(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, ...]:
         pad = autopad(self.k, None, 1)
-        y = nn.Conv(
+        y = TConv(
             sum(self.c2s), (self.k, self.k), strides=(self.s, self.s),
             padding=[(pad, pad), (pad, pad)], use_bias=True, dtype=self.dtype, name="conv",
         )(x)

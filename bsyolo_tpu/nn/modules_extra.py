@@ -52,6 +52,8 @@ from bsyolo_tpu.nn.modules import (
     C3,
     C3k,
     ConvBN,
+    TConv,
+    TDense,
     autopad,
     max_pool2d,
 )
@@ -76,7 +78,7 @@ class SimConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         pad = self.k // 2
-        x = nn.Conv(self.c2, (self.k, self.k), (self.s, self.s),
+        x = TConv(self.c2, (self.k, self.k), (self.s, self.s),
                     padding=[(pad, pad), (pad, pad)], feature_group_count=self.g,
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
@@ -152,8 +154,8 @@ class BottleneckCSP(nn.Module):
         for i in range(self.n):
             a = Bottleneck(c_, self.shortcut, self.g, k=(3, 3), e=1.0,
                            dtype=self.dtype, name=f"m_{i}")(a, train)
-        y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv3")(a)
-        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x)
+        y1 = TConv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv3")(a)
+        y2 = TConv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(
             jnp.concatenate([y1, y2], axis=-1)
@@ -177,16 +179,16 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         # x: (B, L, C). q/k/v pre-projections are bias-free.
-        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
-        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
+        q = TDense(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = TDense(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = TDense(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
         # torch MHA packs its own qkv projection as in_proj_weight (3C, C)
         # + in_proj_bias (3C,); keep the torch layout so the converter's
         # leaf passthrough maps ma.in_proj_weight / ma.out_proj.* directly.
         ma = _MultiheadAttention(self.c, self.num_heads, dtype=self.dtype, name="ma")
         x = ma(q, k, v) + x
-        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc1")(x)
-        return nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc2")(y) + x
+        y = TDense(self.c, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        return TDense(self.c, use_bias=False, dtype=self.dtype, name="fc2")(y) + x
 
 
 class _MultiheadAttention(nn.Module):
@@ -216,7 +218,7 @@ class _MultiheadAttention(nn.Module):
         v = v.reshape(B, L, h, d).transpose(0, 2, 1, 3)
         attn = nn.softmax(q @ k.transpose(0, 1, 3, 2) / math.sqrt(d), axis=-1)
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, L, C)
-        return nn.Dense(self.c, dtype=self.dtype, name="out_proj")(out)
+        return TDense(self.c, dtype=self.dtype, name="out_proj")(out)
 
 
 class TransformerBlock(nn.Module):
@@ -233,7 +235,7 @@ class TransformerBlock(nn.Module):
             x = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="conv")(x, train)
         B, H, W, C = x.shape
         p = x.reshape(B, H * W, C)
-        p = p + nn.Dense(self.c2, dtype=self.dtype, name="linear")(p)
+        p = p + TDense(self.c2, dtype=self.dtype, name="linear")(p)
         for i in range(self.num_layers):
             p = TransformerLayer(self.c2, self.num_heads, dtype=self.dtype, name=f"tr_{i}")(p)
         return p.reshape(B, H, W, self.c2)
@@ -336,21 +338,21 @@ class FocalModulation(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         C = self.dim
-        y = nn.Conv(2 * C + self.focal_level + 1, (1, 1), use_bias=True,
+        y = TConv(2 * C + self.focal_level + 1, (1, 1), use_bias=True,
                     dtype=self.dtype, name="f_linear")(x)
         q, ctx, gates = jnp.split(y, [C, 2 * C], axis=-1)
         ctx_all = 0.0
         for l in range(self.focal_level):
             ks = self.focal_factor * l + self.focal_window
-            ctx = nn.Conv(C, (ks, ks), padding=[(ks // 2, ks // 2)] * 2,
+            ctx = TConv(C, (ks, ks), padding=[(ks // 2, ks // 2)] * 2,
                           feature_group_count=C, use_bias=False,
                           dtype=self.dtype, name=f"focal_layers_{l}_0")(ctx)
             ctx = nn.gelu(ctx, approximate=False)
             ctx_all = ctx_all + ctx * gates[..., l:l + 1]
         ctx_global = nn.gelu(jnp.mean(ctx, axis=(1, 2), keepdims=True), approximate=False)
         ctx_all = ctx_all + ctx_global * gates[..., self.focal_level:]
-        out = q * nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype, name="h")(ctx_all)
-        return nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype, name="proj")(out)
+        out = q * TConv(C, (1, 1), use_bias=True, dtype=self.dtype, name="h")(ctx_all)
+        return TConv(C, (1, 1), use_bias=True, dtype=self.dtype, name="proj")(out)
 
 
 # ---------------------------------------------------------------------------
@@ -415,9 +417,9 @@ class AttentionLRSA(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         # x: (B*, L, C)
-        q = nn.Dense(self.qk_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(self.qk_dim, use_bias=False, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        q = TDense(self.qk_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = TDense(self.qk_dim, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = TDense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(x)
         Bn, L, _ = q.shape
         h = self.heads
         q = q.reshape(Bn, L, h, -1).transpose(0, 2, 1, 3)
@@ -426,7 +428,7 @@ class AttentionLRSA(nn.Module):
         # F.scaled_dot_product_attention scales by 1/sqrt(head qk dim)
         attn = nn.softmax(q @ k.transpose(0, 1, 3, 2) / math.sqrt(q.shape[-1]), axis=-1)
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(Bn, L, self.dim)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="proj")(out)
+        return TDense(self.dim, use_bias=False, dtype=self.dtype, name="proj")(out)
 
 
 class _DWConvGELU(nn.Module):
@@ -441,7 +443,7 @@ class _DWConvGELU(nn.Module):
     def __call__(self, x: Array, x_size: Tuple[int, int]) -> Array:
         B, L, C = x.shape
         hh = x.reshape(B, x_size[0], x_size[1], C)
-        dw = nn.Conv(self.hidden, (self.kernel_size, self.kernel_size),
+        dw = TConv(self.hidden, (self.kernel_size, self.kernel_size),
                      padding=[((self.kernel_size - 1) // 2,) * 2] * 2,
                      feature_group_count=self.hidden, use_bias=True,
                      dtype=self.dtype, name="depthwise_conv_0")(hh)
@@ -458,11 +460,11 @@ class ConvFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, x_size: Tuple[int, int]) -> Array:
-        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        h = TDense(self.hidden, dtype=self.dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=False)
         h = h + _DWConvGELU(self.hidden, self.kernel_size, dtype=self.dtype,
                             name="dwconv")(h, x_size)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return TDense(self.dim, dtype=self.dtype, name="fc2")(h)
 
 
 class _PreNormAttn(nn.Module):
@@ -586,7 +588,7 @@ class OutlookAttention(nn.Module):
         k, p, heads = self.kernel_size, self.padding, self.num_heads
         ch = C // heads
         scale = (ch) ** -0.5
-        v = nn.Dense(C, use_bias=False, dtype=self.dtype, name="v")(x)
+        v = TDense(C, use_bias=False, dtype=self.dtype, name="v")(x)
         # unfold: (B, H, W, kk, C) patches, kernel offsets row-major like torch
         vp = jnp.pad(v, ((0, 0), (p, p), (p, p), (0, 0)))
         patches = jnp.stack(
@@ -594,7 +596,7 @@ class OutlookAttention(nn.Module):
         )  # (B, H, W, kk, C)
         # (B, heads, N, kk, ch)
         vv = patches.reshape(B, H * W, k * k, heads, ch).transpose(0, 3, 1, 2, 4)
-        attn = nn.Dense(k ** 4 * heads, use_bias=True, dtype=self.dtype, name="attn")(x)
+        attn = TDense(k ** 4 * heads, use_bias=True, dtype=self.dtype, name="attn")(x)
         attn = attn.reshape(B, H * W, heads, k * k, k * k).transpose(0, 2, 1, 3, 4)
         attn = nn.softmax(attn * scale, axis=-1)
         out = attn @ vv  # (B, heads, N, kk, ch)
@@ -607,7 +609,7 @@ class OutlookAttention(nn.Module):
                 buf = buf.at[:, i:i + H, j:j + W, :].add(out[:, :, :, idx, :])
                 idx += 1
         y = buf[:, p:p + H, p:p + W, :]
-        return nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(y)
+        return TDense(C, use_bias=True, dtype=self.dtype, name="proj")(y)
 
 
 class BottleneckOAtention(nn.Module):
@@ -679,7 +681,7 @@ class MultiOrderDWConv(nn.Module):
 
         def dw(name, feats, k, dilation, src):
             pad = (1 + (k - 1) * dilation) // 2
-            return nn.Conv(feats, (k, k), padding=[(pad, pad)] * 2,
+            return TConv(feats, (k, k), padding=[(pad, pad)] * 2,
                            feature_group_count=feats, kernel_dilation=(dilation, dilation),
                            use_bias=True, dtype=self.dtype, name=name)(src)
 
@@ -687,7 +689,7 @@ class MultiOrderDWConv(nn.Module):
         x1 = dw("DW_conv1", d1, 5, dil[1], x0[..., d0:d0 + d1])
         x2 = dw("DW_conv2", d2, 7, dil[2], x0[..., C - d2:])
         y = jnp.concatenate([x0[..., :d0], x1, x2], axis=-1)
-        return nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype, name="PW_conv")(y)
+        return TConv(C, (1, 1), use_bias=True, dtype=self.dtype, name="PW_conv")(y)
 
 
 class MultiOrderGatedAggregation(nn.Module):
@@ -702,13 +704,13 @@ class MultiOrderGatedAggregation(nn.Module):
         C = self.embed_dims
         sigma = self.param("sigma", nn.initializers.constant(1e-5), (1, 1, 1, C), jnp.float32)
         shortcut = x
-        y = nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype, name="proj_1")(x)
+        y = TConv(C, (1, 1), use_bias=True, dtype=self.dtype, name="proj_1")(x)
         y_d = jnp.mean(y, axis=(1, 2), keepdims=True)
         y = y + sigma.astype(y.dtype) * (y - y_d)
         y = nn.silu(y)
-        g = nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype, name="gate")(y)
+        g = TConv(C, (1, 1), use_bias=True, dtype=self.dtype, name="gate")(y)
         v = MultiOrderDWConv(C, dtype=self.dtype, name="value")(y)
-        y = nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype, name="proj_2")(
+        y = TConv(C, (1, 1), use_bias=True, dtype=self.dtype, name="proj_2")(
             nn.silu(g) * nn.silu(v)
         )
         return y + shortcut
@@ -774,15 +776,15 @@ class CoordAtt(nn.Module):
         x_h = jnp.mean(x, axis=2, keepdims=True)                  # (B, H, 1, C)
         x_w = jnp.mean(x, axis=1, keepdims=True).transpose(0, 2, 1, 3)  # (B, W, 1, C)
         y = jnp.concatenate([x_h, x_w], axis=1)                   # (B, H+W, 1, C)
-        y = nn.Conv(mip, (1, 1), use_bias=True, dtype=self.dtype, name="conv1")(y)
+        y = TConv(mip, (1, 1), use_bias=True, dtype=self.dtype, name="conv1")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
         y = _h_swish(y)
         y_h, y_w = y[:, :H], y[:, H:]
         y_w = y_w.transpose(0, 2, 1, 3)                           # (B, 1, W, mip)
-        a_h = nn.sigmoid(nn.Conv(self.oup, (1, 1), use_bias=True, dtype=self.dtype,
+        a_h = nn.sigmoid(TConv(self.oup, (1, 1), use_bias=True, dtype=self.dtype,
                                  name="conv_h")(y_h))
-        a_w = nn.sigmoid(nn.Conv(self.oup, (1, 1), use_bias=True, dtype=self.dtype,
+        a_w = nn.sigmoid(TConv(self.oup, (1, 1), use_bias=True, dtype=self.dtype,
                                  name="conv_w")(y_w))
         return x * a_w * a_h
 
@@ -855,14 +857,14 @@ class CRU(nn.Module):
         low_c = C - up_c
         sq = self.squeeze_ratio
         up, low = x[..., :up_c], x[..., up_c:]
-        up = nn.Conv(up_c // sq, (1, 1), use_bias=False, dtype=self.dtype, name="squeeze1")(up)
-        low = nn.Conv(low_c // sq, (1, 1), use_bias=False, dtype=self.dtype, name="squeeze2")(low)
+        up = TConv(up_c // sq, (1, 1), use_bias=False, dtype=self.dtype, name="squeeze1")(up)
+        low = TConv(low_c // sq, (1, 1), use_bias=False, dtype=self.dtype, name="squeeze2")(low)
         k = self.group_kernel_size
-        y1 = nn.Conv(C, (k, k), padding=[(k // 2, k // 2)] * 2, use_bias=True,
+        y1 = TConv(C, (k, k), padding=[(k // 2, k // 2)] * 2, use_bias=True,
                      feature_group_count=self.group_size, dtype=self.dtype, name="GWC")(up) \
-            + nn.Conv(C, (1, 1), use_bias=False, dtype=self.dtype, name="PWC1")(up)
+            + TConv(C, (1, 1), use_bias=False, dtype=self.dtype, name="PWC1")(up)
         y2 = jnp.concatenate(
-            [nn.Conv(C - low_c // sq, (1, 1), use_bias=False, dtype=self.dtype,
+            [TConv(C - low_c // sq, (1, 1), use_bias=False, dtype=self.dtype,
                      name="PWC2")(low), low], axis=-1)
         out = jnp.concatenate([y1, y2], axis=-1)
         att = nn.softmax(jnp.mean(out, axis=(1, 2), keepdims=True), axis=-1)
@@ -948,15 +950,15 @@ class IEL(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         hidden = int(self.dim * self.ffn_expansion_factor)
-        x = nn.Conv(hidden * 2, (1, 1), use_bias=False, dtype=self.dtype, name="project_in")(x)
-        x = nn.Conv(hidden * 2, (3, 3), padding=[(1, 1)] * 2, feature_group_count=hidden * 2,
+        x = TConv(hidden * 2, (1, 1), use_bias=False, dtype=self.dtype, name="project_in")(x)
+        x = TConv(hidden * 2, (3, 3), padding=[(1, 1)] * 2, feature_group_count=hidden * 2,
                     use_bias=False, dtype=self.dtype, name="dwconv")(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
-        x1 = jnp.tanh(nn.Conv(hidden, (3, 3), padding=[(1, 1)] * 2, feature_group_count=hidden,
+        x1 = jnp.tanh(TConv(hidden, (3, 3), padding=[(1, 1)] * 2, feature_group_count=hidden,
                               use_bias=False, dtype=self.dtype, name="dwconv1")(x1)) + x1
-        x2 = jnp.tanh(nn.Conv(hidden, (3, 3), padding=[(1, 1)] * 2, feature_group_count=hidden,
+        x2 = jnp.tanh(TConv(hidden, (3, 3), padding=[(1, 1)] * 2, feature_group_count=hidden,
                               use_bias=False, dtype=self.dtype, name="dwconv2")(x2)) + x2
-        return nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype, name="project_out")(x1 * x2)
+        return TConv(self.dim, (1, 1), use_bias=False, dtype=self.dtype, name="project_out")(x1 * x2)
 
 
 def _plain_bn(x, train, dtype, name):
@@ -983,20 +985,20 @@ class BottleneckIEL(nn.Module):
         c1 = x.shape[-1]
         c_ = int(self.c2 * self.e)
         k0, k1 = self.k
-        y = nn.Conv(c_, (k0, k0), padding=[(k0 // 2, k0 // 2)] * 2, use_bias=False,
+        y = TConv(c_, (k0, k0), padding=[(k0 // 2, k0 // 2)] * 2, use_bias=False,
                     dtype=self.dtype, name="base_conv_0")(x)
         y = _plain_bn(y, train, self.dtype, "base_conv_1")
         y = nn.silu(y)
-        y = nn.Conv(self.c2, (k1, k1), padding=[(k1 // 2, k1 // 2)] * 2,
+        y = TConv(self.c2, (k1, k1), padding=[(k1 // 2, k1 // 2)] * 2,
                     feature_group_count=self.g, use_bias=False,
                     dtype=self.dtype, name="base_conv_3")(y)
         y = _plain_bn(y, train, self.dtype, "base_conv_4")
         hidden = int(self.c2 * self.ffn_ratio)
-        z = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype, name="iel_0")(y)
-        z = nn.Conv(hidden, (3, 3), padding=[(1, 1)] * 2, feature_group_count=hidden // 4,
+        z = TConv(hidden, (1, 1), use_bias=False, dtype=self.dtype, name="iel_0")(y)
+        z = TConv(hidden, (3, 3), padding=[(1, 1)] * 2, feature_group_count=hidden // 4,
                     use_bias=False, dtype=self.dtype, name="iel_1")(z)
         z = nn.silu(z)
-        z = nn.Conv(self.c2, (1, 1), use_bias=False, dtype=self.dtype, name="iel_3")(z)
+        z = TConv(self.c2, (1, 1), use_bias=False, dtype=self.dtype, name="iel_3")(z)
         z = _plain_bn(z, train, self.dtype, "iel_4")
         y = y + z
         return x + y if self.shortcut and c1 == self.c2 else y
@@ -1038,7 +1040,7 @@ class DWConv2dNHWC(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         C = x.shape[-1]
-        return nn.Conv(C, (self.k, self.k), padding=[(self.p, self.p)] * 2,
+        return TConv(C, (self.k, self.k), padding=[(self.p, self.p)] * 2,
                        feature_group_count=C, use_bias=True, dtype=self.dtype,
                        name="conv")(x)
 
@@ -1075,9 +1077,9 @@ class MaSA(nn.Module):
         nh = self.num_heads
         kd = C // nh
         scaling = kd ** -0.5
-        q = nn.Dense(C, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(C, dtype=self.dtype, name="k_proj")(x) * scaling
-        v = nn.Dense(C, dtype=self.dtype, name="v_proj")(x)
+        q = TDense(C, dtype=self.dtype, name="q_proj")(x)
+        k = TDense(C, dtype=self.dtype, name="k_proj")(x) * scaling
+        v = TDense(C, dtype=self.dtype, name="v_proj")(x)
         lepe = DWConv2dNHWC(5, 2, dtype=self.dtype, name="lepe")(v)
         L = H * W
         qr = q.reshape(B, L, nh, kd).transpose(0, 2, 1, 3)
@@ -1086,7 +1088,7 @@ class MaSA(nn.Module):
         qk = qr @ kr.transpose(0, 1, 3, 2) + mask.astype(q.dtype)
         out = nn.softmax(qk, axis=-1) @ vr  # (B, nh, L, d)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C) + lepe
-        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+        return TDense(C, dtype=self.dtype, name="out_proj")(out)
 
 
 class MaSAd(nn.Module):
@@ -1102,9 +1104,9 @@ class MaSAd(nn.Module):
         nh = self.num_heads
         kd = C // nh
         scaling = kd ** -0.5
-        q = nn.Dense(C, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(C, dtype=self.dtype, name="k_proj")(x) * scaling
-        v = nn.Dense(C, dtype=self.dtype, name="v_proj")(x)
+        q = TDense(C, dtype=self.dtype, name="q_proj")(x)
+        k = TDense(C, dtype=self.dtype, name="k_proj")(x) * scaling
+        v = TDense(C, dtype=self.dtype, name="v_proj")(x)
         lepe = DWConv2dNHWC(5, 2, dtype=self.dtype, name="lepe")(v)
         qr = q.reshape(B, H, W, nh, kd).transpose(0, 3, 1, 2, 4)  # (B,n,H,W,d)
         kr = k.reshape(B, H, W, nh, kd).transpose(0, 3, 1, 2, 4)
@@ -1121,7 +1123,7 @@ class MaSAd(nn.Module):
         qk_h = qr_h @ kr_h.transpose(0, 1, 2, 4, 3) + mask_h.astype(q.dtype)
         out = nn.softmax(qk_h, axis=-1) @ vv  # (B,W,n,H,d)
         out = out.transpose(0, 3, 1, 2, 4).reshape(B, H, W, C) + lepe
-        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+        return TDense(C, dtype=self.dtype, name="out_proj")(out)
 
 
 class RetFFN(nn.Module):
@@ -1133,9 +1135,9 @@ class RetFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
+        h = TDense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=False)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
+        return TDense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
 
 
 class RetBlock(nn.Module):
@@ -1299,7 +1301,7 @@ class WTConv2d(nn.Module):
             cur = sub[..., 0]
             B, h, w, _, _ = sub.shape
             tag = sub.reshape(B, h, w, 4 * C)
-            tag = nn.Conv(4 * C, (k, k), padding=[(pad, pad)] * 2, feature_group_count=4 * C,
+            tag = TConv(4 * C, (k, k), padding=[(pad, pad)] * 2, feature_group_count=4 * C,
                           use_bias=False, dtype=self.dtype, name=f"wavelet_convs_{i}")(tag)
             tag = _Scale(0.1, name=f"wavelet_scale_{i}")(tag).reshape(B, h, w, C, 4)
             lls.append(tag[..., 0])
@@ -1313,7 +1315,7 @@ class WTConv2d(nn.Module):
             sh = shapes[i]
             nxt = nxt[:, :sh[1], :sh[2], :]
 
-        base = nn.Conv(C, (k, k), padding=[(pad, pad)] * 2, feature_group_count=C,
+        base = TConv(C, (k, k), padding=[(pad, pad)] * 2, feature_group_count=C,
                        use_bias=True, dtype=self.dtype, name="base_conv")(x)
         y = _Scale(1.0, name="base_scale")(base) + nxt
         if self.stride > 1:
@@ -1379,4 +1381,4 @@ class _RoutingFC(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.Dense(self.num_experts, dtype=self.dtype, name="fc")(x)
+        return TDense(self.num_experts, dtype=self.dtype, name="fc")(x)

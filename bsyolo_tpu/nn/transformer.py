@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from bsyolo_tpu.nn.modules import BN_EPS, BN_MOMENTUM
+from bsyolo_tpu.nn.modules import BN_EPS, BN_MOMENTUM, TConv, TDense
 
 Array = jax.Array
 
@@ -68,7 +68,7 @@ class MultiheadAttention(nn.Module):
             attn = jnp.where(attn_mask[None, None], -1e9, attn)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Q, C)
-        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+        return TDense(C, dtype=self.dtype, name="out_proj")(out)
 
 
 def build_2d_sincos_pos_embed(w: int, h: int, embed_dim: int, temperature: float = 10000.0):
@@ -103,8 +103,8 @@ class AIFI(nn.Module):
         q = k = src + pos
         attn = MultiheadAttention(C, self.num_heads, dtype=self.dtype, name="ma")(q, k, src)
         src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
-        ff = nn.Dense(self.cm, dtype=self.dtype, name="fc1")(src)
-        ff = nn.Dense(C, dtype=self.dtype, name="fc2")(nn.gelu(ff, approximate=False))
+        ff = TDense(self.cm, dtype=self.dtype, name="fc1")(src)
+        ff = TDense(C, dtype=self.dtype, name="fc2")(nn.gelu(ff, approximate=False))
         src = nn.LayerNorm(dtype=self.dtype, name="norm2")(src + ff)
         return src.reshape(B, H, W, C)
 
@@ -122,7 +122,7 @@ class MLP(nn.Module):
     def __call__(self, x: Array) -> Array:
         for i in range(self.num_layers):
             out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
+            x = TDense(out, dtype=self.dtype, name=f"layers_{i}")(x)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
         return jax.nn.sigmoid(x) if self.sigmoid else x
@@ -216,13 +216,13 @@ class MSDeformAttn(nn.Module):
         B, Q = query.shape[:2]
         len_v = value.shape[1]
         H, L, P = self.n_heads, self.n_levels, self.n_points
-        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(value)
+        value = TDense(self.d_model, dtype=self.dtype, name="value_proj")(value)
         value = value.reshape(B, len_v, H, self.d_model // H)
-        off = nn.Dense(
+        off = TDense(
             H * L * P * 2, kernel_init=nn.initializers.zeros, bias_init=self._offset_bias_init,
             dtype=self.dtype, name="sampling_offsets",
         )(query).reshape(B, Q, H, L, P, 2)
-        w = nn.Dense(
+        w = TDense(
             H * L * P, kernel_init=nn.initializers.zeros, dtype=self.dtype,
             name="attention_weights",
         )(query).reshape(B, Q, H, L * P)
@@ -236,7 +236,7 @@ class MSDeformAttn(nn.Module):
         else:
             loc = rb[:, :, None, :, None, :2] + off / P * rb[:, :, None, :, None, 2:] * 0.5
         out = ms_deform_attn_sample(value.astype(jnp.float32), shapes, loc, w)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out.astype(query.dtype))
+        return TDense(self.d_model, dtype=self.dtype, name="output_proj")(out.astype(query.dtype))
 
 
 class DeformableTransformerDecoderLayer(nn.Module):
@@ -262,8 +262,8 @@ class DeformableTransformerDecoderLayer(nn.Module):
             name="cross_attn",
         )(embed if query_pos is None else embed + query_pos, refer_bbox[:, :, None], feats, shapes)
         embed = nn.LayerNorm(dtype=self.dtype, name="norm2")(embed + tgt)
-        ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(embed)
-        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(ff))
+        ff = TDense(self.d_ffn, dtype=self.dtype, name="linear1")(embed)
+        ff = TDense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(ff))
         return nn.LayerNorm(dtype=self.dtype, name="norm3")(embed + ff)
 
 
@@ -367,7 +367,7 @@ class RTDETRDecoder(nn.Module):
         feats_l = []
         shapes = []
         for i, f in enumerate(x):
-            p = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype, name=f"input_proj_{i}_0")(f)
+            p = TConv(self.hd, (1, 1), use_bias=False, dtype=self.dtype, name=f"input_proj_{i}_0")(f)
             p = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
                 dtype=self.dtype, name=f"input_proj_{i}_1",
@@ -414,11 +414,11 @@ class RTDETRDecoder(nn.Module):
         anchors = jnp.log(anchors / (1 - anchors))
         anchors = jnp.where(valid, anchors, jnp.inf)
 
-        fmem = nn.Dense(self.hd, dtype=self.dtype, name="enc_output_0")(
+        fmem = TDense(self.hd, dtype=self.dtype, name="enc_output_0")(
             valid.astype(feats.dtype) * feats
         )
         fmem = nn.LayerNorm(dtype=self.dtype, name="enc_output_1")(fmem)
-        enc_scores_all = nn.Dense(
+        enc_scores_all = TDense(
             self.nc, bias_init=nn.initializers.constant(self._cls_bias()), dtype=self.dtype,
             name="enc_score_head",
         )(fmem)
@@ -460,7 +460,7 @@ class RTDETRDecoder(nn.Module):
             )(output, refer, feats, shapes, attn_mask=attn_mask, query_pos=pos, train=train)
             bbox_delta = MLP(self.hd, 4, 3, dtype=self.dtype, name=f"dec_bbox_head_{i}")(output)
             refined = jax.nn.sigmoid(bbox_delta + inverse_sigmoid(refer))
-            score = nn.Dense(
+            score = TDense(
                 self.nc, bias_init=nn.initializers.constant(self._cls_bias()), dtype=self.dtype,
                 name=f"dec_score_head_{i}",
             )(output)

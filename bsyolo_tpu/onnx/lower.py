@@ -384,16 +384,35 @@ def _split(lw, eqn):
 def _pad(lw, eqn):
     x, pad_val = eqn.invars
     cfg = [(int(lo), int(hi), int(interior)) for lo, hi, interior in eqn.params["padding_config"]]
-    if any(i != 0 for _, _, i in cfg):
-        raise UnsupportedPrimitive("pad with interior padding")
+    name = lw.read(x)
+    shape = [int(s) for s in lw.shape(x)]
+    # interior (dilation) padding first — XLA dilates, THEN applies lo/hi
+    # edges. ONNX Pad has no interior mode, so decompose per axis: unsqueeze
+    # after d, Pad i copies of pad_val after each element, merge, and drop
+    # the i trailing fill values (the last element gets no interior pad).
+    for d, (_, _, i) in enumerate(cfg):
+        if i == 0:
+            continue
+        n = shape[d]
+        us = shape[: d + 1] + [1] + shape[d + 1 :]
+        name = lw.reshape(name, us)
+        pads = [0] * len(us) * 2
+        pads[len(us) + d + 1] = i  # ONNX layout: begins..., ends...
+        name = lw.b.node("Pad", [name, lw.i64(pads), lw.read(pad_val)])[0]
+        name = lw.reshape(name, shape[:d] + [n * (1 + i)] + shape[d + 1 :])
+        target = n + max(n - 1, 0) * i
+        if target != n * (1 + i):
+            name = lw.b.node(
+                "Slice", [name, lw.i64([0]), lw.i64([target]), lw.i64([d])]
+            )[0]
+        shape[d] = target
     pos = [(max(lo, 0), max(hi, 0)) for lo, hi, _ in cfg]
     neg = [(min(lo, 0), min(hi, 0)) for lo, hi, _ in cfg]
-    name = lw.read(x)
     if any(p != (0, 0) for p in pos):
         pads = [p[0] for p in pos] + [p[1] for p in pos]
         name = lw.b.node("Pad", [name, lw.i64(pads), lw.read(pad_val)])[0]
     if any(nd != (0, 0) for nd in neg):
-        padded = [int(s) + pos[i][0] + pos[i][1] for i, s in enumerate(lw.shape(x))]
+        padded = [s + pos[i][0] + pos[i][1] for i, s in enumerate(shape)]
         starts = [-nd[0] for nd in neg]
         ends = [padded[i] + neg[i][1] for i in range(len(neg))]
         axes = list(range(len(neg)))
@@ -702,6 +721,92 @@ def _gather(lw, eqn):
     return [lw.reshape(out, out_shape) if list(eqn.outvars[0].aval.shape) != out_shape else out]
 
 
+def _scatter_nd(lw, eqn):
+    """General set-scatter -> ScatterND: a (..., k) index array writing full
+    slices along k operand axes (`x.at[i].set(u)` with array indices).
+
+    XLA's drop-on-OOB semantics don't come free here (ONNX ScatterND is
+    undefined for out-of-range indices), so the operand is padded with one
+    dummy slot along the first indexed axis, invalid rows are redirected to
+    the dummy, and the dummy is sliced off after the write. CLIP mode skips
+    the dummy and clamps instead."""
+    from jax.lax import GatherScatterMode
+
+    from bsyolo_tpu.onnx import proto
+
+    operand, indices, updates = eqn.invars
+    dn = eqn.params["dimension_numbers"]
+    o_shape = [int(d) for d in lw.shape(operand)]
+    i_shape = [int(d) for d in lw.shape(indices)]
+    u_shape = [int(d) for d in lw.shape(updates)]
+    sdo = [int(d) for d in dn.scatter_dims_to_operand_dims]
+    iwd = [int(d) for d in dn.inserted_window_dims]
+    uwd = [int(d) for d in dn.update_window_dims]
+    ob = list(getattr(dn, "operand_batching_dims", ()) or ())
+    k = len(sdo)
+    ndim = len(o_shape)
+    rest = [d for d in range(ndim) if d not in sdo]
+    n_batch = len(u_shape) - len(uwd)
+    ok = (
+        not ob
+        and k >= 1
+        and sorted(sdo) == iwd
+        and (not i_shape or i_shape[-1] == k)
+        and uwd == list(range(n_batch, len(u_shape)))
+        and u_shape[n_batch:] == [o_shape[d] for d in rest]  # full window
+        and i_shape[:-1] == u_shape[:n_batch]  # batch dims agree
+    )
+    if not ok:
+        raise UnsupportedPrimitive("scatter outside the ScatterND-expressible pattern")
+
+    n_rows = int(np.prod(i_shape[:-1])) if i_shape[:-1] else 1
+    window = [o_shape[d] for d in rest]
+    dims = np.asarray([o_shape[d] for d in sdo], dtype=np.int64)
+
+    op_name = lw.read(operand)
+    perm = sdo + rest
+    if perm != list(range(ndim)):
+        op_name = lw.transpose(op_name, perm)
+    t_shape = [o_shape[d] for d in perm]
+
+    idx = lw.read(indices)
+    if _np_dtype(indices.aval.dtype) != "int64":
+        idx = lw.b.node("Cast", [idx], to=proto.TENSOR_DTYPE["int64"])[0]
+    idx = lw.reshape(idx, [n_rows, k])
+    upd = lw.reshape(lw.read(updates), [n_rows] + window)
+
+    mode = eqn.params.get("mode")
+    clip = mode == GatherScatterMode.CLIP
+    clamped = lw.b.node("Max", [idx, lw.const(np.zeros((k,), np.int64))])[0]
+    clamped = lw.b.node("Min", [clamped, lw.const(dims - 1)])[0]
+    if clip:
+        data, idx_safe, n0 = op_name, clamped, None
+    else:
+        # FILL_OR_DROP / default: redirect invalid rows to a padded dummy slot
+        n0 = t_shape[0]
+        pads = [0] * (2 * ndim)
+        pads[ndim] = 1  # one extra slot at the end of axis 0
+        zero = lw.const(np.zeros((), np.dtype(_np_dtype(operand.aval.dtype))))
+        data = lw.b.node("Pad", [op_name, lw.i64(pads), zero])[0]
+        valid = lw.b.node("Equal", [idx, clamped])[0]  # in range per component
+        valid = lw.b.node("Cast", [valid], to=proto.TENSOR_DTYPE["int64"])[0]
+        valid = lw.b.node("ReduceMin", [valid, lw.i64([-1])], keepdims=1)[0]
+        valid = lw.b.node("Cast", [valid], to=proto.TENSOR_DTYPE["bool"])[0]
+        dummy = np.zeros((1, k), np.int64)
+        dummy[0, 0] = n0
+        idx_safe = lw.b.node("Where", [valid, clamped, lw.const(dummy)])[0]
+
+    out = lw.b.node("ScatterND", [data, idx_safe, upd])[0]
+    if not clip:
+        out = lw.b.node(
+            "Slice", [out, lw.i64([0]), lw.i64([n0]), lw.i64([0])]
+        )[0]
+    if perm != list(range(ndim)):
+        inv = [perm.index(d) for d in range(ndim)]
+        out = lw.transpose(out, inv)
+    return [out]
+
+
 @_register("scatter")
 def _scatter(lw, eqn):
     """Restricted lax.scatter: a scalar index writing one slice along a single
@@ -720,11 +825,11 @@ def _scatter(lw, eqn):
     ob = list(getattr(dn, "operand_batching_dims", ()) or ())
     idx_elems = int(np.prod(lw.shape(indices))) if lw.shape(indices) else 1
     if ob or len(sdo) != 1 or sdo != iwd or idx_elems != 1 or uwd != list(range(len(u_shape))):
-        raise UnsupportedPrimitive("scatter outside the scalar-index single-axis pattern")
+        return _scatter_nd(lw, eqn)
     d = sdo[0]
     expected_u = [s for i, s in enumerate(o_shape) if i != d]
     if u_shape != expected_u:
-        raise UnsupportedPrimitive("scatter with partial window")
+        return _scatter_nd(lw, eqn)
 
     idx_name = lw.read(indices)
     if _np_dtype(indices.aval.dtype) != "int64":

@@ -586,6 +586,25 @@ def _gather_nd(attrs, data, indices):
     return stacked.reshape(out_shape)
 
 
+@_op("ScatterND")
+def _scatter_nd(attrs, data, indices, updates):
+    red = attrs.get("reduction", "none")
+    out = np.copy(data)
+    indices = np.asarray(indices, np.int64)
+    k = indices.shape[-1]
+    flat_idx = indices.reshape(-1, k)
+    flat_upd = np.asarray(updates).reshape((flat_idx.shape[0],) + data.shape[k:])
+    for i in range(flat_idx.shape[0]):
+        tup = tuple(flat_idx[i])
+        if red == "add":
+            out[tup] += flat_upd[i]
+        elif red == "none":
+            out[tup] = flat_upd[i]
+        else:
+            raise NotImplementedError(f"ScatterND reduction {red}")
+    return out
+
+
 @_op("Resize")
 def _resize(attrs, x, roi=None, scales=None, sizes=None):
     mode = attrs.get("mode", "nearest")

@@ -273,7 +273,13 @@ class RefGraph(nn.Module):
             layers.append(mod)
         self.model = nn.Sequential(*layers)
         self.save = list(spec.save)
-        # reference DetectionModel.__init__ runs bias_init after stride calc
+        # reference DetectionModel.__init__ runs initialize_weights
+        # (torch_utils.py:417: BN eps=1e-3, momentum=0.03) then bias_init
+        # after stride calc — both shape training dynamics, so the oracle
+        # must carry them for test_train_parity to be a fair comparison.
+        for mm in self.model.modules():
+            if isinstance(mm, nn.BatchNorm2d):
+                mm.eps, mm.momentum = 1e-3, 0.03
         head = self.model[-1]
         if hasattr(head, "bias_init"):
             head.bias_init()

@@ -1,0 +1,121 @@
+"""Training-dynamics parity: DetectionTrainer vs the PyTorch reference.
+
+The north-star claim (BASELINE.md / round-3 verdict item #1): the JAX trainer
+TRAINS the same as the reference, not merely "loss values match". We train
+the AST-extracted reference graph + reference v8DetectionLoss under the
+reference trainer semantics (ref_torch_trainer.RefTrainer) and our
+DetectionTrainer on the SAME synthetic dataset with identical
+hyperparameters and augmentation off, evaluate BOTH through the same
+DetectionValidator (torch weights converted per epoch), and compare mAP50
+trajectories.
+
+Measured table lives in docs/training_parity.md.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from test_e2e_train import make_synthetic_dataset  # noqa: E402
+
+EPOCHS = int(os.environ.get("PARITY_EPOCHS", "24"))  # env override for smoke runs
+BATCH = 8
+IMGSZ = 96
+SEED = 3
+MAX_GT = 32
+HYP = dict(lr0=0.02, lrf=0.01, momentum=0.937, weight_decay=0.0005,
+           warmup_epochs=2.0, warmup_momentum=0.8, warmup_bias_lr=0.1, nbs=8)
+AUG_OFF = dict(mosaic=0.0, mixup=0.0, copy_paste=0.0, fliplr=0.0, flipud=0.0,
+               translate=0.0, scale=0.0, degrees=0.0, shear=0.0, perspective=0.0,
+               hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, erasing=0.0, bgr=0.0)
+TINY = str(Path(__file__).parent / "fixtures" / "tiny.yaml")
+
+
+def _train_jax(data_yaml, tmp_path):
+    from bsyolo_tpu.engine.trainer import DetectionTrainer
+
+    traj = []
+
+    def on_epoch(t):
+        traj.append(float(t.metrics.box.map50) if t.metrics is not None else 0.0)
+
+    def on_start(t):
+        # kill the photometric suite (not cfg-keyed) for a controlled run
+        t.train_loader.dataset.hyp["albumentations"] = 0.0
+
+    tr = DetectionTrainer(overrides={
+        "model": TINY, "data": str(data_yaml), "epochs": EPOCHS, "batch": BATCH,
+        "imgsz": IMGSZ, "optimizer": "SGD", "seed": SEED, "max_gt": MAX_GT,
+        "amp": False, "close_mosaic": 0, "plots": False, "workers": 0,
+        "project": str(tmp_path / "runs"), "name": "jax", **HYP, **AUG_OFF,
+    })
+    tr.add_callback("on_fit_epoch_end", on_epoch)
+    tr.add_callback("on_train_start", on_start)
+    tr.train()
+    return traj
+
+
+def _train_ref(data_yaml, tmp_path):
+    import torch
+
+    from ref_torch_model import build_ref_model
+    from ref_torch_trainer import RefTrainer
+    from test_loss import _ref_loss_modules
+
+    from bsyolo_tpu.data import DataLoader, YOLODataset, load_dataset_yaml
+    from bsyolo_tpu.engine.validator import DetectionValidator
+    from bsyolo_tpu.nn.model import build_model
+    from bsyolo_tpu.utils.torch_weights import convert_state_dict
+
+    data = load_dataset_yaml(str(data_yaml))
+    train_ds = YOLODataset(data["train"], imgsz=IMGSZ, augment=False, max_gt=MAX_GT)
+    loader = DataLoader(train_ds, BATCH, shuffle=True, seed=SEED, drop_last=True)
+    val_ds = YOLODataset(data["val"], imgsz=IMGSZ, augment=False, max_gt=MAX_GT)
+    val_loader = DataLoader(val_ds, BATCH, shuffle=False, drop_last=False)
+
+    torch.manual_seed(SEED)
+    ref, spec = build_ref_model(TINY, scale="n", img_size=IMGSZ)
+    loss_obj = _ref_loss_modules(
+        nc=spec.nc, reg_max=16, strides=[float(s) for s in spec.head_strides]
+    )
+    rt = RefTrainer(ref, loss_obj, epochs=EPOCHS, nb=len(loader), batch_size=BATCH, **HYP)
+    model, template = build_model(spec, img_size=IMGSZ)
+    vd = DetectionValidator(model, spec, names=data.get("names"))
+
+    traj = []
+    for e in range(EPOCHS):
+        loader.set_epoch(e)
+        rt.train_epoch(e, list(loader))
+        variables, _report = convert_state_dict(rt.ema_state_numpy(), template, strict=True)
+        traj.append(float(vd(variables, val_loader, verbose=False).box.map50))
+    return traj
+
+
+@pytest.mark.slow
+def test_training_parity_vs_torch_reference(tmp_path):
+    data_yaml = make_synthetic_dataset(tmp_path / "ds", n_train=48, n_val=16, size=IMGSZ)
+    traj_ref = _train_ref(data_yaml, tmp_path)
+    traj_jax = _train_jax(data_yaml, tmp_path)
+
+    print("\nepoch  torch-ref  jax")
+    for e, (a, b) in enumerate(zip(traj_ref, traj_jax)):
+        print(f"{e:5d}  {a:9.4f}  {b:9.4f}")
+
+    final_ref = float(np.mean(traj_ref[-3:]))
+    final_jax = float(np.mean(traj_jax[-3:]))
+    # both trainers converge on the fixture ...
+    assert final_ref > 0.55, f"torch reference failed to converge: {final_ref}"
+    assert final_jax > 0.55, f"jax trainer failed to converge: {final_jax}"
+    # ... to the same operating point (final mAP50 within tolerance)
+    assert abs(final_ref - final_jax) < 0.15, (final_ref, final_jax)
+    # and the mid-training checkpoints are in the same regime (loose: early
+    # epochs are noisy at this scale)
+    mid = EPOCHS // 2
+    assert abs(float(np.mean(traj_ref[mid:mid + 3])) -
+               float(np.mean(traj_jax[mid:mid + 3]))) < 0.35
