@@ -22,24 +22,13 @@ def save_regions_json(regions: List[List[List[int]]], path: str) -> None:
         json.dump([{"points": [list(map(int, p)) for p in r]} for r in regions], f)
 
 
-class ParkingPtsSelection:
-    """Tkinter UI for drawing parking regions (reference parking_management.py:14).
-
-    GUI-gated: environments without a display should build the JSON with
-    :func:`save_regions_json` instead.
-    """
-
-    def __init__(self):
-        try:
-            import tkinter  # noqa: F401
-        except ImportError as e:  # headless host
-            raise ImportError(
-                "ParkingPtsSelection needs tkinter; on headless hosts write the "
-                "regions JSON with bsyolo_tpu.solutions.parking.save_regions_json"
-            ) from e
-        raise NotImplementedError(
-            "interactive selection UI is not bundled; use save_regions_json"
-        )
+# Interactive region annotation lives in parking_select.py; re-exported here
+# so the reference's import location (solutions.parking_management namespace)
+# maps 1:1.
+from bsyolo_tpu.solutions.parking_select import (  # noqa: F401,E402
+    ParkingPtsSelection,
+    RegionSelectionCore,
+)
 
 
 class ParkingManagement(BaseSolution):

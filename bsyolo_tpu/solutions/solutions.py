@@ -7,6 +7,7 @@ track histories, region polygon utilities.
 from __future__ import annotations
 
 from collections import defaultdict
+from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -14,6 +15,12 @@ import numpy as np
 
 class BaseSolution:
     def __init__(self, model=None, region: Optional[List[Tuple[float, float]]] = None, **kwargs):
+        if isinstance(model, (str, Path)):
+            # reference BaseSolution builds the facade from the cfg "model"
+            # path itself (solutions/solutions.py: self.model = YOLO(...))
+            from bsyolo_tpu.model import YOLO
+
+            model = YOLO(str(model))
         self.model = model
         self.region = region
         self.track_history: Dict[int, List[Tuple[float, float]]] = defaultdict(list)

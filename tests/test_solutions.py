@@ -231,3 +231,121 @@ class TestNewSolutions:
             img = an.process_data(frame())
             assert img.ndim == 3 and img.shape[-1] == 3 and img.size > 0
         assert an.clswise[-1] == {"car": 2}
+
+
+class TestParkingSelection:
+    """RegionSelectionCore — the headless state machine behind
+    ParkingPtsSelection (reference parking_management.py:14-158)."""
+
+    def test_click_accumulation_and_box_completion(self):
+        from bsyolo_tpu.solutions.parking_select import RegionSelectionCore
+
+        core = RegionSelectionCore()
+        core.load_image(640, 480)
+        assert core.canvas_size == (640, 480)  # fits, no downscale
+        assert not core.add_point(10, 10)
+        assert not core.add_point(50, 10)
+        assert not core.add_point(50, 40)
+        assert core.add_point(10, 40)  # 4th point completes the region
+        assert len(core.regions) == 1 and core.pending == []
+
+    def test_canvas_scaling_landscape_and_portrait(self):
+        from bsyolo_tpu.solutions.parking_select import RegionSelectionCore
+
+        core = RegionSelectionCore(canvas_max=(1280, 720))
+        cw, ch = core.load_image(2560, 1440)  # landscape, 2x too wide
+        assert (cw, ch) == (1280, 720)
+        cw, ch = core.load_image(720, 1440)  # portrait, 2x too tall
+        assert (cw, ch) == (360, 720)
+
+    def test_save_rescales_to_image_coords(self, tmp_path):
+        import json
+
+        from bsyolo_tpu.solutions.parking_select import RegionSelectionCore
+
+        core = RegionSelectionCore(canvas_max=(100, 100))
+        core.load_image(1000, 1000)  # 10x downscale on canvas
+        for x, y in [(10, 10), (20, 10), (20, 20), (10, 20)]:
+            core.add_point(x, y)
+        out = tmp_path / "regions.json"
+        core.save(str(out))
+        data = json.loads(out.read_text())
+        assert data == [{"points": [[100, 100], [200, 100], [200, 200], [100, 200]]}]
+        # and ParkingManagement consumes the same schema
+        from bsyolo_tpu.solutions import ParkingManagement
+
+        pm = ParkingManagement(StubModel(), json_file=str(out))
+        info = pm.process(np.zeros((300, 300, 3), np.uint8))
+        assert info == {"Occupancy": 1, "Available": 0}  # track 2 at (150,150)
+
+    def test_remove_last_and_reset(self):
+        from bsyolo_tpu.solutions.parking_select import RegionSelectionCore
+
+        core = RegionSelectionCore()
+        core.load_image(100, 100)
+        assert not core.remove_last()  # nothing yet
+        for p in [(1, 1), (2, 1), (2, 2), (1, 2)]:
+            core.add_point(*p)
+        assert core.remove_last() and core.regions == []
+        core.add_point(5, 5)
+        core.load_image(100, 100)  # re-upload resets pending clicks
+        assert core.pending == []
+
+    def test_tkinter_shell_headless_error(self):
+        import os
+
+        from bsyolo_tpu.solutions import ParkingPtsSelection
+
+        if os.environ.get("DISPLAY"):
+            pytest.skip("display present; headless-error path not reachable")
+        with pytest.raises(RuntimeError, match="DISPLAY"):
+            ParkingPtsSelection(auto_run=False)
+
+
+class TestStreamlitCore:
+    """InferenceCore — the headless engine behind the streamlit app
+    (reference streamlit_inference.py:44-181)."""
+
+    def test_model_list_leads_with_user_model(self):
+        from bsyolo_tpu.solutions.streamlit_app import ZOO_MODELS, InferenceCore
+
+        assert InferenceCore().available_models() == ZOO_MODELS
+        models = InferenceCore("custom.ckpt").available_models()
+        assert models[0] == "custom.ckpt" and models[1:] == ZOO_MODELS
+
+    def test_class_selection_maps_names_to_indices(self):
+        from bsyolo_tpu.solutions.streamlit_app import InferenceCore
+
+        core = InferenceCore()
+        core.select_classes(["person", "car", "dog"], ["car", "dog"])
+        assert core.selected_ind == [1, 2]
+        core.select_classes(["person"], [])
+        assert core.selected_ind is None  # empty selection = no filter
+
+    def test_process_frame_predict_and_track(self):
+        from bsyolo_tpu.solutions.streamlit_app import InferenceCore
+
+        class StubFacade(StubModel):
+            def predict(self, frame, **kw):
+                self.last = ("predict", kw)
+                return self.track(frame)
+
+        core = InferenceCore()
+        core.model = StubFacade()
+        core.conf, core.iou = 0.4, 0.6
+        out = core.process_frame(frame())
+        assert out.shape == (200, 200, 3)
+        assert core.model.last[0] == "predict"
+        assert core.model.last[1]["conf"] == 0.4 and core.model.last[1]["iou"] == 0.6
+        core.enable_trk = True
+        core.process_frame(frame())  # routes through .track (StubModel.track)
+        assert core.model.t == 2  # one predict (delegates to track) + one track
+
+    def test_load_real_tiny_model(self):
+        from bsyolo_tpu.solutions.streamlit_app import InferenceCore
+
+        core = InferenceCore(str(Path(__file__).parent / "fixtures" / "tiny.yaml"))
+        names = core.load()
+        assert isinstance(names, list) and len(names) >= 1
+        out = core.process_frame(np.zeros((96, 96, 3), np.uint8))
+        assert out.ndim == 3 and out.shape[-1] == 3
