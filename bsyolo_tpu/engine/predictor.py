@@ -297,6 +297,7 @@ class DetectionPredictor:
                     iou_thres=iou,
                     max_det=max_det,
                     agnostic=agnostic_nms,
+                    reg_max=spec.reg_max,  # 17-bin NAS NDFL vs 16-bin Detect
                 )
 
         def forward_any(variables, x):

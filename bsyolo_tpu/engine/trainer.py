@@ -253,6 +253,7 @@ class DetectionTrainer:
         loss_cfg = DetectionLossConfig(
             nc=self.spec.nc,
             strides=self.spec.head_strides,
+            reg_max=getattr(self.spec, "reg_max", 16),  # 17-bin NAS NDFL
             box=args.box,
             cls=args.cls,
             dfl=args.dfl,

@@ -623,7 +623,7 @@ class DetectionValidator:
             feats = out["feats"] if isinstance(out, dict) else out
             return detect_postprocess(
                 feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det,
-                pre_k=pre_k, agnostic=single_cls,
+                pre_k=pre_k, agnostic=single_cls, reg_max=getattr(spec, "reg_max", 16),
             )
 
         # forward_fn override: exported-artifact validation (AutoBackend

@@ -41,6 +41,7 @@ def detect_postprocess(
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
     return_idx: bool = False,
+    reg_max: int = REG_MAX,
 ):
     """Raw per-level Detect maps -> (B, max_det, 6) xyxy/conf/cls (+ idx).
 
@@ -58,19 +59,21 @@ def detect_postprocess(
     """
     if use_pallas is None:
         use_pallas = False
+    if reg_max != REG_MAX:
+        use_pallas = False  # the Pallas decode tile is specialized to 16 bins
 
     feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
     b = feats[0].shape[0]
     flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in feats], axis=1)
-    cls_logits = flat[..., 4 * REG_MAX : 4 * REG_MAX + nc]
+    cls_logits = flat[..., 4 * reg_max : 4 * reg_max + nc]
 
     if use_pallas:
         boxes, best = fused_box_best_pallas(flat, anchors, stride_t, nc=nc, interpret=interpret)
     else:
         from bsyolo_tpu.nn.modules import dfl_decode
 
-        dist = dfl_decode(flat[..., : 4 * REG_MAX], REG_MAX)  # (B, A, 4)
+        dist = dfl_decode(flat[..., : 4 * reg_max], reg_max)  # (B, A, 4)
         boxes = dist2bbox(dist, anchors[None], xywh=False, axis=-1) * stride_t[None]
         best = jnp.max(cls_logits.astype(jnp.float32), axis=-1)
 

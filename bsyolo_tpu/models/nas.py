@@ -40,24 +40,30 @@ def postprocess_nas(
     return non_max_suppression(preds, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det)
 
 
-class NAS:
+def NAS(model: str = "yolo_nas_s.pt"):
     """YOLO-NAS facade (reference models/nas/model.py:25).
 
-    Only pre-trained models exist for NAS (no YAML), and its super-gradients
-    graph cannot be reconstructed in this offline environment — attempting to
-    load one explains exactly that. The postprocess contract is available as
-    :func:`postprocess_nas` for converted/exported NAS backbones.
+    The reference loads a pickled super-gradients torch module over the
+    network; that artifact cannot be imported offline. Instead the graph
+    itself is RECONSTRUCTED from the public architecture description
+    (cfg/models/nas/yolo_nas_{s,m,l}.yaml + nn/modules_nas.py), so
+    ``NAS("yolo_nas_s")`` builds a runnable, trainable model through the
+    standard detect machinery — with random init (no offline pretrained
+    weights; a ``.pt`` argument explains that). Its NDFL head flows through
+    the shared decode/NMS path (ModelSpec.reg_max = 17 bins), which
+    supersedes the standalone :func:`postprocess_nas` contract below.
     """
+    from pathlib import Path
 
-    def __init__(self, model: str = "yolo_nas_s.pt"):
-        from pathlib import Path
-
-        assert Path(model).suffix not in {".yaml", ".yml"}, (
-            "YOLO-NAS models only support pre-trained models."
-        )
+    p = Path(model)
+    if p.suffix == ".pt":
         raise NotImplementedError(
-            "YOLO-NAS checkpoints are pickled super-gradients torch modules with no "
-            "YAML graph; rebuilding them needs the super-gradients package, which is "
-            "not available offline. Export the NAS model to StableHLO/ONNX and use "
-            "bsyolo_tpu.models.nas.postprocess_nas for the decode+NMS stage."
+            "YOLO-NAS .pt checkpoints are pickled super-gradients torch modules; "
+            "they cannot be unpickled offline. Build the reconstructed graph with "
+            "NAS('yolo_nas_s') (random init) or export the torch model to "
+            "StableHLO/ONNX and run it through AutoBackend."
         )
+    from bsyolo_tpu.model import YOLO
+
+    name = p.name if p.suffix else p.name + ".yaml"
+    return YOLO(name)

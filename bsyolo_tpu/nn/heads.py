@@ -273,14 +273,20 @@ def decode_detections(
     feats: Sequence[Array],
     strides: Sequence[int],
     nc: int,
-    reg_max: int = 16,
+    reg_max: int = 0,
 ) -> Array:
     """Decode raw Detect maps to (B, A, 4+nc): xywh pixels + sigmoid scores.
 
     Pure-function equivalent of Detect._inference (reference head.py:100-131):
     DFL softmax-expectation -> dist2bbox around cached anchors -> * stride.
     Anchors are built from static shapes at trace time.
+
+    ``reg_max`` (DFL bin count) defaults to inference from the channel
+    layout C = 4*reg_max + nc — exact for every head in the zoo (16 for
+    YOLO Detect, 17 for NASDetect).
     """
+    if not reg_max:
+        reg_max = (feats[0].shape[-1] - nc) // 4
     feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
     b = feats[0].shape[0]

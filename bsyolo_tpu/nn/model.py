@@ -132,6 +132,13 @@ def _build_module(spec: LayerSpec, dtype, name: Optional[str] = None) -> Optiona
         return M.MSCAAttention(a[0], dtype=dtype, name=name)
     if m == "ELA":
         return M.ELA(a[0], dtype=dtype, name=name)
+    if m in ("YoloNASStem", "YoloNASStage"):
+        from bsyolo_tpu.nn import modules_nas as NAS
+
+        if m == "YoloNASStem":
+            return NAS.YoloNASStem(a[0], dtype=dtype, name=name)
+        return NAS.YoloNASStage(a[0], a[1], a[2], a[3] if len(a) > 3 else False,
+                                dtype=dtype, name=name)
     if m in ("Upsample", "Concat", "Index"):
         return None  # stateless
     mod = _build_extra_module(m, a, dtype, name)
@@ -272,6 +279,20 @@ class DetectionGraph(nn.Module):
             elif m in ("Detect", "Segment", "Pose", "OBB", "v10Detect"):
                 feats = [saved[j] if j != -1 else prev for j in layer.f]
                 prev = self._head(layer, feats, train)
+            elif m in ("NASUpMerge", "NASDown", "NASDetect"):
+                from bsyolo_tpu.nn import modules_nas as NAS
+
+                feats = [saved[j] if j != -1 else prev for j in layer.f]
+                a = layer.args
+                if m == "NASDetect":
+                    prev = NAS.NASDetect(
+                        a[0], a[-1], spec.head_strides,
+                        inter=tuple(a[1]) if len(a) > 2 else (64, 128, 256),
+                        dtype=self.dtype, name=f"m{layer.i}",
+                    )(feats, train)
+                else:
+                    cls = NAS.NASUpMerge if m == "NASUpMerge" else NAS.NASDown
+                    prev = cls(a[0], a[1], a[2], dtype=self.dtype, name=f"m{layer.i}")(feats, train)
             elif m == "Identity":
                 prev = saved[layer.f[0]] if layer.f[0] != -1 else prev
             elif m == "CBLinear":

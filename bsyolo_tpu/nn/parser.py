@@ -63,6 +63,12 @@ class ModelSpec:
     def head_ch(self) -> Tuple[int, ...]:
         return tuple(self.layers[j].c2 for j in self.head.f)
 
+    @property
+    def reg_max(self) -> int:
+        """DFL bin count of the detect head (NAS NDFL counts 16 bin edges =
+        17 bins; every YOLO Detect-family head uses 16)."""
+        return 17 if self.head.module == "NASDetect" else 16
+
 
 # Modules following the reference "conv-ish" channel rule (tasks.py:972-1046):
 # c1 = ch[f], c2 = make_divisible(min(args[0], max_channels) * width, 8)
@@ -324,6 +330,24 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str = "", task: str = "detect"
             out_stride = 0
         elif m == "Index":
             c2 = channels[fl[-1]]
+        elif m in ("YoloNASStem", "YoloNASStage"):
+            # NAS blocks carry explicit (unscaled) channels from the
+            # published arch params (modules_nas.py header)
+            c2 = args[0]
+            out_stride = in_stride * 2
+        elif m == "NASUpMerge":
+            # inputs [pre(deep), skip1, skip2]; output at skip1's stride
+            c2 = args[0]
+            out_stride = in_stride // 2
+        elif m == "NASDown":
+            c2 = args[0]
+            out_stride = in_stride * 2
+        elif m == "NASDetect":
+            in_ch = tuple(channels[x] for x in fl)
+            args = [args[0] if args else nc, *args[1:], in_ch]
+            c2 = 0
+            task = "detect"
+            out_stride = 0
         else:
             raise NotImplementedError(
                 f"module '{m}' (layer {i}) is not supported by the TPU graph parser yet"

@@ -84,10 +84,107 @@ class TestNAS:
         assert len(kept) == 2
         assert set(kept[:, 5].astype(int).tolist()) == {0, 1}
 
-    def test_facade_refuses_offline(self):
+    def test_facade_refuses_pickled_checkpoints(self):
         from bsyolo_tpu.models.nas import NAS
 
         with pytest.raises(NotImplementedError):
             NAS("yolo_nas_s.pt")
-        with pytest.raises(AssertionError):
-            NAS("model.yaml")
+
+    @pytest.mark.parametrize(
+        "name,published_m",
+        [("yolo_nas_s", 19.0), ("yolo_nas_m", 51.1), ("yolo_nas_l", 66.9)],
+    )
+    def test_reconstructed_graph_param_budget(self, name, published_m):
+        """The offline NAS graphs (cfg/models/nas/) are structure-level
+        reconstructions; their parameter budgets must land near the
+        published super-gradients model sizes (S 19.0M / M 51.1M / L 66.9M;
+        S is the faithful one, M/L are documented approximations)."""
+        from test_zoo_all import shape_param_count
+
+        from bsyolo_tpu.cfg import model_yaml_path
+        from bsyolo_tpu.nn import load_model_yaml, parse_model_yaml
+
+        spec = parse_model_yaml(load_model_yaml(model_yaml_path(name + ".yaml")))
+        assert spec.reg_max == 17 and spec.head_strides == (8, 16, 32)
+        n = shape_param_count(spec) / 1e6
+        assert abs(n - published_m) / published_m < 0.2, (name, n)
+
+    def test_nas_decode_uses_17_bins(self):
+        """detect_postprocess(reg_max=17) on NAS head maps must equal the
+        decode_detections (bin-count-inferring) + NMS ground truth, and
+        differ from a (wrong) 16-bin decode — guards the ModelSpec.reg_max
+        plumbing through predictor/validator."""
+        import jax.numpy as jnp
+        from pathlib import Path
+
+        from bsyolo_tpu.kernels.postprocess import detect_postprocess
+        from bsyolo_tpu.nn import build_model, load_model_yaml, parse_model_yaml
+        from bsyolo_tpu.nn.heads import decode_detections
+        from bsyolo_tpu.nn.model import make_forward
+        from bsyolo_tpu.ops.nms import non_max_suppression
+
+        spec = parse_model_yaml(
+            load_model_yaml(Path(__file__).parent / "fixtures" / "tiny_nas.yaml")
+        )
+        model, variables = build_model(spec, img_size=96, seed=1)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 96, 96, 3)).astype(np.float32)
+        )
+        feats = make_forward(model)(variables, x)
+        assert feats[0].shape[-1] == 4 * 17 + spec.nc
+        ref = non_max_suppression(
+            decode_detections(feats, spec.head_strides, spec.nc),
+            conf_thres=0.0001, iou_thres=0.7, max_det=30,
+        )
+        got = detect_postprocess(
+            feats, spec.head_strides, spec.nc, conf_thres=0.0001, iou_thres=0.7,
+            max_det=30, reg_max=spec.reg_max,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+        bad = detect_postprocess(
+            feats, spec.head_strides, spec.nc, conf_thres=0.0001, iou_thres=0.7,
+            max_det=30, reg_max=16,
+        )
+        assert not np.allclose(np.asarray(bad), np.asarray(ref), atol=1e-4)
+
+    @pytest.mark.slow
+    def test_tiny_nas_trains(self, tmp_path):
+        """The reconstructed NAS family trains through the standard detect
+        machinery (17-bin DFL loss via DetectionLossConfig.reg_max)."""
+        from pathlib import Path
+
+        from test_e2e_train import make_synthetic_dataset
+
+        from bsyolo_tpu.engine.trainer import DetectionTrainer
+
+        data_yaml = make_synthetic_dataset(tmp_path / "data", n_train=16, n_val=8)
+        t = DetectionTrainer(
+            overrides={
+                "model": str(Path(__file__).parent / "fixtures" / "tiny_nas.yaml"),
+                "data": str(data_yaml),
+                "epochs": 2,
+                "batch": 8,
+                "imgsz": 96,
+                "project": str(tmp_path / "runs"),
+                "name": "nas",
+                "plots": False,
+                "val": False,
+                "workers": 0,
+            }
+        )
+        t.train()
+        assert (tmp_path / "runs" / "nas" / "results.csv").exists()
+
+    def test_tiny_nas_facade_predict(self, tmp_path):
+        """End-to-end through the facade: the 17-bin NDFL head must flow
+        through the shared detect decode/NMS (ModelSpec.reg_max plumbing)."""
+        from pathlib import Path
+
+        from bsyolo_tpu.model import YOLO
+
+        m = YOLO(str(Path(__file__).parent / "fixtures" / "tiny_nas.yaml"))
+        img = np.random.default_rng(0).uniform(0, 255, (96, 96, 3)).astype(np.uint8)
+        res = m.predict(img, imgsz=96, conf=0.0001)[0]
+        assert res.boxes is not None
+        if len(res.boxes):  # any box decoded inside the canvas
+            assert float(res.boxes.xyxy.max()) <= 96.0
