@@ -132,7 +132,15 @@ def obb_loss(
     scale = jnp.asarray([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
     gt_px = gt_rboxes.astype(jnp.float32)
     gt_px = jnp.concatenate([gt_px[..., :4] * scale, gt_px[..., 4:5]], axis=-1)
-    mask_gt = gt_mask.astype(jnp.bool_) & (jnp.sum(gt_px[..., 2:4], axis=-1) > 0)
+    # reference loss.py:784-785: "filter rboxes of tiny size to stabilize
+    # training" — degenerate warped rboxes (mosaic corner-clipping can
+    # collapse one side) otherwise become near-zero-covariance probIoU
+    # targets with exploding gradients
+    mask_gt = (
+        gt_mask.astype(jnp.bool_)
+        & (gt_px[..., 2] >= 2.0)
+        & (gt_px[..., 3] >= 2.0)
+    )
 
     dist = dfl_decode(pred_distri, reg_max)
     pred_rboxes = dist2rbox(dist, pred_angle, anchor_points[None])  # feature units, (B, A, 4)

@@ -39,13 +39,20 @@ def probiou(obb1: Array, obb2: Array, CIoU: bool = False, eps: float = 1e-7) -> 
     denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
     t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
     t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    # sqrt(u*v) floored at eps^2: zero-area boxes (the all-zero padded gt
+    # rows every background anchor points at when a mosaic sample ends up
+    # with no instances) make u*v exactly 0, where d sqrt(u*v)/du = v/(2*
+    # sqrt(u*v)) is 0/0 -> NaN; one NaN Jacobian poisons the grads of EVERY
+    # loss term through the shared trunk (0-cotangent * NaN = NaN). The
+    # floor leaves non-degenerate values bit-identical (u*v >> eps^2) and
+    # gives degenerate rows a finite (zero) gradient; their loss rows are
+    # masked anyway.
+    u = jnp.clip(a1 * b1 - c1**2, 0)
+    v = jnp.clip(a2 * b2 - c2**2, 0)
     t3 = (
         jnp.log(
             ((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
-            / (
-                4 * jnp.sqrt(jnp.clip(a1 * b1 - c1**2, 0) * jnp.clip(a2 * b2 - c2**2, 0))
-                + eps
-            )
+            / (4 * jnp.sqrt(jnp.maximum(u * v, eps * eps)) + eps)
             + eps
         )
         * 0.5

@@ -295,6 +295,38 @@ class TestOBBLoss:
         g = jax.jit(jax.grad(loss_of))(variables["params"])
         assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(g))
 
+    def test_obb_loss_grads_finite_with_zero_instances(self, rng):
+        """Regression (round 4): a mosaic sample can end with ZERO instances
+        (the candidate filter drops every gt), so all target rboxes are the
+        zero pad row; probiou's sqrt(u*v) then sat at exactly 0, whose 0/0
+        Jacobian NaN-poisoned EVERY loss term's gradients through the shared
+        trunk (loss VALUES stayed finite — only training died)."""
+        from bsyolo_tpu.losses import DetectionLossConfig, init_loss_state
+        from bsyolo_tpu.losses.obb import obb_loss
+
+        spec, model, variables = build("yolo11n-obb.yaml")
+        B, M = 2, 4
+        cfg = DetectionLossConfig(nc=spec.nc, strides=spec.head_strides)
+        # image 0 has one gt, image 1 has none (all-zero pad rows)
+        rboxes = np.zeros((B, M, 5), np.float32)
+        rboxes[0, 0] = [0.5, 0.5, 0.4, 0.2, 0.4]
+        cls = np.zeros((B, M), np.int32)
+        mask = np.zeros((B, M), np.float32)
+        mask[0, 0] = 1
+        x = rng.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32)
+
+        def loss_of(params):
+            f = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                            jnp.asarray(x), train=False)
+            t, _, _ = obb_loss(f, jnp.asarray(cls), jnp.asarray(rboxes), jnp.asarray(mask),
+                               init_loss_state(), cfg)
+            return t
+
+        t = float(jax.jit(loss_of)(variables["params"]))
+        assert np.isfinite(t)
+        g = jax.jit(jax.grad(loss_of))(variables["params"])
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(g))
+
     def test_rotated_candidates(self, rng):
         from bsyolo_tpu.losses.obb import _candidates_in_rotated_gts
 
