@@ -599,7 +599,10 @@ def format_labels(img: np.ndarray, cls: np.ndarray, boxes_xyxy: np.ndarray, max_
     """Pad ragged labels into fixed (max_gt,) tensors; normalize boxes to xywh.
 
     Replaces the reference's ragged collate (dataset.py:232 collate_fn) with
-    static shapes for XLA.
+    static shapes for XLA. The image comes back as uint8 RGB — NOT f32/255
+    like the reference's host-side preprocess (trainer.py ``.float()/255``):
+    batches ship to the device at 1/4 the bytes and the compiled step
+    normalizes via ops.normalize_image_batch (fused into the first conv).
     """
     h, w = img.shape[:2]
     n = min(len(cls), max_gt)
@@ -615,7 +618,6 @@ def format_labels(img: np.ndarray, cls: np.ndarray, boxes_xyxy: np.ndarray, max_
         out_box[:n] = np.stack([cx, cy, bw, bh], -1)
         out_cls[:n] = cls[:n].astype(np.int32)
         out_mask[:n] = 1.0
-    img_f = img.astype(np.float32) / 255.0
-    if img_f.ndim == 2:
-        img_f = img_f[..., None].repeat(3, -1)
-    return img_f[..., ::-1].copy(), out_cls, out_box, out_mask  # BGR->RGB like reference
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, -1)
+    return np.ascontiguousarray(img[..., ::-1]), out_cls, out_box, out_mask  # BGR->RGB like reference

@@ -261,6 +261,9 @@ def validate_artifact(
     )
 
     def forward_fn(variables, img):
+        img = np.asarray(img)
+        if img.dtype == np.uint8:  # loader batches ship uint8; artifacts take f32 [0,1]
+            img = img.astype(np.float32) / 255.0
         preds = backend.forward(np.asarray(img, np.float32))
         preds = preds[0] if isinstance(preds, (list, tuple)) else preds
         if e2e:

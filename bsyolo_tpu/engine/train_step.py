@@ -20,6 +20,7 @@ from flax.struct import dataclass as flax_dataclass
 
 from bsyolo_tpu.engine import optim as O
 from bsyolo_tpu.losses.detect import DetectionLossConfig, LossState, detection_loss, init_loss_state
+from bsyolo_tpu.ops.normalize import normalize_image_batch
 
 Array = jax.Array
 
@@ -54,6 +55,12 @@ class StepConfig(NamedTuple):
     #   are absent from the torch optimizer step, so here their grads are
     #   zeroed before clipping AND their values restored after the update —
     #   decoupled weight decay must not erode frozen weights either)
+    remat: bool = False  # rematerialize the forward during the backward:
+    #   saves no activations (jax.checkpoint nothing_saveable), trading +1
+    #   forward of FLOPs for HBM activation traffic. Measured FASTER than
+    #   the default on TPU v5e at yolo11n/640 (fwd+bwd 92.1 vs 96.4 ms at
+    #   batch 32 — the backward is bandwidth-bound, docs/performance.md)
+    #   and cuts activation memory, admitting larger batches.
 
 
 def init_train_state(variables) -> TrainState:
@@ -112,13 +119,20 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
                 apply_kw.setdefault("rngs", {})["dropout"] = jax.random.fold_in(
                     jax.random.PRNGKey(7), state.step
                 )
-            outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["img"],
-                train=True,
-                mutable=["batch_stats"],
-                **apply_kw,
-            )
+            def apply_model(p, img):
+                return model.apply(
+                    {"params": p, "batch_stats": state.batch_stats},
+                    img,
+                    train=True,
+                    mutable=["batch_stats"],
+                    **apply_kw,
+                )
+
+            if cfg.remat:
+                apply_model = jax.checkpoint(
+                    apply_model, policy=jax.checkpoint_policies.nothing_saveable
+                )
+            outputs, mutated = apply_model(params, normalize_image_batch(batch["img"]))
             total, items, new_ls = criterion(outputs, batch, state.loss_state, cfg.loss)
             return total, (items, new_ls, mutated["batch_stats"])
 

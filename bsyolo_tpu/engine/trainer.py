@@ -270,6 +270,7 @@ class DetectionTrainer:
             use_adamw=opt.name in ("AdamW", "Adam", "NAdam", "RAdam"),
             weight_decay=wd,
             frozen=self._frozen_keys(variables),
+            remat=bool(getattr(args, "remat", False)),
         )
         criterion = None
         item_names = None
@@ -396,6 +397,9 @@ class DetectionTrainer:
             import jax.image
 
             def resize(x, _sz=sz):
+                from bsyolo_tpu.ops.normalize import normalize_image_batch
+
+                x = normalize_image_batch(x)  # bilinear on floats, not uint8
                 b = x.shape[0]
                 return jax.image.resize(x, (b, _sz, _sz, x.shape[3]), method="bilinear")
 

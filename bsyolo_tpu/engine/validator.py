@@ -17,6 +17,7 @@ import numpy as np
 from bsyolo_tpu.kernels.postprocess import detect_postprocess
 from bsyolo_tpu.nn.heads import decode_detections
 from bsyolo_tpu.ops.nms import non_max_suppression
+from bsyolo_tpu.ops.normalize import normalize_image_batch
 from bsyolo_tpu.ops.boxes import xywh2xyxy
 from bsyolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, _box_iou_np, match_predictions
 
@@ -159,6 +160,7 @@ class OBBValidator:
         nc, strides = spec.nc, spec.head_strides
 
         def forward(variables, img):
+            img = normalize_image_batch(img)  # uint8 batches: cast on device
             preds = decode_obb(model.apply(variables, img, train=False), strides, nc)
             return nms_rotated(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc)
 
@@ -330,6 +332,7 @@ class SegmentationValidator:
         nc, strides = spec.nc, spec.head_strides
 
         def forward(variables, img):
+            img = normalize_image_batch(img)  # uint8 batches: cast on device
             out = model.apply(variables, img, train=False)
             feats, proto = out["feats"], out["proto"]
             dets, idx = detect_postprocess(
@@ -478,6 +481,7 @@ class PoseValidator:
         kpt_shape = spec.kpt_shape
 
         def forward(variables, img):
+            img = normalize_image_batch(img)  # uint8 batches: cast on device
             feats = model.apply(variables, img, train=False)
             dets, idx = detect_postprocess(
                 feats, strides, nc, conf_thres=conf, iou_thres=iou, max_det=max_det,
@@ -610,6 +614,7 @@ class DetectionValidator:
         strides = spec.head_strides
 
         def forward(variables, img):
+            img = normalize_image_batch(img)  # uint8 batches: cast on device
             out = model.apply(variables, img, train=False)
             if isinstance(out, dict) and "dec_bboxes" in out:  # RT-DETR path
                 from bsyolo_tpu.nn.transformer import decode_rtdetr

@@ -63,7 +63,8 @@ def plot_images(
     h, w = imgs.shape[1:3]
     canvas = np.full((rows * h, cols * w, 3), 255, np.uint8)
     for i in range(n):
-        im = (imgs[i, ..., ::-1] * 255).astype(np.uint8).copy()  # RGB -> BGR
+        im = imgs[i, ..., ::-1]  # RGB -> BGR
+        im = im.astype(np.uint8).copy() if im.dtype == np.uint8 else (im * 255).astype(np.uint8)
         mask = batch["mask"][i] > 0
         boxes = batch["bboxes"][i][mask]
         clss = batch["cls"][i][mask]

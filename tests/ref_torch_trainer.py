@@ -122,9 +122,12 @@ class RefTrainer:
                     x["lr"] = self.lr0 * self.lf(epoch)
                     if "momentum" in x:
                         x["momentum"] = self.momentum
+            im_np = np.asarray(batch["img"])
             imgs = torch.from_numpy(
-                np.ascontiguousarray(np.asarray(batch["img"]).transpose(0, 3, 1, 2))
+                np.ascontiguousarray(im_np.transpose(0, 3, 1, 2))
             ).float()
+            if im_np.dtype == np.uint8:  # loader now ships uint8; reference preprocess_batch /255
+                imgs = imgs / 255.0
             preds = self.model(imgs)
             loss, _items = self.loss(preds, to_ragged(batch))
             total += float(loss.detach()) / self.batch_size

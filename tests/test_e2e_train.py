@@ -55,11 +55,15 @@ def test_full_training_run(tmp_path):
 
     data_yaml = make_synthetic_dataset(tmp_path / "ds")
     tiny = str(Path(__file__).parent / "fixtures" / "tiny.yaml")
+    # 28 epochs: the torch-matching kaiming-uniform init (nn/modules.py
+    # TORCH_INIT, round 4) converges a few epochs later than the flax
+    # default this test was calibrated against at 20 — measured fitness
+    # 0.41 and still climbing at epoch 19
     trainer = DetectionTrainer(
         overrides={
             "model": tiny,
             "data": str(data_yaml),
-            "epochs": 20,
+            "epochs": 28,
             "batch": 8,
             "imgsz": 96,
             "optimizer": "SGD",
@@ -98,8 +102,9 @@ def test_dataset_and_loader(tmp_path, rng):
     assert len(ds) == 12
     s0 = ds.get_sample(0, rng)
     img, cls, boxes, mask = s0["img"], s0["cls"], s0["bboxes"], s0["mask"]
-    assert img.shape == (64, 64, 3) and img.dtype == np.float32
-    assert 0 <= img.min() and img.max() <= 1.0
+    # uint8 RGB by contract: batches ship to device at 1/4 the f32 bytes,
+    # the compiled step normalizes (ops.normalize_image_batch)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
     assert cls.shape == (16,) and boxes.shape == (16, 4) and mask.shape == (16,)
     if mask.sum():
         valid = boxes[mask > 0]
@@ -352,7 +357,11 @@ def test_obb_training_run(tmp_path):
         overrides={
             "model": str(Path(__file__).parent / "fixtures" / "tinyobb.yaml"),
             "data": str(tmp_path / "ds" / "data.yaml"),
-            "epochs": 28,
+            # 36 epochs: mosaic/affine OBB augmentation (round 4) + the
+            # torch-matching init need longer than round-3's letterbox-only
+            # 28 to push predict-time confidences past 0.2 (fitness 0.77 at
+            # 28 but the fresh-scene predict below still sat under conf)
+            "epochs": 36,
             "batch": 8,
             "imgsz": 96,
             "optimizer": "SGD",

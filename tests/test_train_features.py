@@ -127,8 +127,12 @@ def test_classify_dropout_and_randaugment(tmp_path):
                 cv2.imwrite(str(d / f"{i}.jpg"), img)
     tr = ClassificationTrainer(
         overrides={
+            # 20 epochs: randaugment's solarize/color ops attack the only
+            # discriminative feature (hue), and the torch-matching init
+            # (TORCH_INIT) needs a few more passes at this seed than the old
+            # flax default that 10 epochs was calibrated against
             "model": str(Path(__file__).parent / "fixtures" / "tinycls.yaml"),
-            "data": str(tmp_path / "ds"), "epochs": 10, "batch": 16, "imgsz": 48,
+            "data": str(tmp_path / "ds"), "epochs": 20, "batch": 16, "imgsz": 48,
             "optimizer": "SGD", "lr0": 0.03, "warmup_epochs": 0.5,
             "project": str(tmp_path / "runs"), "name": "c", "amp": False,
             "nbs": 16, "dropout": 0.3, "auto_augment": "randaugment",

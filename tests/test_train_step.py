@@ -148,3 +148,64 @@ class TestDataParallel:
         # params stay replicated (no divergence across devices)
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+class TestRemat:
+    """cfg remat=True (jax.checkpoint nothing_saveable around the model
+    forward) must be a pure schedule change: identical loss, grads, and
+    updated params vs the default step."""
+
+    def test_remat_step_equals_plain(self, tiny_setup, rng):
+        from bsyolo_tpu.engine.optim import OptimConfig
+        from bsyolo_tpu.engine.train_step import StepConfig, make_train_step
+        from bsyolo_tpu.losses import DetectionLossConfig
+
+        model, spec, _, make_state = tiny_setup
+        batch = synthetic_batch(rng)
+        cfg = StepConfig(
+            loss=DetectionLossConfig(nc=spec.nc, strides=spec.head_strides),
+            optim=OptimConfig(name="SGD", lr0=0.02, epochs=10, warmup_epochs=0.5, nbs=8),
+            batch_size=8, nb=10, nw=5, use_adamw=False, weight_decay=0.0005,
+        )
+        plain = make_train_step(model, cfg)
+        remat = make_train_step(model, cfg._replace(remat=True))
+        s1, m1 = plain(make_state(), batch)
+        s2, m2 = remat(make_state(), batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestUint8Batches:
+    """Loader batches ship uint8 RGB; the compiled step normalizes on device
+    (ops.normalize_image_batch). Pins uint8/f32 equivalence end-to-end."""
+
+    def test_normalize_helper(self):
+        from bsyolo_tpu.ops import normalize_image_batch
+
+        u = jnp.asarray(np.arange(0, 256, 5, np.uint8).reshape(1, 4, 13, 1))
+        f = normalize_image_batch(u)
+        assert f.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(f), np.asarray(u) / 255.0)
+        # float passes through untouched (no double divide)
+        same = normalize_image_batch(f)
+        assert same is f
+
+    def test_uint8_step_equals_f32_step(self, tiny_setup, rng):
+        model, spec, step, make_state = tiny_setup
+        fbatch = synthetic_batch(rng)
+        u8 = dict(fbatch)
+        # exactly representable: f32 batch quantized to the uint8 grid
+        q = np.round(np.asarray(fbatch["img"]) * 255.0).astype(np.uint8)
+        u8["img"] = jnp.asarray(q)
+        fbatch = dict(fbatch)
+        fbatch["img"] = jnp.asarray(q.astype(np.float32) / 255.0)
+
+        s1, m1 = step(make_state(), fbatch)
+        s2, m2 = step(make_state(), u8)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+        a = jax.tree_util.tree_leaves(s1.params)[0]
+        b = jax.tree_util.tree_leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

@@ -108,8 +108,11 @@ class TestWorldTrain:
 
         data_yaml = make_synthetic_dataset(tmp_path / "ds")
         m = YOLOWorld(str(_Path(__file__).parent / "fixtures" / "tinyworld.yaml"))
+        # 20 epochs: the torch-matching kaiming-uniform init (nn/modules.py
+        # TORCH_INIT) converges a little later at this seed than the old
+        # flax-default init; 14 was calibrated against the latter
         metrics = m.train(
-            data=str(data_yaml), epochs=14, batch=8, imgsz=96, optimizer="SGD",
+            data=str(data_yaml), epochs=20, batch=8, imgsz=96, optimizer="SGD",
             lr0=0.02, warmup_epochs=1.0, close_mosaic=6, max_gt=32, amp=False,
             patience=100, nbs=8, project=str(tmp_path / "runs"), name="w",
         )
