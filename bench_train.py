@@ -48,6 +48,7 @@ def build_step(scale: str, img_size: int, bs: int):
         nw=0,  # past warmup: the steady-state hot loop
         use_adamw=False,
         weight_decay=5e-4,
+        remat=bool(os.environ.get("BENCH_REMAT")),  # cfg remat lever
     )
     step_fn = make_train_step(model, cfg, jit=False)
     state = init_train_state(variables)
@@ -194,9 +195,10 @@ def dispatch_modes(scale=None, img_size=None, bs=32, k=8, steps=16):
     )
     rng = np.random.default_rng(0)
 
-    def host_batch(i):
+    def host_batch(i, u8=False):
+        img = rng.uniform(0, 1, (bs, img_size, img_size, 3)).astype(np.float32)
         return {
-            "img": rng.uniform(0, 1, (bs, img_size, img_size, 3)).astype(np.float32),
+            "img": (img * 255).astype(np.uint8) if u8 else img,
             "cls": rng.integers(0, 80, (bs, M)).astype(np.int32),
             "bboxes": np.concatenate(
                 [rng.uniform(0.3, 0.7, (bs, M, 2)), rng.uniform(0.05, 0.25, (bs, M, 2))], -1
@@ -205,30 +207,40 @@ def dispatch_modes(scale=None, img_size=None, bs=32, k=8, steps=16):
         }
 
     host_batches = [host_batch(i) for i in range(steps)]
+    # real loader batches are uint8 (ops.normalize_image_batch casts on
+    # device) — 4x fewer image bytes per transfer; measured as its own mode
+    u8_batches = [host_batch(i, u8=True) for i in range(steps)]
 
-    def per_step_mode():
-        st = jax.device_put(state0)
+    def per_step_mode(batches=host_batches):
+        # fresh buffers: device_put of an already-committed array is a no-op,
+        # and the donated step would delete state0 out from under later modes
+        st = jax.tree_util.tree_map(jnp.copy, state0)
         acc = 0.0
         t0 = time.perf_counter()
-        for hb in host_batches:
+        for hb in batches:
             st, m = step(st, {k2: jnp.asarray(v) for k2, v in hb.items()})
             acc += float(m["loss"])  # the trainer's per-step metric fetch
         return time.perf_counter() - t0, acc
 
-    def chunked_mode():
-        st = jax.device_put(state0)
+    def chunked_mode(batches=host_batches):
+        st = jax.tree_util.tree_map(jnp.copy, state0)
         acc = 0.0
         t0 = time.perf_counter()
         for c0 in range(0, steps, k):
             stacked = {
-                k2: jnp.asarray(np.stack([b[k2] for b in host_batches[c0 : c0 + k]]))
-                for k2 in host_batches[0]
+                k2: jnp.asarray(np.stack([b[k2] for b in batches[c0 : c0 + k]]))
+                for k2 in batches[0]
             }
             st, m = chunk(st, stacked)
             acc += float(jnp.sum(m["loss"]))
         return time.perf_counter() - t0, acc
 
-    for name, fn in (("per-step", per_step_mode), ("chunked", chunked_mode)):
+    for name, fn in (
+        ("per-step", per_step_mode),
+        ("chunked", chunked_mode),
+        ("per-step uint8", lambda: per_step_mode(u8_batches)),
+        ("chunked uint8", lambda: chunked_mode(u8_batches)),
+    ):
         fn()  # compile + warm
         t, _ = fn()
         print(
@@ -247,6 +259,9 @@ def dispatch_modes(scale=None, img_size=None, bs=32, k=8, steps=16):
 
 
 if __name__ == "__main__":
-    main()
+    # BENCH_DISPATCH=only skips the batch sweep (the sweep alone can eat a
+    # 30-min relay window; the dispatch comparison never got its turn)
+    if os.environ.get("BENCH_DISPATCH") != "only":
+        main()
     if os.environ.get("BENCH_DISPATCH"):
         dispatch_modes()

@@ -76,6 +76,23 @@ def main():
         g = jax.grad(lambda p: fwd_only({"params": p, "batch_stats": v["batch_stats"]}, x))(v["params"])
         return sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(g))
 
+    def fwd_dgrad(v, x):
+        # grad wrt the INPUT only: the backward sweep computes every layer's
+        # activation gradient (dgrad chain) but NO weight gradients — so
+        # (fwd+bwd) - (fwd+dgrad) isolates the wgrad convs' cost
+        g = jax.grad(lambda xx: fwd_only(v, xx))(x)
+        return jnp.sum(g.astype(jnp.float32))
+
+    def fwd_bwd_remat(v, x):
+        # full-remat lever: recompute the forward during the backward instead
+        # of saving activations — trades +1 fwd FLOPs for HBM traffic
+        f = jax.checkpoint(
+            lambda p, xx: fwd_only({"params": p, "batch_stats": v["batch_stats"]}, xx),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+        g = jax.grad(lambda p: f(p, x))(v["params"])
+        return sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(g))
+
     def fwd_loss_bwd(v, x):
         g = jax.grad(lambda p: fwd_loss({"params": p, "batch_stats": v["batch_stats"]}, x))(v["params"])
         return sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(g))
@@ -134,9 +151,13 @@ def main():
         return per
 
     print(f"# scale={scale} imgsz={img_size} batch={bs}", flush=True)
-    timed(make_scan(fwd_only), "fwd")
+    t_f = timed(make_scan(fwd_only), "fwd")
     timed(make_scan(fwd_loss), "fwd+loss")
-    timed(make_scan(fwd_bwd), "fwd+bwd")
+    t_d = timed(make_scan(fwd_dgrad), "fwd+dgrad")
+    t_b = timed(make_scan(fwd_bwd), "fwd+bwd")
+    print(f"{'  => dgrad':14s} {(t_d - t_f)*1000:8.2f} ms  (activation-grad chain)", flush=True)
+    print(f"{'  => wgrad':14s} {(t_b - t_d)*1000:8.2f} ms  (weight-grad convs)", flush=True)
+    timed(make_scan(fwd_bwd_remat), "fwd+bwd remat")
     timed(make_scan(fwd_loss_bwd), "fwd+loss+bwd")
     timed_full()
 
