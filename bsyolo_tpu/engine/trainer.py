@@ -517,9 +517,18 @@ class DetectionTrainer:
 
         model, imgsz = self.model, self.args.imgsz
 
+        apply_model = lambda vv, x: model.apply(vv, x, train=True, mutable=["batch_stats"])[0]
+        if bool(getattr(self.args, "remat", False)):
+            # probe the step the trainer will actually run: full remat frees
+            # the activation footprint, so the fitted memory line is flatter
+            # and batch=-1 resolves larger
+            apply_model = jax.checkpoint(
+                apply_model, policy=jax.checkpoint_policies.nothing_saveable
+            )
+
         def probe(v, x):
             def loss_fn(vv):
-                out = model.apply(vv, x, train=True, mutable=["batch_stats"])[0]
+                out = apply_model(vv, x)
                 leaves = jax.tree_util.tree_leaves(out)
                 return sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
 

@@ -293,10 +293,25 @@ int main(int argc, char** argv) {
     bd.buffer = b;
     Check(g_api->PJRT_Buffer_Dimensions(&bd), "Buffer_Dimensions");
 
+    // Request an explicit row-major host layout: with host_layout null the
+    // copy uses the buffer's DEVICE layout, and on TPU a (1,N,6) det tensor
+    // comes back minor-to-major permuted (reads as transposed garbage).
+    std::vector<int64_t> m2m(bd.num_dims);
+    for (size_t d = 0; d < bd.num_dims; ++d)
+      m2m[d] = static_cast<int64_t>(bd.num_dims - 1 - d);
+    PJRT_Buffer_MemoryLayout row_major;
+    std::memset(&row_major, 0, sizeof(row_major));
+    row_major.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    row_major.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    row_major.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    row_major.tiled.minor_to_major = m2m.data();
+    row_major.tiled.minor_to_major_size = bd.num_dims;
+
     PJRT_Buffer_ToHostBuffer_Args th;
     std::memset(&th, 0, sizeof(th));
     th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     th.src = b;
+    th.host_layout = &row_major;
     Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer(size)");
     std::vector<char> host(th.dst_size);
     th.dst = host.data();

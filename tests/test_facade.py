@@ -222,6 +222,9 @@ def test_autobatch_wiring(tmp_path):
             "max_gt": 4,
             "amp": False,
             "project": str(tmp_path / "runs"),
+            # remat=True exercises the checkpointed probe path: autobatch must
+            # fit the memory line of the step the trainer will actually run
+            "remat": True,
         }
     )
     trainer.setup()

@@ -97,6 +97,19 @@ class TestStaticCalibration:
         spec = parse_model_yaml(d, scale="n")
         model, variables = build_model(spec, img_size=64)
         batches = [rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32) for _ in range(2)]
+        # Warm the BN running stats first: under the torch-matching conv init
+        # (gain 1/3, variance-REDUCING — torch relies on train-mode BN to
+        # renormalize), a fresh model's eval-mode activations collapse
+        # exponentially with depth (~1e-8 by the last cls conv), so the
+        # untrained output is bias-dominated and int8-vs-float error is
+        # unmeasurable at the output. A few train-mode passes adapt the
+        # running stats to real activation scales, like any trained model.
+        warm = jax.jit(
+            lambda v, xx: model.apply(v, xx, train=True, mutable=["batch_stats"])[1]
+        )
+        for _ in range(3):
+            for b in batches:
+                variables = {**variables, **warm(variables, jnp.asarray(b))}
         scales = calibrate_int8(model, variables, batches)
         assert "m0/conv" in scales  # stem conv, canonical path
         assert all(v > 0 for v in scales.values())
