@@ -157,8 +157,12 @@ def mosaic4(
                 p[..., 0] += padw
                 p[..., 1] += padh
                 out_pts.append(p)
-                if labels[i][3] is not None:
-                    out_vis.append(labels[i][3])
+                # vis must stay row-aligned with pts: a vis-less tile in a
+                # mixed payload contributes all-zero (invisible) rows
+                out_vis.append(
+                    labels[i][3] if labels[i][3] is not None
+                    else np.zeros(p.shape[:2], np.float32)
+                )
     cls = np.concatenate(out_cls) if out_cls else np.zeros((0,), np.float32)
     boxes = np.concatenate(out_boxes) if out_boxes else np.zeros((0, 4), np.float32)
     boxes = np.clip(boxes, 0, 2 * s)
@@ -168,7 +172,7 @@ def mosaic4(
     pts = np.concatenate(out_pts) if out_pts else np.zeros((0, k, 2), np.float32)
     pts = np.clip(pts, 0, 2 * s)  # reference _cat_labels: instances.clip(2s, 2s)
     vis = (np.concatenate(out_vis) if out_vis else np.zeros((0, k), np.float32)) \
-        if labels[0][3] is not None else None
+        if any(l[3] is not None for l in labels) else None
     return img4, cls, boxes, pts, vis, border
 
 
@@ -228,8 +232,11 @@ def mosaic9(
                     p[..., 0] += c[0]
                     p[..., 1] += c[1]
                     out_pts.append(p)
-                    if labels[i][3] is not None:
-                        out_vis.append(labels[i][3])
+                    # row-aligned with pts even when a tile lacks vis
+                    out_vis.append(
+                        labels[i][3] if labels[i][3] is not None
+                        else np.zeros(p.shape[:2], np.float32)
+                    )
         hp, wp = h, w
     # crop a 2s x 2s window at a random offset (must fit the 3s canvas)
     yc = int(rng.uniform(0, s))
@@ -240,7 +247,7 @@ def mosaic9(
     k = labels[0][2].shape[1] if has_pts and labels[0][2].ndim == 3 else 0
     pts = (np.concatenate(out_pts) if out_pts else np.zeros((0, k, 2), np.float32)) if has_pts else None
     vis = None
-    if has_pts and labels[0][3] is not None:
+    if has_pts and any(l[3] is not None for l in labels):
         vis = np.concatenate(out_vis) if out_vis else np.zeros((0, k), np.float32)
     if len(boxes):
         boxes[:, [0, 2]] -= xc

@@ -262,6 +262,9 @@ class YOLODataset:
                 rows.append([float(x) for x in parts[:5]])
                 polys.append(None)
                 kpts.append(None)
+                if self.task == "obb":  # keep rbox/corner payloads row-aligned
+                    rbs.append(None)  # in mixed-format OBB files
+                    rcs.append(None)  # (None = axis-aligned rect fallback)
         if not rows:
             return empty
         if polys:
@@ -345,8 +348,10 @@ class YOLODataset:
 
     def get_sample(self, i: int, rng: np.random.Generator, mosaic: bool = True,
                    shape: Optional[Tuple[int, int]] = None) -> Dict:
-        """One training sample dict: img (f32 RGB [0,1]), cls, bboxes (xywh-n),
-        mask; for task='segment' also masks ((imgsz/ratio)^2 overlap-encoded)."""
+        """One training sample dict: img (uint8 RGB — batches ship to device
+        at 1/4 the f32 bytes; the compiled step normalizes via
+        ops.normalize_image_batch), cls, bboxes (xywh-n), mask; for
+        task='segment' also masks ((imgsz/ratio)^2 overlap-encoded)."""
         from bsyolo_tpu.data.augment import format_labels, train_transform
 
         if self.task == "segment":
@@ -440,7 +445,7 @@ class YOLODataset:
             corners = self.rcorners.get(j, [])
             pts = np.zeros((n, 4, 2), np.float32)
             for t in range(n):
-                if t < len(corners):
+                if t < len(corners) and corners[t] is not None:
                     pts[t] = corners[t] * wh
                 else:
                     x1, y1, x2, y2 = boxes[t]
@@ -600,6 +605,12 @@ class YOLODataset:
             boxes[:, [1, 3]] += dh
         out_rb = np.zeros((self.max_gt, 5), np.float32)
         for j, rb in enumerate(rb_list[: self.max_gt]):
+            if rb is None:  # plain 5-part row in a mixed OBB file: the
+                # axis-aligned box at angle 0 (boxes[j] is letterboxed pixels)
+                x1, y1, x2, y2 = boxes[j]
+                out_rb[j] = [(x1 + x2) / 2 / tw, (y1 + y2) / 2 / th,
+                             (x2 - x1) / tw, (y2 - y1) / th, 0.0]
+                continue
             # rb is (cx, cy, w, h, r) in normalized source coords
             cx = (rb[0] * w * r + dw) / tw
             cy = (rb[1] * h * r + dh) / th

@@ -135,7 +135,9 @@ class AutoBackend:
                         f"AutoBackend detection decode does not support this head "
                         f"output ({sorted(out)}); use the task facade instead"
                     )
-            return decode_detections(out, spec.head_strides, spec.nc)
+            return decode_detections(
+                out, spec.head_strides, spec.nc, reg_max=getattr(spec, "reg_max", 16)
+            )
 
         self._fn = lambda x: np.asarray(run(jnp.asarray(x)))
 

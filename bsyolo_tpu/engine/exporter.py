@@ -120,7 +120,7 @@ def _build_export_predict(spec, model, variables, nms: bool):
 
     def predict(x):
         feats = model.apply(variables, x, train=False)
-        preds = decode_detections(feats, strides, nc)
+        preds = decode_detections(feats, strides, nc, reg_max=getattr(spec, "reg_max", 16))
         if nms:
             return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7, max_det=300)
         return preds

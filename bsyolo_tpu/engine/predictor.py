@@ -266,7 +266,10 @@ class DetectionPredictor:
                         # (torch_utils.py:430 scale_img)
                         xi = jnp.pad(xi, ((0, 0), (0, ph), (0, pw), (0, 0)),
                                      constant_values=0.447)
-                    p = decode_detections(model.apply(variables, xi, train=False), strides, nc)
+                    p = decode_detections(
+                        model.apply(variables, xi, train=False), strides, nc,
+                        reg_max=getattr(spec, "reg_max", 16),
+                    )
                     xy = p[..., :2] / si
                     wh = p[..., 2:4] / si
                     if fl:

@@ -53,7 +53,9 @@ def make_tiled_predictor(
     @jax.jit
     def run(variables, tiles, offsets):
         feats = model.apply(variables, tiles, train=False)
-        preds = decode_detections(feats, strides, nc)  # (T, A, 4+nc)
+        preds = decode_detections(
+            feats, strides, nc, reg_max=getattr(spec, "reg_max", 16)
+        )  # (T, A, 4+nc)
         dets = non_max_suppression(
             preds, conf_thres=conf, iou_thres=iou, max_det=max_det_per_tile, nc=nc
         )  # (T, K, 6)

@@ -65,5 +65,7 @@ def NAS(model: str = "yolo_nas_s.pt"):
         )
     from bsyolo_tpu.model import YOLO
 
+    if p.suffix and p.exists():
+        return YOLO(str(p))  # user-supplied YAML path outside the bundled zoo
     name = p.name if p.suffix else p.name + ".yaml"
     return YOLO(name)

@@ -273,7 +273,7 @@ def decode_detections(
     feats: Sequence[Array],
     strides: Sequence[int],
     nc: int,
-    reg_max: int = 0,
+    reg_max: int = 16,
 ) -> Array:
     """Decode raw Detect maps to (B, A, 4+nc): xywh pixels + sigmoid scores.
 
@@ -281,12 +281,12 @@ def decode_detections(
     DFL softmax-expectation -> dist2bbox around cached anchors -> * stride.
     Anchors are built from static shapes at trace time.
 
-    ``reg_max`` (DFL bin count) defaults to inference from the channel
-    layout C = 4*reg_max + nc — exact for every head in the zoo (16 for
-    YOLO Detect, 17 for NASDetect).
+    ``reg_max`` (DFL bin count) must be passed explicitly for non-16-bin
+    heads (NASDetect: spec.reg_max == 17). It is deliberately NOT inferred
+    from the channel count: Segment/Pose maps carry extra trailing channels
+    (mask coeffs / keypoints), so (C - nc) // 4 would silently mis-split
+    the box/cls layout for them.
     """
-    if not reg_max:
-        reg_max = (feats[0].shape[-1] - nc) // 4
     feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
     b = feats[0].shape[0]

@@ -183,9 +183,9 @@ class NASDetect(nn.Module):
     1x1 stem to `inter` channels, then parallel cls / reg towers (3x3
     ConvBNReLU + 1x1 conv). reg_max=16 in the NAS convention counts bin
     EDGES, so the distribution has 17 bins. Emits the repo-wide Detect map
-    layout (B, H, W, 4*bins + nc) so decode_detections (which infers the
-    bin count from the channel split) and the whole predict/val/export
-    pipeline apply unchanged."""
+    layout (B, H, W, 4*bins + nc); the predict/val/export pipeline applies
+    unchanged, with every decode site passing spec.reg_max (17 here, 16 for
+    the Detect family) explicitly."""
 
     nc: int
     ch: Tuple[int, ...]

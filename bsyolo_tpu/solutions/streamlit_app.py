@@ -109,6 +109,11 @@ def inference(model: Optional[str] = None):
             with open("bsyolo_upload.mp4", "wb") as out:
                 out.write(vid.read())
             vid_file_name = "bsyolo_upload.mp4"
+        else:
+            # without this, source='video' with no upload silently falls back
+            # to VideoCapture(0) — the webcam — which is never what was asked
+            vid_file_name = None
+            st.sidebar.warning("Upload a video file to start.")
 
     selected_model = st.sidebar.selectbox("Model", core.available_models())
     with st.spinner("Loading model..."):
@@ -121,6 +126,9 @@ def inference(model: Optional[str] = None):
     org_frame, ann_frame = col1.empty(), col2.empty()
 
     if st.sidebar.button("Start"):
+        if vid_file_name is None:
+            st.error("Source is 'video' but no file was uploaded.")
+            return
         stop_button = st.button("Stop")
         cap = cv2.VideoCapture(vid_file_name)
         if not cap.isOpened():

@@ -127,7 +127,9 @@ def grad_cam(
         feats = model.apply(
             {**variables, "perturbations": pert}, x, train=False, perturb=True
         )
-        preds = decode_detections(feats, strides, nc)  # (1, A, 4+nc)
+        preds = decode_detections(
+            feats, strides, nc, reg_max=getattr(spec, "reg_max", 16)
+        )  # (1, A, 4+nc)
         cls_scores = preds[..., 4:]
         if class_id is not None:
             sc = cls_scores[..., class_id]

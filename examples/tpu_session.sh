@@ -22,16 +22,22 @@ run python bench.py
 # 2. per-stage forward profile (docs/performance.md lane-fill decomposition)
 run python examples/profile_forward.py
 
-# 3. train-step bench (batch sweep happens inside; BENCH_DISPATCH adds the
-#    per-step-vs-chunked dispatch-mode comparison backing cfg chunk_steps)
-run env BENCH_DISPATCH=1 python bench_train.py
+# 3. train-step bench (batch sweep happens inside)
+run python bench_train.py
 
 if [ "${1:-}" != "quick" ]; then
-  # 4. train-step slice profile
+  # 4. dispatch-mode comparison alone (per-step vs chunked x f32 vs uint8,
+  #    incl. transfer+fetch — the quantity chunking/uint8 change)
+  run env BENCH_DISPATCH=only python bench_train.py
+  # 5. train-step slice profile (fwd / +loss / +dgrad / +bwd / +remat ladder)
   run python examples/profile_train_step.py
-  # 5. predictor on real sources
+  # 5b. the same ladder at the headline batch (loss/optimizer share at 128)
+  run env BENCH_BATCH=128 python examples/profile_train_step.py
+  # 5c. remat throughput check at the headline batch (memory-vs-speed trade)
+  run env BENCH_REMAT=1 BENCH_BATCHES=128 python bench_train.py
+  # 6. predictor on real sources
   run python examples/bench_predictor.py
-  # 6. PJRT C++ client box parity on the TPU
+  # 7. PJRT C++ client box parity on the TPU
   run python -m pytest tests/test_pjrt_client.py --slow -q -p no:cacheprovider
 fi
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a $LOG

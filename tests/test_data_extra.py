@@ -610,3 +610,39 @@ def test_tail_wrap_pads_to_full_batch_on_tiny_dataset(tmp_path):
     im_idx = np.asarray(b["im_idx"])
     assert (im_idx >= 0).sum() == 3  # real rows
     assert (im_idx < 0).sum() == 5   # wrapped duplicates, excluded downstream
+
+
+class TestMixedFormatOBBLabels:
+    def test_plain_row_keeps_rbox_alignment(self, tmp_path):
+        """A mixed OBB label file (plain 5-part box row + 9-part corner row)
+        must keep the corner payload row-aligned: the plain row gets an
+        axis-aligned rbox at angle 0, the corner row keeps ITS corners.
+        Regression: the parser used to skip the placeholder for plain rows,
+        shifting every later instance's rotated geometry by one."""
+        import cv2
+
+        from bsyolo_tpu.data.dataset import YOLODataset
+
+        img_dir = tmp_path / "images" / "train"
+        lbl_dir = tmp_path / "labels" / "train"
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        cv2.imwrite(str(img_dir / "0.jpg"), np.full((64, 64, 3), 99, np.uint8))
+        # row 0: plain box centered (0.25, 0.25); row 1: 45-degree diamond
+        d = 0.18  # half-diagonal of the rotated square
+        corners = f"{0.7} {0.7 - d} {0.7 + d} {0.7} {0.7} {0.7 + d} {0.7 - d} {0.7}"
+        (lbl_dir / "0.txt").write_text(
+            "0 0.25 0.25 0.2 0.2\n" f"1 {corners}\n"
+        )
+        ds = YOLODataset(str(img_dir), imgsz=64, augment=False, task="obb", max_gt=4)
+        s = ds.get_sample(0, np.random.default_rng(0))
+        rb = s["rboxes"]
+        assert s["mask"][:2].sum() == 2
+        # instance 0: the plain row -> axis-aligned, angle 0
+        np.testing.assert_allclose(rb[0, :2], [0.25, 0.25], atol=0.02)
+        assert abs(rb[0, 4]) < 1e-6
+        # instance 1: the corner row -> centered at (0.7, 0.7) with ~45 deg
+        # (mod pi/2) rotation, NOT the plain row's geometry
+        np.testing.assert_allclose(rb[1, :2], [0.7, 0.7], atol=0.02)
+        ang = float(rb[1, 4]) % (np.pi / 2)
+        assert min(ang, np.pi / 2 - ang) > 0.6, f"angle {rb[1,4]} not ~45deg"

@@ -133,7 +133,9 @@ class TestNAS:
         feats = make_forward(model)(variables, x)
         assert feats[0].shape[-1] == 4 * 17 + spec.nc
         ref = non_max_suppression(
-            decode_detections(feats, spec.head_strides, spec.nc),
+            # reg_max must be explicit: inference from the channel count was
+            # removed (it silently mis-split segment/pose maps with extras)
+            decode_detections(feats, spec.head_strides, spec.nc, reg_max=spec.reg_max),
             conf_thres=0.0001, iou_thres=0.7, max_det=30,
         )
         got = detect_postprocess(

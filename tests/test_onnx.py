@@ -501,3 +501,31 @@ def test_prim_avgpool():
         return fnn.avg_pool(a, (2, 2), strides=(2, 2), padding=((1, 0), (0, 1)))
 
     _roundtrip(f, RNG.randn(2, 7, 7, 3).astype(np.float32))
+
+
+@pytest.mark.parametrize("yaml_name", ["tinyseg.yaml", "tinypose.yaml"])
+def test_export_closure_box_layout_with_extras(yaml_name):
+    """The segment/pose export closures must split the head maps at
+    4*reg_max, NOT infer the split from the channel count: those maps carry
+    extra trailing channels (mask coeffs / keypoints), so inference from
+    C - nc mis-reads box logits. Non-circular ground truth: decode the same
+    maps with the extras sliced off. Regression for a real round-4 bug."""
+    from pathlib import Path
+
+    from bsyolo_tpu.engine.exporter import _build_export_predict
+    from bsyolo_tpu.model import YOLO
+    from bsyolo_tpu.nn.heads import decode_detections
+
+    y = YOLO(str(Path(__file__).parent / "fixtures" / yaml_name))
+    nc = y.spec.nc
+    predict, _ = _build_export_predict(y.spec, y.model, y.variables, False)
+    x = RNG.rand(1, 96, 96, 3).astype(np.float32)
+    out = predict(jnp.asarray(x))
+    preds = np.asarray(out[0] if isinstance(out, (tuple, list)) else out)
+
+    feats = y.model.apply(y.variables, jnp.asarray(x), train=False)
+    if isinstance(feats, dict):
+        feats = feats["feats"]
+    sliced = [f[..., : 4 * 16 + nc] for f in feats]  # extras removed
+    want = np.asarray(decode_detections(sliced, y.spec.head_strides, nc))
+    np.testing.assert_allclose(preds[..., : 4 + nc], want, atol=1e-5, rtol=1e-5)

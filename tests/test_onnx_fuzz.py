@@ -400,7 +400,11 @@ def test_fuzz_covers_full_handler_table():
 @pytest.mark.parametrize("seed", SEEDS)
 @pytest.mark.parametrize("label", sorted(CASES))
 def test_fuzz_op(label, seed, tmp_path):
-    rng = np.random.default_rng(seed * 1009 + hash(label) % 1000)
+    import zlib
+
+    # stable per-label seed: hash() is randomized per process (PYTHONHASHSEED),
+    # which would make a CI fuzz failure irreproducible locally
+    rng = np.random.default_rng(seed * 1009 + zlib.crc32(label.encode()) % 1000)
     fn, args = CASES[label](rng)
     jargs = [jnp.asarray(a) for a in args]
     ref = fn(*jargs)
