@@ -41,7 +41,10 @@ def build_step(scale: str, img_size: int, bs: int):
     spec = parse_model_yaml(d, scale=scale)
     model, variables = build_model(spec, img_size=img_size, dtype=jnp.bfloat16)
     cfg = StepConfig(
-        loss=DetectionLossConfig(nc=spec.nc, strides=spec.head_strides),
+        loss=DetectionLossConfig(
+            nc=spec.nc, strides=spec.head_strides,
+            assigner_bf16=bool(os.environ.get("BENCH_ASSIGNER_BF16")),
+        ),
         optim=OptimConfig(name="SGD", lr0=0.01, epochs=100, nbs=64),
         batch_size=bs,
         nb=100,

@@ -259,6 +259,7 @@ class DetectionTrainer:
             dfl=args.dfl,
             nwd_loss=args.nwdloss,
             iou_ratio=args.iou_ratio,
+            assigner_bf16=bool(getattr(args, "assigner_bf16", False)),
         )
         nw = max(round(opt.warmup_epochs * nb), 100) if opt.warmup_epochs > 0 else 0
         self.step_cfg = StepConfig(

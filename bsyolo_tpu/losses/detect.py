@@ -40,6 +40,12 @@ class DetectionLossConfig(NamedTuple):
     tal_topk: int = 10
     ema_decay: float = 0.4  # EMASlideLoss decay (loss.py:66)
     ema_tau: float = 2000.0
+    assigner_bf16: bool = False  # run the (stop-gradient) TAL assignment in
+    #   bfloat16: the assigner streams ~15 (B, max_gt, A) tensors through HBM
+    #   (275 MB each at batch 128 / A=8400 / M=64 in f32) and carries no
+    #   gradients, so halving the bytes halves its wall-clock. Selection
+    #   indices/masks can flip only on near-ties (equally-good anchors);
+    #   target VALUES are still gathered from the f32 inputs.
 
 
 @flax_dataclass
@@ -142,6 +148,7 @@ def detection_loss(
         num_classes=nc,
         alpha=0.5,
         beta=6.0,
+        bf16=cfg.assigner_bf16,
     )
     target_bboxes, target_scores, fg_mask = (
         assign.target_bboxes,

@@ -58,7 +58,7 @@ def _kth_largest(x: Array, k: int) -> Array:
     return jax.lax.fori_loop(0, k - 1, body, t) if k > 1 else t
 
 
-@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta", "bf16"))
 def task_aligned_assign(
     pd_scores: Array,  # (b, A, nc) sigmoided
     pd_bboxes: Array,  # (b, A, 4) xyxy
@@ -71,14 +71,36 @@ def task_aligned_assign(
     alpha: float = 0.5,
     beta: float = 6.0,
     eps: float = 1e-9,
+    bf16: bool = False,
 ) -> AssignResult:
-    """Static-shape task-aligned assignment (reference tal.py:77-167)."""
+    """Static-shape task-aligned assignment (reference tal.py:77-167).
+
+    ``bf16=True`` runs the dense (b, M, A) metric computation in bfloat16 —
+    the assignment carries no gradients and is HBM-bound (each (b, M, A) f32
+    tensor is 275 MB at batch 128), so halving the bytes halves its cost.
+    Selection can differ from f32 only where two anchors' metrics agree to
+    bf16 precision (equally-good candidates); target VALUES (boxes, labels)
+    are gathered from the full-precision inputs either way, and the returned
+    target_scores are cast back to the input dtype.
+    """
+    out_dtype = pd_scores.dtype
+    gt_bboxes_full = gt_bboxes
     b, A, nc = pd_scores.shape
     M = gt_bboxes.shape[1]
     mask_gt = mask_gt.astype(jnp.bool_)
 
+    # the center-inside test stays full precision even under bf16: it is a
+    # hard geometric rule (bf16 is ±2 px at 640-scale coords, flipping
+    # anchors near box edges in/out), and it costs one cheap fused pass
     mask_in_gts = _select_candidates_in_gts(anc_points, gt_bboxes)  # (b, M, A)
     mask_valid = mask_in_gts & mask_gt[:, :, None]
+
+    if bf16:
+        # only the dense RANKING math drops to bf16 — metric perturbations
+        # there just prefer a nearly-equivalent anchor
+        pd_scores = pd_scores.astype(jnp.bfloat16)
+        pd_bboxes = pd_bboxes.astype(jnp.bfloat16)
+        gt_bboxes = gt_bboxes.astype(jnp.bfloat16)
 
     # alignment metric: score[gt_label]^alpha * CIoU^beta (tal.py:169-194)
     labels = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)
@@ -128,10 +150,11 @@ def task_aligned_assign(
     fg_mask = jnp.sum(mask_pos.astype(jnp.int32), axis=1) > 0  # (b, A)
     target_gt_idx = jnp.argmax(mask_pos, axis=1).astype(jnp.int32)  # (b, A)
 
-    # gather targets (tal.py:232-278)
+    # gather targets (tal.py:232-278) — values come from the FULL-precision
+    # boxes regardless of the metric compute dtype
     target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)  # (b, A)
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (b, A, 4)
-    target_scores = jax.nn.one_hot(target_labels, nc, dtype=pd_scores.dtype)
+    target_bboxes = jnp.take_along_axis(gt_bboxes_full, target_gt_idx[..., None], axis=1)  # (b, A, 4)
+    target_scores = jax.nn.one_hot(target_labels, nc, dtype=out_dtype)
     target_scores = target_scores * fg_mask[..., None]
 
     # normalize by per-gt max alignment (tal.py:146-156)
@@ -139,6 +162,6 @@ def task_aligned_assign(
     pos_align = jnp.max(align_metric, axis=-1, keepdims=True)  # (b, M, 1)
     pos_overlaps = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)  # (b, M, 1)
     norm = jnp.max(align_metric * pos_overlaps / (pos_align + eps), axis=-2)  # (b, A)
-    target_scores = target_scores * norm[..., None]
+    target_scores = target_scores * norm.astype(out_dtype)[..., None]
 
     return AssignResult(target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)

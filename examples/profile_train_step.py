@@ -60,7 +60,10 @@ def main():
     model, variables = build_model(spec2, img_size=img_size, dtype=jnp.bfloat16)
     from bsyolo_tpu.losses import DetectionLossConfig
 
-    loss_cfg = DetectionLossConfig(nc=spec2.nc, strides=spec2.head_strides)
+    loss_cfg = DetectionLossConfig(
+        nc=spec2.nc, strides=spec2.head_strides,
+        assigner_bf16=bool(os.environ.get("BENCH_ASSIGNER_BF16")),
+    )
     ls0 = init_loss_state()
 
     def fwd_only(v, x):

@@ -165,3 +165,72 @@ class TestDetectionLossGolden:
             d = 0.4 * (1 - math.exp(-t / 2000))
             expected = d * expected + (1 - d) * 0.2
             assert float(state.iou_mean) == pytest.approx(expected, rel=1e-5)
+
+
+class TestTALBf16:
+    def test_bf16_assignment_agrees_with_f32(self):
+        """assigner_bf16 halves the (b, M, A) HBM traffic of the stop-gradient
+        assignment; selection may flip only on bf16-level near-ties, so on
+        random (tie-free) geometry the fg set must agree almost everywhere and
+        target values must stay full-precision where both agree."""
+        from bsyolo_tpu.losses import task_aligned_assign
+
+        rng = np.random.default_rng(42)  # own stream: the shared session rng
+        # makes thresholds order-dependent
+        nc, M, A, b = 12, 8, 336, 4
+        pd_scores = rng.uniform(0, 1, (b, A, nc)).astype(np.float32)
+        anc = rng.uniform(0, 128, (A, 2)).astype(np.float32)
+        wh = rng.uniform(4, 40, (b, A, 4)).astype(np.float32)
+        pd_boxes = np.concatenate([anc[None] - wh[..., :2], anc[None] + wh[..., 2:]], -1)
+        gt_xy = rng.uniform(10, 100, (b, M, 2)).astype(np.float32)
+        gt_wh = rng.uniform(10, 60, (b, M, 2)).astype(np.float32)
+        gt_boxes = np.concatenate([gt_xy, gt_xy + gt_wh], -1)
+        gt_labels = rng.integers(0, nc, (b, M)).astype(np.int64)
+        mask = (np.arange(M)[None, :] < 5).astype(np.float32) * np.ones((b, M), np.float32)
+
+        args = (jnp.asarray(pd_scores), jnp.asarray(pd_boxes), jnp.asarray(anc),
+                jnp.asarray(gt_labels), jnp.asarray(gt_boxes), jnp.asarray(mask))
+        kw = dict(topk=10, num_classes=nc, alpha=0.5, beta=6.0)
+        r32 = task_aligned_assign(*args, **kw)
+        r16 = task_aligned_assign(*args, bf16=True, **kw)
+
+        fg32 = np.asarray(r32.fg_mask)
+        fg16 = np.asarray(r16.fg_mask)
+        agree = (fg32 == fg16).mean()
+        assert agree > 0.995, f"fg_mask agreement {agree}"
+        # outputs stay f32 typed and full-precision where the selection agrees
+        assert r16.target_scores.dtype == jnp.float32
+        both = fg32 & fg16 & (np.asarray(r32.target_gt_idx) == np.asarray(r16.target_gt_idx))
+        np.testing.assert_array_equal(
+            np.asarray(r32.target_bboxes)[both], np.asarray(r16.target_bboxes)[both]
+        )
+        # target-score weights: the per-gt normalization maxes over every
+        # positive row covering the anchor, so a bf16 tie-flip in ANOTHER
+        # row can move an agreeing anchor's weight — bound the bulk, not
+        # every element
+        ts32 = np.asarray(r32.target_scores)[both]
+        ts16 = np.asarray(r16.target_scores)[both]
+        close = np.isclose(ts16, ts32, rtol=0.02, atol=1e-3)
+        assert close.mean() > 0.95, f"only {close.mean():.3f} of weights close"
+        assert np.mean(np.abs(ts16 - ts32)) < 0.01
+
+    def test_loss_runs_with_bf16_assigner(self, rng):
+        """detection_loss(assigner_bf16=True) stays finite and close to the
+        f32-assigner loss on a realistic batch."""
+        from bsyolo_tpu.losses import DetectionLossConfig, detection_loss, init_loss_state
+
+        nc, M = 8, 16
+        feats = [jnp.asarray(rng.normal(0, 1, (2, s, s, 64 + nc)).astype(np.float32))
+                 for s in (12, 6, 3)]
+        cls = jnp.asarray(rng.integers(0, nc, (2, M)).astype(np.int32))
+        boxes = jnp.asarray(np.concatenate(
+            [rng.uniform(0.3, 0.7, (2, M, 2)), rng.uniform(0.1, 0.3, (2, M, 2))], -1
+        ).astype(np.float32))
+        mask = jnp.asarray((np.arange(M)[None] < 6).astype(np.float32).repeat(2, 0))
+        base = DetectionLossConfig(nc=nc, strides=(8, 16, 32))
+        t32, _, _ = detection_loss(feats, cls, boxes, mask, init_loss_state(), base)
+        t16, _, _ = detection_loss(
+            feats, cls, boxes, mask, init_loss_state(), base._replace(assigner_bf16=True)
+        )
+        assert np.isfinite(float(t16))
+        np.testing.assert_allclose(float(t16), float(t32), rtol=0.05)
