@@ -55,12 +55,42 @@ class StepConfig(NamedTuple):
     #   are absent from the torch optimizer step, so here their grads are
     #   zeroed before clipping AND their values restored after the update —
     #   decoupled weight decay must not erode frozen weights either)
-    remat: bool = False  # rematerialize the forward during the backward:
-    #   saves no activations (jax.checkpoint nothing_saveable), trading +1
-    #   forward of FLOPs for HBM activation traffic. Measured FASTER than
-    #   the default on TPU v5e at yolo11n/640 (fwd+bwd 92.1 vs 96.4 ms at
-    #   batch 32 — the backward is bandwidth-bound, docs/performance.md)
-    #   and cuts activation memory, admitting larger batches.
+    remat: Any = False  # rematerialize the forward during the backward:
+    #   True/'full' saves no activations (jax.checkpoint nothing_saveable),
+    #   trading +1 forward of FLOPs for HBM activation traffic. Measured
+    #   FASTER than the default on TPU v5e at yolo11n/640 (fwd+bwd 92.1 vs
+    #   96.4 ms at batch 32 — the backward is bandwidth-bound,
+    #   docs/performance.md) and cuts activation memory, admitting larger
+    #   batches. 'seg' saves ONLY the per-layer boundary activations the
+    #   graph walk tags with checkpoint_name("bs_seg") (nn/model.py) and
+    #   recomputes intra-block residuals from the nearest boundary — less
+    #   recompute locality cost than 'full' (each segment's recompute runs
+    #   right before its backward slice, keeping the live set small).
+
+
+def remat_policy(remat):
+    """Map the cfg `remat` value to a jax.checkpoint policy (None = no remat).
+
+    False/'' -> None; True/'full' -> nothing_saveable (recompute everything
+    from the input); 'seg' -> save_only_these_names("bs_seg"), keeping only
+    the per-layer boundary activations the graph walk tags (nn/model.py) and
+    recomputing intra-block residuals segment-locally during the backward.
+    """
+    if not remat:
+        return None
+    mode = remat.lower() if isinstance(remat, str) else "full"
+    if mode in ("full", "true", "1"):
+        return jax.checkpoint_policies.nothing_saveable
+    if mode == "seg":
+        return jax.checkpoint_policies.save_only_these_names("bs_seg")
+    if mode == "light":
+        # inverse policy: save every ordinary residual, but never STORE the
+        # tagged per-layer boundary outputs — recompute them (one elementwise
+        # op from the saved pre-activation) when the backward needs them.
+        # Shaves the largest per-layer tensors off the activation traffic at
+        # near-zero recompute cost.
+        return jax.checkpoint_policies.save_anything_except_these_names("bs_seg")
+    raise ValueError(f"remat={remat!r}: expected False, True/'full', 'seg', or 'light'")
 
 
 def init_train_state(variables) -> TrainState:
@@ -128,10 +158,9 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
                     **apply_kw,
                 )
 
-            if cfg.remat:
-                apply_model = jax.checkpoint(
-                    apply_model, policy=jax.checkpoint_policies.nothing_saveable
-                )
+            policy = remat_policy(cfg.remat)
+            if policy is not None:
+                apply_model = jax.checkpoint(apply_model, policy=policy)
             outputs, mutated = apply_model(params, normalize_image_batch(batch["img"]))
             total, items, new_ls = criterion(outputs, batch, state.loss_state, cfg.loss)
             return total, (items, new_ls, mutated["batch_stats"])

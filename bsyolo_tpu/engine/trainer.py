@@ -271,7 +271,7 @@ class DetectionTrainer:
             use_adamw=opt.name in ("AdamW", "Adam", "NAdam", "RAdam"),
             weight_decay=wd,
             frozen=self._frozen_keys(variables),
-            remat=bool(getattr(args, "remat", False)),
+            remat=getattr(args, "remat", False) or False,
         )
         criterion = None
         item_names = None
@@ -519,13 +519,14 @@ class DetectionTrainer:
         model, imgsz = self.model, self.args.imgsz
 
         apply_model = lambda vv, x: model.apply(vv, x, train=True, mutable=["batch_stats"])[0]
-        if bool(getattr(self.args, "remat", False)):
-            # probe the step the trainer will actually run: full remat frees
-            # the activation footprint, so the fitted memory line is flatter
-            # and batch=-1 resolves larger
-            apply_model = jax.checkpoint(
-                apply_model, policy=jax.checkpoint_policies.nothing_saveable
-            )
+        from bsyolo_tpu.engine.train_step import remat_policy
+
+        policy = remat_policy(getattr(self.args, "remat", False) or False)
+        if policy is not None:
+            # probe the step the trainer will actually run: remat frees
+            # (full) or shrinks (seg) the activation footprint, so the fitted
+            # memory line is flatter and batch=-1 resolves larger
+            apply_model = jax.checkpoint(apply_model, policy=policy)
 
         def probe(v, x):
             def loss_fn(vv):

@@ -338,6 +338,18 @@ class DetectionGraph(nn.Module):
                 else:
                     mod = _build_module(layer, self.dtype)
                     prev = mod(src, train)
+            if train and getattr(prev, "ndim", 0) == 4:
+                # segment-remat boundary tag: identity at runtime (XLA drops
+                # name_p), but under `cfg remat=seg` the train step checkpoints
+                # the forward with save_only_these_names("bs_seg") — ONLY these
+                # per-layer boundary activations are saved, every intra-block
+                # residual (conv inputs, pre-activations, BN intermediates) is
+                # recomputed from the nearest boundary during the backward.
+                # Train-only so inference/export jaxprs (ONNX lowering,
+                # jax2tf) never see the primitive.
+                from jax.ad_checkpoint import checkpoint_name
+
+                prev = checkpoint_name(prev, "bs_seg")
             if perturb and getattr(prev, "ndim", 0) == 4:  # head outputs are lists/dicts — skip
                 # zero-valued additive hooks: grads w.r.t. the 'perturbations'
                 # collection ARE grads w.r.t. each layer activation — the

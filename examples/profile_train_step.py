@@ -96,6 +96,27 @@ def main():
         g = jax.grad(lambda p: f(p, x))(v["params"])
         return sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(g))
 
+    def fwd_bwd_remat_seg(v, x):
+        # segment-remat lever: save ONLY the per-layer boundary activations
+        # (the checkpoint_name "bs_seg" tags in nn/model.py) and recompute
+        # intra-block residuals from the nearest boundary during the backward
+        f = jax.checkpoint(
+            lambda p, xx: fwd_only({"params": p, "batch_stats": v["batch_stats"]}, xx),
+            policy=jax.checkpoint_policies.save_only_these_names("bs_seg"),
+        )
+        g = jax.grad(lambda p: f(p, x))(v["params"])
+        return sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(g))
+
+    def fwd_bwd_remat_light(v, x):
+        # inverse of seg: save ordinary residuals, never store the tagged
+        # boundary outputs — recompute them elementwise when needed
+        f = jax.checkpoint(
+            lambda p, xx: fwd_only({"params": p, "batch_stats": v["batch_stats"]}, xx),
+            policy=jax.checkpoint_policies.save_anything_except_these_names("bs_seg"),
+        )
+        g = jax.grad(lambda p: f(p, x))(v["params"])
+        return sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(g))
+
     def fwd_loss_bwd(v, x):
         g = jax.grad(lambda p: fwd_loss({"params": p, "batch_stats": v["batch_stats"]}, x))(v["params"])
         return sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(g))
@@ -153,16 +174,30 @@ def main():
         print(f"{'full step':14s} {per*1000:8.2f} ms/iter  {bs/per:8.1f} img/s", flush=True)
         return per
 
+    # BENCH_SLICES=comma-list picks a subset (names below); default = all
+    want = os.environ.get("BENCH_SLICES")
+    want = set(want.split(",")) if want else None
+    run = lambda name: want is None or name in want
+
     print(f"# scale={scale} imgsz={img_size} batch={bs}", flush=True)
-    t_f = timed(make_scan(fwd_only), "fwd")
-    timed(make_scan(fwd_loss), "fwd+loss")
-    t_d = timed(make_scan(fwd_dgrad), "fwd+dgrad")
-    t_b = timed(make_scan(fwd_bwd), "fwd+bwd")
-    print(f"{'  => dgrad':14s} {(t_d - t_f)*1000:8.2f} ms  (activation-grad chain)", flush=True)
-    print(f"{'  => wgrad':14s} {(t_b - t_d)*1000:8.2f} ms  (weight-grad convs)", flush=True)
-    timed(make_scan(fwd_bwd_remat), "fwd+bwd remat")
-    timed(make_scan(fwd_loss_bwd), "fwd+loss+bwd")
-    timed_full()
+    t_f = timed(make_scan(fwd_only), "fwd") if run("fwd") else None
+    if run("loss"):
+        timed(make_scan(fwd_loss), "fwd+loss")
+    t_d = timed(make_scan(fwd_dgrad), "fwd+dgrad") if run("dgrad") else None
+    t_b = timed(make_scan(fwd_bwd), "fwd+bwd") if run("bwd") else None
+    if t_f is not None and t_d is not None and t_b is not None:
+        print(f"{'  => dgrad':14s} {(t_d - t_f)*1000:8.2f} ms  (activation-grad chain)", flush=True)
+        print(f"{'  => wgrad':14s} {(t_b - t_d)*1000:8.2f} ms  (weight-grad convs)", flush=True)
+    if run("remat"):
+        timed(make_scan(fwd_bwd_remat), "fwd+bwd remat")
+    if run("seg"):
+        timed(make_scan(fwd_bwd_remat_seg), "fwd+bwd seg")
+    if run("light"):
+        timed(make_scan(fwd_bwd_remat_light), "fwd+bwd light")
+    if run("lossbwd"):
+        timed(make_scan(fwd_loss_bwd), "fwd+loss+bwd")
+    if run("full"):
+        timed_full()
 
 
 if __name__ == "__main__":

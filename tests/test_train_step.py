@@ -168,14 +168,27 @@ class TestRemat:
             batch_size=8, nb=10, nw=5, use_adamw=False, weight_decay=0.0005,
         )
         plain = make_train_step(model, cfg)
-        remat = make_train_step(model, cfg._replace(remat=True))
         s1, m1 = plain(make_state(), batch)
-        s2, m2 = remat(make_state(), batch)
-        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
-        for a, b in zip(
-            jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
-        ):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # both remat schedules (full recompute; segment-boundary checkpoints)
+        # must be pure schedule changes: same loss, same updated params
+        for mode in (True, "seg", "light"):
+            remat = make_train_step(model, cfg._replace(remat=mode))
+            s2, m2 = remat(make_state(), batch)
+            np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+            ):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_remat_mode_validation(self):
+        from bsyolo_tpu.engine.train_step import remat_policy
+
+        assert remat_policy(False) is None and remat_policy("") is None
+        assert remat_policy(True) is not None and remat_policy("full") is not None
+        assert remat_policy("seg") is not None
+        assert remat_policy("light") is not None
+        with pytest.raises(ValueError):
+            remat_policy("bogus")
 
 
 class TestUint8Batches:
