@@ -51,7 +51,7 @@ def build_step(scale: str, img_size: int, bs: int):
         nw=0,  # past warmup: the steady-state hot loop
         use_adamw=False,
         weight_decay=5e-4,
-        remat=os.environ.get("BENCH_REMAT", ""),  # cfg remat lever: 1/full | seg
+        remat=os.environ.get("BENCH_REMAT", ""),  # cfg remat lever: 0/off | 1/full | seg | light
     )
     step_fn = make_train_step(model, cfg, jit=False)
     state = init_train_state(variables)

@@ -142,6 +142,16 @@ def _check_types(cfg: Dict[str, Any]):
                 cfg[k] = v.lower() == "true"
             else:
                 raise TypeError(f"'{k}={v}' must be a bool")
+        elif k == "remat" and not isinstance(v, bool):
+            # fail at config time, not deep inside the first training trace
+            # (engine/train_step.py remat_policy accepts the same vocabulary)
+            valid = {"", "0", "1", "false", "true", "off", "none", "full", "seg", "light"}
+            if not (isinstance(v, str) and v.lower() in valid):
+                matches = difflib.get_close_matches(str(v).lower(), sorted(valid - {""}), n=2)
+                hint = f" Did you mean {', '.join(repr(m) for m in matches)}?" if matches else ""
+                raise SyntaxError(
+                    f"'remat={v}' is not valid: expected bool, 'full', 'seg', or 'light'.{hint}"
+                )
     return cfg
 
 

@@ -79,6 +79,8 @@ def remat_policy(remat):
     if not remat:
         return None
     mode = remat.lower() if isinstance(remat, str) else "full"
+    if mode in ("0", "false", "off", "none", ""):
+        return None
     if mode in ("full", "true", "1"):
         return jax.checkpoint_policies.nothing_saveable
     if mode == "seg":
@@ -90,7 +92,9 @@ def remat_policy(remat):
         # Shaves the largest per-layer tensors off the activation traffic at
         # near-zero recompute cost.
         return jax.checkpoint_policies.save_anything_except_these_names("bs_seg")
-    raise ValueError(f"remat={remat!r}: expected False, True/'full', 'seg', or 'light'")
+    raise ValueError(
+        f"remat={remat!r}: expected False/'0'/'off', True/'full', 'seg', or 'light'"
+    )
 
 
 def init_train_state(variables) -> TrainState:

@@ -338,7 +338,12 @@ class DetectionGraph(nn.Module):
                 else:
                     mod = _build_module(layer, self.dtype)
                     prev = mod(src, train)
-            if train and getattr(prev, "ndim", 0) == 4:
+            if train and getattr(prev, "ndim", 0) == 4 and m not in (
+                "Concat", "Upsample", "Index", "Identity", "SpaceToDepth", "ZeroPad2d"
+            ):
+                # pure rearrangement layers are skipped: their outputs are
+                # views/copies of already-tagged inputs, so tagging them under
+                # remat='seg' would duplicate saved boundaries (ADVICE r4)
                 # segment-remat boundary tag: identity at runtime (XLA drops
                 # name_p), but under `cfg remat=seg` the train step checkpoints
                 # the forward with save_only_these_names("bs_seg") — ONLY these
