@@ -32,6 +32,20 @@ from bsyolo_tpu.utils import LOGGER
 from bsyolo_tpu.utils.callbacks import EarlyStopping, default_callbacks
 
 
+def _timed_iter(iterable, acc):
+    """Yield from ``iterable``, accumulating time blocked in __next__ into
+    ``acc[0]`` — measures how long the hot loop waits on the input pipeline."""
+    it = iter(iterable)
+    while True:
+        t0 = time.perf_counter()
+        try:
+            batch = next(it)
+        except StopIteration:
+            return
+        acc[0] += time.perf_counter() - t0
+        yield batch
+
+
 def save_checkpoint(path: Path, state: TrainState, meta: Dict, full: bool = False,
                     extras: Optional[Dict] = None):
     """Serialize {params, ema, batch_stats, counters} + meta (reference
@@ -173,6 +187,12 @@ class DetectionTrainer:
                 str(i) for i in range(data["nc"])
             ]
             emb = self._text_embeddings
+            if emb is not None and not hasattr(emb, "ndim") and not isinstance(emb, (list, tuple)):
+                # a saved {name: vector} table (.npz path or dict): resolve
+                # the dataset's class names against it, "/"-synonyms averaged
+                from bsyolo_tpu.utils.text_embed import resolve_text_embeddings
+
+                emb = resolve_text_embeddings(names, emb)
             if emb is None:
                 from bsyolo_tpu.utils.text_embed import hashed_text_embeddings
 
@@ -593,7 +613,9 @@ class DetectionTrainer:
             n = 0
             n_seen = 0  # host batches seen (n lags while a chunk buffers)
             chunk_buf = []
-            for batch in self.train_loader:
+            loader_wait = [0.0]  # host time blocked on the input pipeline
+            epoch_t0 = time.time()
+            for batch in _timed_iter(self.train_loader, loader_wait):
                 if args.plots and epoch == 0 and n_seen < 3 and self.rank == 0:
                     # train_batch{0,1,2}.jpg mosaics (reference trainer
                     # plot_training_samples)
@@ -638,6 +660,23 @@ class DetectionTrainer:
                         em[k] = em.get(k, 0.0) + v
             self._profile_stop()  # short first epoch: close the trace anyway
             em = {k: float(v) / max(n, 1) for k, v in em.items()}
+
+            # input-pipeline underfeed warning (VERDICT r4 #8): epoch 0 is
+            # dominated by compilation, so judge from epoch 1 on. Steps
+            # dispatch asynchronously, so host time blocked inside the
+            # loader's __next__ is device idle time once the dispatch queue
+            # drains — if it dominates the epoch, the chip is starved.
+            epoch_wall = time.time() - epoch_t0
+            frac = loader_wait[0] / max(epoch_wall, 1e-9)
+            if (epoch > self.start_epoch and frac > 0.5 and epoch_wall > 2.0
+                    and not getattr(self, "_underfeed_warned", False)):
+                self._underfeed_warned = True
+                LOGGER.warning(
+                    f"input pipeline underfeeds the device: {loader_wait[0]:.1f}s of the "
+                    f"{epoch_wall:.1f}s epoch ({100 * frac:.0f}%) spent waiting on the "
+                    f"loader. Try cache='ram' (or 'disk'), more workers, or qualify "
+                    f"this host with examples/bench_loader.py --record"
+                )
 
             self.callbacks.run("on_train_epoch_end", self)
             fitness = 0.0

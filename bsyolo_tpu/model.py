@@ -633,7 +633,9 @@ class YOLOWorld(YOLO):
         """Fine-tune the world graph on a close-set dataset (reference
         WorldTrainer, models/yolo/world/train.py): detection loss over
         contrastive class logits against the dataset's class-name text
-        embeddings. ``text_embeddings``: optional (nc, 512) CLIP vectors;
+        embeddings. ``text_embeddings``: optional (nc, 512) CLIP vectors, a
+        {name: vector} dict, or a path to a saved .npz table (resolved
+        against the dataset's class names, "/"-synonyms averaged);
         hashed n-gram fallback otherwise (clearly non-CLIP, offline)."""
         self._world_text_embeddings = text_embeddings
         metrics = super().train(**kwargs)
@@ -650,6 +652,13 @@ class YOLOWorld(YOLO):
     def set_classes(self, names: List[str], embeddings=None):
         """Bind class names to text embeddings ((K, 512)).
 
+        ``embeddings`` may be a (K, 512) array, a ``{name: vector}`` dict, or
+        a path to a saved ``.npz`` embedding table (either one-array-per-name
+        or a names/vectors pair — utils/text_embed.load_text_embeddings);
+        names are looked up in the table with "/"-synonym averaging, so a
+        user with real CLIP vectors saved once gets reference-equivalent
+        open-vocab behavior offline.
+
         Without ``embeddings`` falls back to deterministic hashed n-gram
         vectors (utils/text_embed.py) — a NON-CLIP stand-in that exercises
         the full open-vocab path offline but carries no visual semantics;
@@ -657,6 +666,12 @@ class YOLOWorld(YOLO):
         encoder, models/yolo/world/train.py)."""
         import jax.numpy as jnp
 
+        if isinstance(embeddings, (list, tuple)):
+            embeddings = np.asarray(embeddings, np.float32)
+        elif embeddings is not None and not hasattr(embeddings, "ndim"):
+            from bsyolo_tpu.utils.text_embed import resolve_text_embeddings
+
+            embeddings = resolve_text_embeddings(names, embeddings)
         if embeddings is None:
             from bsyolo_tpu.utils import LOGGER
             from bsyolo_tpu.utils.text_embed import hashed_text_embeddings

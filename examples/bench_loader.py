@@ -87,7 +87,7 @@ def bench_one(img_dir: Path, cache, workers: int) -> float:
     return n / dt
 
 
-def main():
+def main(record: str | None = None):
     try:
         cores = len(os.sched_getaffinity(0))
     except AttributeError:
@@ -109,7 +109,38 @@ def main():
         f'{cores}-core host)", "value": {best[2]:.1f}, "unit": "img/s", '
         f'"cores_to_feed_{TRAIN_IMG_S:.0f}": {TRAIN_IMG_S / best[2]:.1f}}}'
     )
+    if record is not None:
+        # host-qualification artifact (VERDICT r4 #8): one command on any
+        # real host settles the "can N cores feed the chip" question —
+        # cores, per-config rates, the device rate compared against, verdict
+        import json
+        import platform
+
+        art = {
+            "host": platform.node(),
+            "cores": cores,
+            "imgsz": IMGSZ,
+            "batch": BATCH,
+            "n_images": N_IMG,
+            "device_img_s": TRAIN_IMG_S,
+            "rows": [
+                {"cache": c, "workers": w, "img_s": round(r, 1),
+                 "cores_to_feed_device": round(TRAIN_IMG_S / r, 1)}
+                for c, w, r in rows
+            ],
+            "best": {"cache": best[0], "workers": best[1], "img_s": round(best[2], 1)},
+            "feed_ratio": round(best[2] / TRAIN_IMG_S, 3),
+            "verdict": "feeds" if best[2] >= TRAIN_IMG_S else "underfeeds",
+        }
+        path = Path(record if record is not True and record != "" else
+                    "loader_qualification.json")
+        path.write_text(json.dumps(art, indent=2) + "\n")
+        print(f"# wrote {path}")
 
 
 if __name__ == "__main__":
-    main()
+    rec = None
+    if "--record" in sys.argv:
+        i = sys.argv.index("--record")
+        rec = sys.argv[i + 1] if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-") else ""
+    main(record=rec)

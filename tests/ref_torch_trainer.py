@@ -83,9 +83,12 @@ class RefTrainer:
     def __init__(self, ref_model, loss_obj, epochs: int, nb: int, batch_size: int,
                  lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=0.0005,
                  warmup_epochs=3.0, warmup_momentum=0.8, warmup_bias_lr=0.1,
-                 nbs=64):
+                 nbs=64, to_batch=None):
         self.model = ref_model
         self.loss = loss_obj
+        # padded-batch -> reference ragged dict converter; tasks override it
+        # (segment adds masks, OBB ships 5-param rboxes)
+        self.to_batch = to_batch or to_ragged
         self.epochs, self.nb, self.batch_size, self.nbs = epochs, nb, batch_size, nbs
         self.accumulate = max(round(nbs / batch_size), 1)
         wd = weight_decay * batch_size * self.accumulate / nbs  # trainer.py:300
@@ -129,7 +132,7 @@ class RefTrainer:
             if im_np.dtype == np.uint8:  # loader now ships uint8; reference preprocess_batch /255
                 imgs = imgs / 255.0
             preds = self.model(imgs)
-            loss, _items = self.loss(preds, to_ragged(batch))
+            loss, _items = self.loss(preds, self.to_batch(batch))
             total += float(loss.detach()) / self.batch_size
             loss.backward()
             if ni - self.last_opt_step >= self.accumulate:  # trainer.py:390
