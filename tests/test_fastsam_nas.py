@@ -96,9 +96,12 @@ class TestNAS:
     )
     def test_reconstructed_graph_param_budget(self, name, published_m):
         """The offline NAS graphs (cfg/models/nas/) are structure-level
-        reconstructions; their parameter budgets must land near the
-        published super-gradients model sizes (S 19.0M / M 51.1M / L 66.9M;
-        S is the faithful one, M/L are documented approximations)."""
+        reconstructions; their parameter budgets must land within 5% of the
+        published super-gradients model sizes (S 19.0M / M 51.1M / L 66.9M).
+        Topology and stage widths/depths follow the public architecture;
+        per-stage CSP hidden widths are calibrated to the published totals —
+        the full fidelity/divergence accounting is docs/nas_reconstruction.md
+        (round-5, VERDICT r4 #6)."""
         from test_zoo_all import shape_param_count
 
         from bsyolo_tpu.cfg import model_yaml_path
@@ -107,7 +110,7 @@ class TestNAS:
         spec = parse_model_yaml(load_model_yaml(model_yaml_path(name + ".yaml")))
         assert spec.reg_max == 17 and spec.head_strides == (8, 16, 32)
         n = shape_param_count(spec) / 1e6
-        assert abs(n - published_m) / published_m < 0.2, (name, n)
+        assert abs(n - published_m) / published_m < 0.05, (name, n)
 
     def test_nas_decode_uses_17_bins(self):
         """detect_postprocess(reg_max=17) on NAS head maps must equal the
