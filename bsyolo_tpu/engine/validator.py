@@ -7,6 +7,7 @@ val settings conf=0.001 / iou=0.7 (detect/val.py:92).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, Optional
 
@@ -105,7 +106,16 @@ def _mask_to_original(mask: np.ndarray, input_hw, orig_wh, r: float, dw: float, 
 def _pipeline_forward(forward, variables, loader):
     """One-batch software pipeline shared by all validators: dispatch batch
     k+1's forward (jax arrays are futures) before batch k's result is read,
-    so the host's metric matching overlaps the device's next forward."""
+    so the host's metric matching overlaps the device's next forward.
+
+    BSYOLO_VAL_SYNC=1 degrades to a synchronous dispatch-read loop — kept
+    for measuring the pipeline's win (examples/bench_val_pipeline.py)."""
+    if os.environ.get("BSYOLO_VAL_SYNC"):
+        for nxt in loader:
+            pending = forward(variables, jnp.asarray(nxt["img"]))
+            pending = jax.tree_util.tree_map(np.asarray, pending)  # block now
+            yield nxt, pending
+        return
     prev = None
     for nxt in loader:
         pending = forward(variables, jnp.asarray(nxt["img"]))
