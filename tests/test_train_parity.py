@@ -115,10 +115,12 @@ def test_training_parity_realistic(tmp_path):
     from bsyolo_tpu.nn.model import build_model
     from bsyolo_tpu.utils.torch_weights import convert_state_dict
 
-    epochs = int(os.environ.get("PARITY_EPOCHS", "40"))
-    imgsz, batch, max_gt = 320, 4, 32
-    hyp = dict(HYP, warmup_epochs=0.0, nbs=4)  # 2 steps/epoch: skip the
-    # 100-step warmup floor so the run isn't one long lr ramp
+    epochs = int(os.environ.get("PARITY_EPOCHS", "60"))
+    # batch 8: the test mesh has 8 virtual devices, so the batch must shard
+    # evenly; with 8 fixture images that is 1 step/epoch
+    imgsz, batch, max_gt = 320, 8, 32
+    hyp = dict(HYP, warmup_epochs=0.0, nbs=8)  # skip the 100-step warmup
+    # floor so the short run isn't one long lr ramp
     data_yaml = Path(__file__).parent / "fixtures" / "bsyolo8" / "bsyolo8.yaml"
     # the BS fork graph, re-headed for bsyolo8's 3 classes (the trainer does
     # the same nc override from the dataset yaml)
