@@ -41,8 +41,9 @@ def _kernel(x_ref, w_ref, sw_ref, sx_ref, out_ref):
     out_ref[:] = (acc.astype(jnp.float32) * scale[None, :]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "tile_m", "tile_n"))
-def int8_matmul(x_i8, w_i8, sw, sx, out_dtype=jnp.bfloat16, tile_m=TILE_M, tile_n=TILE_N):
+@functools.partial(jax.jit, static_argnames=("out_dtype", "tile_m", "tile_n", "interpret"))
+def int8_matmul(x_i8, w_i8, sw, sx, out_dtype=jnp.bfloat16, tile_m=TILE_M, tile_n=TILE_N,
+                interpret=False):
     """(M, K) int8 x (K, N) int8 -> (M, N) out_dtype, int32 MXU accumulation.
 
     sw: (N,) f32 per-output-channel weight scales; sx: () f32 activation
@@ -57,6 +58,7 @@ def int8_matmul(x_i8, w_i8, sw, sx, out_dtype=jnp.bfloat16, tile_m=TILE_M, tile_
         _kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((tile_m, K), lambda i, j: (i, 0)),
             pl.BlockSpec((K, tile_n), lambda i, j: (0, j)),

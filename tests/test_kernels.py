@@ -92,3 +92,35 @@ class TestDetectPostprocess:
         )
         np.testing.assert_allclose(np.asarray(ref)[..., 4:], np.asarray(got)[..., 4:], rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(ref)[..., :4], np.asarray(got)[..., :4], rtol=1e-4, atol=1e-3)
+
+
+class TestInt8Matmul:
+    def test_exact_vs_int32_reference(self, rng):
+        """kernels/int8_matmul.py: the Pallas int8 MXU kernel must equal the
+        int32 matmul + per-channel dequant exactly (integer accumulation has
+        no rounding; round-5 int8 probe, VERDICT r4 #3)."""
+        import jax.numpy as jnp
+
+        from bsyolo_tpu.kernels.int8_matmul import int8_matmul, quantize_sym
+
+        M, K, N = 512, 128, 128
+        x = rng.normal(0, 1, (M, K)).astype(np.float32)
+        w = rng.normal(0, 0.05, (K, N)).astype(np.float32)
+        xq, sx = quantize_sym(jnp.asarray(x))
+        wq, sw = quantize_sym(jnp.asarray(w), axis=0)
+        got = np.asarray(
+            int8_matmul(xq, wq, sw.reshape(-1), sx.reshape(()),
+                        out_dtype=jnp.float32, interpret=True)
+        )
+        want = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)).astype(np.float32)
+        want = want * (float(sx) * np.asarray(sw).reshape(-1))[None, :]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_quantize_sym_roundtrip(self, rng):
+        from bsyolo_tpu.kernels.int8_matmul import quantize_sym
+
+        w = rng.normal(0, 0.1, (64, 32)).astype(np.float32)
+        q, s = quantize_sym(jnp.asarray(w), axis=0)
+        back = np.asarray(q, np.float32) * np.asarray(s)
+        assert np.abs(back - w).max() < np.abs(w).max() / 100  # 8-bit grid
+        assert np.asarray(q).dtype == np.int8

@@ -146,8 +146,7 @@ def _ref_obb_loss(nc, reg_max, strides):
     ns["autocast"] = lambda enabled=True: torch.autocast("cpu", enabled=False)
     ns["wasserstein_loss"] = ref_oracle.tal("wasserstein_loss")["wasserstein_loss"]
     tal_ns = ref_oracle.tal("RotatedTaskAlignedAssigner", "TaskAlignedAssigner",
-                            "dist2rbox", "select_highest_overlaps",
-                            "select_candidates_in_gts")
+                            "dist2rbox")
     tal_ns["probiou"] = ref_oracle.metrics("probiou")["probiou"]
     ns["RotatedTaskAlignedAssigner"] = tal_ns["RotatedTaskAlignedAssigner"]
     ns["dist2rbox"] = tal_ns["dist2rbox"]
