@@ -39,5 +39,15 @@ if [ "${1:-}" != "quick" ]; then
   run python examples/bench_predictor.py
   # 7. PJRT C++ client box parity on the TPU
   run python -m pytest tests/test_pjrt_client.py --slow -q -p no:cacheprovider
+  # 8. (round 5) train ladder at s/m widths — the lane-fill model on training
+  run env BENCH_SCALE=s BENCH_BATCHES=64,128 python bench_train.py
+  run env BENCH_SCALE=m BENCH_BATCHES=32,64 python bench_train.py
+  # 9. (round 5) wgrad-contraction lever: native vs im2col formulations
+  run python examples/bench_wgrad.py
+  # 10. (round 5) int8 MXU probe on 1x1-conv matmul shapes (Pallas vs XLA)
+  run python examples/bench_int8_matmul.py
+  # 11. (round 5) rect-val canvas ladder + validator pipeline win
+  run python examples/bench_rect.py
+  run python examples/bench_val_pipeline.py
 fi
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a $LOG
