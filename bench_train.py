@@ -54,7 +54,7 @@ def build_step(scale: str, img_size: int, bs: int):
         remat=os.environ.get("BENCH_REMAT", ""),  # cfg remat lever: 0/off | 1/full | seg | light
     )
     step_fn = make_train_step(model, cfg, jit=False)
-    state = init_train_state(variables)
+    state = init_train_state(variables, cfg)
     return spec, step_fn, state
 
 

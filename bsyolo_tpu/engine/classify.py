@@ -148,7 +148,7 @@ class ClassificationTrainer:
         )
         criterion = lambda logits, batch, ls, lc: classification_loss(logits, batch["cls"], ls, lc)
         step = make_train_step(self.model, step_cfg, criterion=criterion)
-        state = init_train_state(variables)
+        state = init_train_state(variables, step_cfg)
         validator = ClassificationValidator(self.model)
 
         LOGGER.info(f"classify train: {nc} classes, {len(train_ds)} images, {args.epochs} epochs")

@@ -97,13 +97,28 @@ def remat_policy(remat):
     )
 
 
-def init_train_state(variables) -> TrainState:
+def init_train_state(variables, cfg: "StepConfig" = None) -> TrainState:
+    """Build the carried state. With ``cfg``, optimizer slots that the
+    configured step can never read are elided (None = empty pytree):
+
+    - ``slot1`` exists only for AdamW's second moment — under SGD it is a
+      dead full-model-sized buffer (80 MB at m-width);
+    - ``acc_grads`` exists only when gradient accumulation can trigger
+      (nbs > batch); at nbs <= batch every step updates, so the
+      accumulator is another dead model-sized buffer.
+
+    Measured round 5: the two elisions (160 MB at m/640) are what let
+    m@640 batch 128 + full remat fit a 16 GB v5e (docs/performance.md).
+    Without ``cfg`` all slots are allocated (backward compatible).
+    """
     params = variables["params"]
     # every field gets its own fresh buffers: the train step donates the whole
     # state (XLA rejects aliased donations), and donation would otherwise
     # delete the caller's `variables` out from under it
     copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
     zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+    need_slot1 = cfg is None or cfg.use_adamw
+    need_acc = cfg is None or cfg.optim.nbs > cfg.batch_size
     return TrainState(
         step=jnp.int32(0),
         params=copy(params),
@@ -111,8 +126,8 @@ def init_train_state(variables) -> TrainState:
         ema_params=copy(params),
         ema_updates=jnp.int32(0),
         slot0=zeros(),
-        slot1=zeros(),
-        acc_grads=zeros(),
+        slot1=zeros() if need_slot1 else None,
+        acc_grads=zeros() if need_acc else None,
         last_opt_step=jnp.int32(-1),
         loss_state=init_loss_state(),
     )
@@ -179,7 +194,12 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
                 for k, v in grads.items()
             }
 
-        acc = jax.tree_util.tree_map(jnp.add, state.acc_grads, grads)
+        # acc_grads=None (init_train_state slot elision): accumulation can
+        # never trigger at this nbs/batch, so this step's grads ARE the
+        # update input and no accumulator buffer exists
+        acc = grads if state.acc_grads is None else (
+            jax.tree_util.tree_map(jnp.add, state.acc_grads, grads)
+        )
         ni = state.step
         accumulate = O.warmup_accumulate(
             ni.astype(jnp.float32), float(cfg.nw), cfg.optim.nbs / cfg.batch_size
@@ -218,7 +238,9 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
                 }
             new_updates = state.ema_updates + 1
             new_ema = O.ema_update(state.ema_params, new_params, new_updates)
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
+            zeros = None if state.acc_grads is None else (
+                jax.tree_util.tree_map(jnp.zeros_like, acc)
+            )
             return new_params, s0, s1, new_ema, new_updates, zeros, ni, gnorm
 
         def no_update(_):
@@ -228,7 +250,7 @@ def make_train_step(model, cfg: StepConfig, criterion: Callable = None, item_nam
                 state.slot1,
                 state.ema_params,
                 state.ema_updates,
-                acc,
+                state.acc_grads if state.acc_grads is None else acc,
                 state.last_opt_step,
                 jnp.float32(0),
             )

@@ -370,7 +370,7 @@ class DetectionTrainer:
             self._chunk_step = make_chunked_train_step(
                 self.model, self.step_cfg, criterion=criterion, item_names=item_names
             )
-        self.state = init_train_state(variables)
+        self.state = init_train_state(variables, self.step_cfg)
         self.mesh = get_mesh()
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
         if task == "segment":
