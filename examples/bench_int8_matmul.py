@@ -43,7 +43,10 @@ SHAPES = [
 ]
 
 
-def scan_diff(fn, args, n1=4, n2=20):
+def scan_diff(fn, args, n1=100, n2=500):
+    # n2 sized so the ~10-100 us matmuls accumulate tens of ms inside one
+    # compiled call: at the original n2=20 the relay's per-dispatch jitter
+    # drowned the slope (negative times in the first round-5 run).
     @partial(jax.jit, static_argnames=("n",))
     def loop(args, n):
         def body(acc, i):
@@ -54,7 +57,12 @@ def scan_diff(fn, args, n1=4, n2=20):
             w = (w.astype(jnp.int32) + i).astype(w.dtype) \
                 if w.dtype == jnp.int8 else w + i.astype(w.dtype)
             out = fn(args[0], w, *args[2:])
-            return acc + jnp.sum(out[:1, :1].astype(jnp.float32)), None
+            # consume the FULL output: a sliced consumption (out[:1,:1]) lets
+            # XLA push the slice into the dot and elide the whole matmul for
+            # the non-opaque paths — the first round-5 run measured exactly
+            # that (a "6800 TFLOP/s" bf16 dot). The full-output reduce adds
+            # one M*N read, identical across all three variants.
+            return acc + jnp.sum(out.astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n, dtype=jnp.int32))
         return acc

@@ -91,7 +91,10 @@ def make_wgrad_fns(B, H, W, Cin, Cout, s, dtype=jnp.bfloat16):
     return native, im2col
 
 
-def scan_diff(fn, args, n1=4, n2=20):
+def scan_diff(fn, args, n1=40, n2=200):
+    # n2 sized so even the sub-ms wgrad kernels accumulate ~100ms inside one
+    # compiled call — the relay's per-dispatch jitter (~ms) otherwise drowns
+    # the slope and can print negative times (seen in the first round-5 run)
     """Best-of-3 scan-diff per-iteration seconds for fn(*args)."""
 
     @partial(jax.jit, static_argnames=("n",))
