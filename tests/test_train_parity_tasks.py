@@ -39,7 +39,11 @@ FIX = Path(__file__).parent / "fixtures"
 
 # ---------------------------------------------------------------- datasets
 
-def make_seg_dataset(root: Path, n_train=32, n_val=8, size=IMGSZ, seed=SEED):
+def make_seg_dataset(root: Path, n_train=48, n_val=8, size=IMGSZ, seed=SEED):
+    # n_train=48 -> 6 steps/epoch x 24 epochs = 144 steps: the reference's
+    # 100-iteration warmup FLOOR (ref_torch_trainer nw, trainer.py:355) must
+    # end inside the run or mAP never leaves zero — the first execution used
+    # 32 images (96 steps, entirely inside warmup) and both legs sat at 0.0
     """Bright squares on dark ground, polygon labels (same recipe as
     test_e2e_train.test_segment_training_run)."""
     import cv2
@@ -67,7 +71,8 @@ def make_seg_dataset(root: Path, n_train=32, n_val=8, size=IMGSZ, seed=SEED):
     return root / "data.yaml"
 
 
-def make_obb_dataset(root: Path, n_train=32, n_val=8, size=IMGSZ, seed=SEED):
+def make_obb_dataset(root: Path, n_train=48, n_val=8, size=IMGSZ, seed=SEED):
+    # 48 images for the same 100-step-warmup-floor reason as make_seg_dataset
     """Rotated bars, 4-corner labels (same recipe as test_obb_training_run)."""
     import cv2
 
@@ -166,7 +171,10 @@ def to_ragged_seg(batch):
 
 
 def to_ragged_obb(batch):
-    """Padded OBB batch (bboxes (B,G,5) xywhr) -> reference ragged dict."""
+    """Padded OBB batch -> reference ragged dict. The rotated 5-param boxes
+    live under "rboxes" (normalized xywhr, data/dataset.py:_get_obb_sample);
+    "bboxes" is the axis-aligned xywh companion — feeding THAT to v8OBBLoss
+    crashes its (-1, 5) reshape (first-execution bug, round 5)."""
     import torch
 
     m = np.asarray(batch["mask"]) > 0
@@ -174,7 +182,7 @@ def to_ragged_obb(batch):
     return {
         "batch_idx": torch.from_numpy(bi.astype(np.float32)),
         "cls": torch.from_numpy(np.asarray(batch["cls"])[bi, gi, None].astype(np.float32)),
-        "bboxes": torch.from_numpy(np.asarray(batch["bboxes"])[bi, gi].astype(np.float32)),
+        "bboxes": torch.from_numpy(np.asarray(batch["rboxes"])[bi, gi].astype(np.float32)),
     }
 
 
