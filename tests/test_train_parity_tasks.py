@@ -152,7 +152,14 @@ def _ref_obb_loss(nc, reg_max, strides):
     ns["wasserstein_loss"] = ref_oracle.tal("wasserstein_loss")["wasserstein_loss"]
     tal_ns = ref_oracle.tal("RotatedTaskAlignedAssigner", "TaskAlignedAssigner",
                             "dist2rbox")
-    tal_ns["probiou"] = ref_oracle.metrics("probiou")["probiou"]
+    prob_ns = ref_oracle.metrics("probiou", "_get_covariance_matrix")
+    tal_ns["probiou"] = prob_ns["probiou"]
+    tal_ns["_get_covariance_matrix"] = prob_ns["_get_covariance_matrix"]
+    # the rotated assigner's select_candidates_in_gts path needs the corner
+    # expansion helper from utils/ops.py (NameError on first execution)
+    tal_ns["xywhr2xyxyxyxy"] = ref_oracle._extract(
+        "ultralytics/utils/ops.py", ("xywhr2xyxyxyxy",)
+    )["xywhr2xyxyxyxy"]
     ns["RotatedTaskAlignedAssigner"] = tal_ns["RotatedTaskAlignedAssigner"]
     ns["dist2rbox"] = tal_ns["dist2rbox"]
     ns["probiou"] = tal_ns["probiou"]
